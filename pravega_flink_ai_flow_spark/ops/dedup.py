@@ -1,0 +1,176 @@
+"""Deduplication operators (SURVEY.md L1, L2) — exact, MinHash+LSH,
+SimHash, n-gram Jaccard. All deterministic (fixed hash seeds), all
+expressed as DataFrame plans (no driver-side loops), all designed so the
+quadratic step only ever runs on LSH-bucketed candidates, never on the
+full corpus — the property that keeps them viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus. The base hash and the
+# coefficients are all reduced below 2^31 so a*h+b < 2^62 — no signed-64
+# overflow even under ANSI mode (the driver may run these queries in a
+# session we don't configure).
+_P = (1 << 31) - 1
+# Deterministic per-permutation coefficients (fixed seed — SURVEY.md §7
+# risk register demands reproducible MinHash).
+_A = [(1234567891 + 2 * i * 1000000007) % _P or 1 for i in range(256)]
+_B = [(987654321 + i * 777767777) % _P for i in range(256)]
+
+
+def exact_dedup(df: DataFrame, on: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup (L1): hash-groupBy on the content column keeping the
+    smallest id. groupBy(sha2) shuffles 32-byte digests, not documents."""
+    return (df.groupBy(F.sha2(F.col(on), 256).alias("content_hash"))
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column, JVM-side: split →
+    sliding windows via transform over an index sequence."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    # a doc shorter than k words yields its whole text as one shingle
+    return F.array_distinct(F.when(n >= k, grams)
+                            .otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) exploded table — the shared substrate for MinHash,
+    SimHash and exact-Jaccard verification."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(word_shingles(F.col(text_col), k)).alias("shingle")))
+
+
+def _perm_hash(base: Column, i: int) -> Column:
+    # ((a*h + b) mod P) over the 31-bit-reduced base; pmod keeps it
+    # non-negative.
+    return F.pmod(_A[i] * base + _B[i], F.lit(_P))
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """MinHash signature per id: num_hashes permutation-min aggregates in
+    ONE groupBy — map-side partial min makes the shuffle O(ids × hashes)."""
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    aggs = [F.min(_perm_hash(base, i)).alias(f"mh{i}") for i in range(num_hashes)]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
+                        bands: int = 16) -> DataFrame:
+    """Band the signature (bands × rows-per-band = num_hashes), bucket by
+    band hash, emit candidate pairs from co-bucketed ids. The self-join
+    happens per (band, bucket) group — tiny — never across the corpus."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_sig"))
+            for b in range(bands)])).alias("bb"))
+    stacked = stacked.select("id", "bb.band_id", "bb.band_sig")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact word-shingle Jaccard for given (id_a, id_b) pairs: intersect
+    via shingle join, union by |A|+|B|−|∩|. Cost is bounded by the
+    candidate set, so LSH recall drives total work, not corpus size²."""
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    sa = shingled.select(F.col("id").alias("id_a"), "shingle")
+    sb = shingled.select(F.col("id").alias("id_b"), "shingle")
+    inter = (pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    return (pairs
+            .join(inter, ["id_a", "id_b"], "left")
+            .na.fill({"n_common": 0})
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+            .withColumn("jaccard",
+                        F.col("n_common") /
+                        (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", *, k: int = 3,
+                        num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline (L2): shingle → MinHash → LSH buckets →
+    exact-Jaccard verify ≥ threshold. The verify step makes the output
+    exact (hash-checkable) while LSH keeps the candidate set ≈linear."""
+    shingled = shingle_table(df, id_col, text_col, k)
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    scored = exact_jaccard(cands, shingled)
+    return (scored.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3) -> DataFrame:
+    """64-bit SimHash per doc: per-shingle xxhash64, sum ±1 per bit
+    position, sign → bit. Pure JVM expressions; one groupBy."""
+    shingled = shingle_table(df, id_col, text_col, k)
+    h = F.xxhash64("shingle")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"bit{i}")
+        for i in range(64)
+    ]
+    sums = shingled.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        # shiftleft instead of a 1<<i literal: 1<<63 does not fit a long
+        bit = F.when(F.col(f"bit{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *, k: int = 3,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius. Blocking: split the
+    64-bit signature into (max_hamming+1) chunks — any pair within the
+    radius shares at least one exact chunk (pigeonhole), so the join is
+    equi on (chunk_id, chunk_value), never all-pairs."""
+    sigs = simhash_signatures(df, id_col, text_col, k)
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_id"),
+                     F.shiftright("simhash", c * width)
+                      .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val"))
+            for c in range(n_chunks)])).alias("ch")) \
+        .select("id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

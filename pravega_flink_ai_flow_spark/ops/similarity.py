@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (SURVEY.md L3).
+
+Exact brute-force cosine top-k as the baseline (JVM higher-order
+functions, no Python in the row path), plus an LSH-bucketed approximate
+variant as the 100 TB scale path: random-hyperplane signatures prune the
+candidate set to co-bucketed vectors before the exact rerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: zip_with multiply → aggregate sum (doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, *,
+                     query_id: str = "q_id", corpus_id: str = "c_id",
+                     query_vec: str = "q_vec", corpus_vec: str = "c_vec",
+                     k: int = 10) -> DataFrame:
+    """Exact top-k cosine per query. The (small) query set is broadcast
+    against the corpus — one pass over the corpus, no corpus shuffle; the
+    per-query top-k is a WindowGroupLimit (each partition keeps ≤ k rows
+    per query before the final merge)."""
+    scored = (corpus.join(F.broadcast(queries))
+              .withColumn("cosine", cosine(F.col(query_vec), F.col(corpus_vec))))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "cosine", "rank"))
+
+
+# Deterministic pseudo-random hyperplanes: component h of plane p is a
+# fixed hash of (p, h) mapped to ±1. Fully reproducible, no RNG state.
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    comps = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda v, i: v.cast("double") *
+        F.when(F.pmod(F.xxhash64(F.concat(F.lit(f"p{plane}_"), i)), 2) == 0, 1.0)
+         .otherwise(-1.0))
+    return (F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v) >= 0).cast("int")
+
+
+def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, *,
+                    query_id: str = "q_id", corpus_id: str = "c_id",
+                    query_vec: str = "q_vec", corpus_vec: str = "c_vec",
+                    k: int = 10, n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join (vectors that
+    agree on all n_planes signs are candidates), exact cosine rerank
+    inside buckets. At scale this replaces the corpus-wide scan per query
+    with a bucket-equi-join — candidates per query drop ~2^n_planes."""
+    def bucket(vec_col: str) -> Column:
+        return F.concat_ws("", *[
+            _hyperplane_sign(F.col(vec_col), p, dim).cast("string")
+            for p in range(n_planes)])
+
+    qb = queries.withColumn("bucket", bucket(query_vec))
+    cb = corpus.withColumn("bucket", bucket(corpus_vec))
+    scored = (cb.join(F.broadcast(qb), "bucket")
+              .withColumn("cosine", cosine(F.col(query_vec), F.col(corpus_vec))))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "cosine", "rank"))
+
+
+def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (L2 embedding variant), exact:
+    id-ordered self-join + cosine filter. This is the oracle-checkable
+    baseline; at corpus scale use ``lsh_bucket_topk``-style hyperplane
+    blocking first so the pair count stays near-linear."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

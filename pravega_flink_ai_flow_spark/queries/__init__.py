@@ -1,0 +1,88 @@
+"""Declared-query corpus — the SURVEY.md §2 contract.
+
+Every implemented operator is declared here as a named query:
+a ``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible)
+an equivalent ANSI-SQL string the DuckDB oracle runs on the same parquet
+tables. The driver hash-compares both sides at sf0.01.
+
+Conventions (see FIXTURES.md canonicalization rules):
+- every computed column is aliased identically on both sides;
+- sums over integer columns are cast to BIGINT in the oracle so types line
+  up with Spark's LongType;
+- approximate operators (approx_count_distinct, LSH paths) declare no
+  oracle → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class DeclaredQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ids: tuple[str, ...]   # SURVEY.md §2 rows this query covers
+
+
+REGISTRY: dict[str, DeclaredQuery] = {}
+
+
+def declared(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
+    """Register a declared query. ``oracle=None`` → rows-only check."""
+    def deco(fn):
+        REGISTRY[name] = DeclaredQuery(name, fn, oracle, survey_ids)
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, DeclaredQuery]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from . import (  # noqa: F401
+        sources,
+        projections,
+        joins,
+        aggregations,
+        windows,
+        sorts,
+        setops,
+        scalar_funcs,
+        streaming_batch,
+        llm_dedup,
+        llm_similarity,
+        llm_text,
+        ml_queries,
+    )
+    return REGISTRY
+
+
+_EVENTS_NANOS_SCHEMA = ("event_id long, ts long, user_id long, "
+                        "event_type string, value double, props string")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright. Read it as raw int64 nanos via an
+    explicit schema (works on a vanilla session — no legacy conf needed)
+    and convert to a microsecond timestamp JVM-side."""
+    from pyspark.sql import functions as F
+    raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
+    # integer `div`, not `/`: double division of int64 nanos loses ~200ns
+    # of precision, enough to flip a truncated microsecond
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load driver test tables as DataFrames."""
+    out = []
+    for n in names:
+        path = f"{sf_dir}/{n}.parquet"
+        if n == "events":
+            out.append(_read_events(spark, path))
+        else:
+            out.append(spark.read.parquet(path))
+    return out

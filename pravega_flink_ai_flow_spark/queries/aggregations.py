@@ -1,0 +1,254 @@
+"""Aggregation queries (SURVEY.md §2.4, rows A1-A8).
+
+The reference's only literal aggregate is the model-score mean
+(``knn.score``, processor.py:180); the full SQL aggregation surface is
+implied by ``table_env.execute_sql`` (processor.py:44). Everything here is
+expressed declaratively so Catalyst plans two-phase HashAggregate
+(partial map-side combine → final), which is the shape that scales:
+shuffle volume is #groups × #partitions, not #rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import declared, tables
+
+
+@declared(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                    AS sum_qty,
+           SUM(l_extendedprice)                               AS sum_base_price,
+           SUM(l_extendedprice * (1 - l_discount))            AS sum_disc_price,
+           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           AVG(l_quantity)                                    AS avg_qty,
+           AVG(l_extendedprice)                               AS avg_price,
+           AVG(l_discount)                                    AS avg_disc,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ids=("A1", "S7", "P4", "P5", "O1"),
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 shape — grouped multi-aggregate with arithmetic.
+
+    Scale: partial aggregation collapses each input partition to ≤ 6 rows
+    (3 returnflags × 2 linestatuses) before the shuffle; the filter and the
+    7-column projection push into the parquet scan.
+    """
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@declared(
+    "a2_global_agg",
+    oracle="""
+    SELECT COUNT(*)                         AS n_rows,
+           CAST(SUM(l_quantity) AS DOUBLE)  AS total_qty,
+           MIN(l_extendedprice)             AS min_price,
+           MAX(l_extendedprice)             AS max_price,
+           AVG(l_discount)                  AS avg_discount
+    FROM lineitem
+    """,
+    survey_ids=("A2",),
+)
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.avg("l_discount").alias("avg_discount"),
+    )
+
+
+@declared(
+    "a3_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey)        AS n_customers,
+           COUNT(DISTINCT o_orderpriority)  AS n_priorities,
+           COUNT(*)                         AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    survey_ids=("A3",),
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@declared(
+    "a4_approx_count_distinct",
+    oracle=None,  # approximate — rows-only check (SURVEY.md A4: tolerance, not hash)
+    survey_ids=("A4",),
+)
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path where exact distinct
+    would shuffle every key. rsd=0.01 keeps error ≈1%."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+@declared(
+    "a5_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*)                        AS n_customers,
+           CAST(SUM(c_acctbal) AS DOUBLE)  AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    survey_ids=("A5", "J2"),
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum("c_acctbal").cast("double").alias("total_acctbal"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@declared(
+    "a5_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey_ids=("A5",),
+)
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@declared(
+    "a6_positional_aggs",
+    oracle="""
+    SELECT c_nationkey,
+           MIN_BY(c_name, c_custkey)             AS first_customer,
+           MAX_BY(c_name, c_custkey)             AS last_customer,
+           LIST(c_custkey ORDER BY c_custkey)    AS custkeys_sorted
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    survey_ids=("A6",),
+)
+def a6_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by/collect_list with explicit deterministic ordering
+    (tie-free: c_custkey is unique)."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.min_by("c_name", "c_custkey").alias("first_customer"),
+            F.max_by("c_name", "c_custkey").alias("last_customer"),
+            F.sort_array(F.collect_list("c_custkey")).alias("custkeys_sorted"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@declared(
+    "a7_stats",
+    oracle="""
+    SELECT l_returnflag,
+           STDDEV_SAMP(l_extendedprice)       AS price_stddev,
+           VAR_SAMP(l_extendedprice)          AS price_var,
+           QUANTILE_CONT(l_extendedprice, 0.5)  AS price_median,
+           QUANTILE_CONT(l_extendedprice, 0.9)  AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ids=("A7",),
+)
+def a7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (matches DuckDB quantile_cont);
+    percentile_approx stays available for the 100 TB path but is not
+    hash-checkable."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+            F.var_samp("l_extendedprice").alias("price_var"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("price_median"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "a8_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*)                          AS n_orders,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8 AND SUM(o_totalprice) > 100000
+    ORDER BY o_custkey
+    """,
+    survey_ids=("A8",),
+)
+def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("o_totalprice").cast("double").alias("total_spent"))
+        .filter((F.col("n_orders") >= 8) & (F.col("total_spent") > 100000))
+        .orderBy("o_custkey")
+    )

@@ -1,0 +1,281 @@
+"""Join queries (SURVEY.md §2.3, rows J1-J9).
+
+No join appears literally in the reference demo; the surface is implied
+by its embedded Flink SQL (processor.py:44). Each query here pins the
+join *strategy* that is right at 100 TB:
+
+- dimension tables (region/nation/supplier/literal buckets) are
+  explicitly ``F.broadcast`` — no shuffle of the fact side;
+- large-large joins (lineitem ⋈ orders) shuffle on the join key and let
+  AQE handle skew;
+- the as-of join avoids a per-row sort by pruning candidates with a
+  window over the time-conditioned join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from . import declared, tables
+from ..ops.relational import asof_join
+
+
+@declared(
+    "j1_inner_join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(*)                          AS n_orders,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total_spent
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    survey_ids=("J1",),
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("o_totalprice").cast("double").alias("total_spent"))
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "j2_broadcast_dim_join",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    survey_ids=("J2",),
+)
+def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: the fact table never shuffles — every dim is broadcast,
+    so the whole chain is one scan of lineitem + map-side hash probes."""
+    li, supplier, nation, region = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("double").alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@declared(
+    "j3_large_large_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                               AS n_items,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("J3",),
+)
+def j3_large_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join: both sides shuffle on l_orderkey/o_orderkey
+    (sort-merge or shuffled-hash — AQE decides); the date filter pushes
+    into the orders scan *before* the shuffle."""
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    return (
+        li.join(orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")),
+                li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"),
+             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("double").alias("revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "j4_outer_join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey)                              AS n_orders,
+           CAST(COALESCE(SUM(o_totalprice), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    survey_ids=("J4",),
+)
+def j4_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders (COUNT(col)
+    skips the null-extended rows)."""
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(F.sum("o_totalprice"), F.lit(0)).cast("double").alias("total_spent"))
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "j4_full_outer_join",
+    oracle="""
+    SELECT
+        COALESCE(a.k, b.k) AS nationkey,
+        a.n_customers,
+        b.n_suppliers
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) b
+    ON a.k = b.k
+    ORDER BY nationkey
+    """,
+    survey_ids=("J4",),
+)
+def j4_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    a = customer.groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_customers"))
+    b = supplier.groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_suppliers"))
+    return (
+        a.join(b, a.k == b.k, "full")
+        .select(F.coalesce(a.k, b.k).alias("nationkey"), "n_customers", "n_suppliers")
+        .orderBy("nationkey")
+    )
+
+
+@declared(
+    "j5_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+    survey_ids=("J5",),
+)
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi ≈ WHERE EXISTS — emits each left row at most once and
+    never widens the row, so it shuffles only the key columns."""
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "j6_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_ids=("J6",),
+)
+def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "j7_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+    survey_ids=("J7",),
+)
+def j7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane when one side is tiny and
+    broadcast (BroadcastNestedLoopJoin)."""
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    return (region.crossJoin(F.broadcast(nation))
+            .select("r_name", "n_name")
+            .orderBy("r_name", "n_name"))
+
+
+@declared(
+    "j8_band_join",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(SUM(p_retailprice) AS DOUBLE) AS total_price
+    FROM part
+    JOIN (VALUES ('small', 1, 15), ('medium', 15, 35), ('large', 35, 1000))
+         AS b(band, lo, hi)
+      ON p_size >= b.lo AND p_size < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+    survey_ids=("J8",),
+)
+def j8_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join on an inequality — BroadcastNestedLoopJoin with the
+    tiny band table broadcast, so the fact side is a single pass."""
+    (part,) = tables(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 1, 15), ("medium", 15, 35), ("large", 35, 1000)],
+        T.StructType([T.StructField("band", T.StringType()),
+                      T.StructField("lo", T.IntegerType()),
+                      T.StructField("hi", T.IntegerType())]))
+    return (
+        part.join(F.broadcast(bands),
+                  (part.p_size >= bands.lo) & (part.p_size < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"),
+             F.sum("p_retailprice").cast("double").alias("total_price"))
+        .orderBy("band")
+    )
+
+
+@declared(
+    "j9_asof_join",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           o_totalprice AS last_totalprice
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+    survey_ids=("J9",),
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order at-or-before the event
+    time for that user. Implemented by ``ops.relational.asof_join``
+    (time-conditioned join + per-left-row top-1)."""
+    events, orders = tables(spark, sf_dir, "events", "orders")
+    joined = asof_join(
+        events, orders,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        tie_breakers=[F.col("o_orderkey").desc()],
+    )
+    return (
+        joined.select("event_id", "user_id",
+                      F.col("o_orderkey").alias("last_orderkey"),
+                      F.col("o_totalprice").alias("last_totalprice"))
+        .orderBy("event_id")
+    )

@@ -1,0 +1,131 @@
+"""Deduplication queries over ``documents`` (SURVEY.md L1, L2).
+
+The MinHash-LSH pipeline ends with an exact-Jaccard verify, so its output
+is deterministic and the oracle is the brute-force all-pairs Jaccard in
+SQL — if LSH recall drops below 1.0 at the declared threshold, the hash
+check fails loudly (the corpus's near-dup pairs sit at J≥0.9 with a clean
+gap below 0.3, so 16 bands × 4 rows has recall ≈ 1 at threshold 0.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import declared, tables
+from ..ops import dedup
+
+# Shared SQL fragment: exact word-3-gram shingle sets per doc.
+_SHINGLES_CTE = """
+    shingled AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)
+    )
+"""
+
+
+@declared(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT content_hash, keeper_id, n_copies FROM (
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id)  AS keeper_id,
+               COUNT(*)     AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    )
+    ORDER BY keeper_id
+    """,
+    survey_ids=("L1",),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha2-groupBy keeping min doc_id — shuffles digests,
+    not documents."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, on="text", id_col="doc_id").orderBy("keeper_id")
+
+
+@declared(
+    "l2_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("L2",),
+)
+def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (64 perms) → LSH (16 bands × 4) → exact-Jaccard verify
+    ≥ 0.7. The oracle computes the same pairs by brute force; at 100 TB
+    only the LSH path is feasible (candidates ≈ linear in near-dup count)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
+        .orderBy("id_a", "id_b"))
+
+
+@declared(
+    "l2_simhash_pairs",
+    oracle=None,  # signature hash not reproducible in SQL — rows-only check
+    survey_ids=("L2",),
+)
+def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits) with pigeonhole
+    chunk blocking — the xxhash64-based signature has no SQL oracle, so
+    this is declared rows-only; the pytest suite asserts it finds the
+    same known near-dup pairs as the Jaccard path."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (dedup.simhash_near_pairs(docs, "doc_id", "text", k=3, max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+@declared(
+    "l2_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("L2",),
+)
+def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.5 — shingle-join formulation (pairs
+    sharing zero shingles never materialize, unlike a naive cross join)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    shingled = dedup.shingle_table(docs, "doc_id", "text", k=3)
+    pairs = (shingled.alias("a")
+             .join(shingled.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    return (dedup.exact_jaccard(pairs, shingled)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard")
+            .orderBy("id_a", "id_b"))

@@ -1,0 +1,108 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY.md L3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import declared, tables
+from ..ops import similarity
+
+_N_QUERIES = 10   # first N vectors act as the query set
+_TOP_K = 5
+
+
+@declared(
+    "l3_brute_force_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               list_dot_product(q.q_vec, CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))) AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """,
+    survey_ids=("L3", "O3", "J7"),
+)
+def l3_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors: broadcast
+    the query set, one pass over the corpus, WindowGroupLimit top-k."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    out = similarity.brute_force_topk(
+        queries, corpus.filter(F.lit(True)),
+        query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec", k=_TOP_K + 1)
+    # exclude self-matches, then re-rank to 1..k
+    out = (out.filter(F.col("q_id") != F.col("c_id")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOP_K)
+            .select("q_id", "c_id", "cosine", "rank")
+            .orderBy("q_id", "rank"))
+
+
+@declared(
+    "l3_lsh_topk",
+    oracle=None,  # approximate (bucket pruning) — rows-only check
+    survey_ids=("L3",),
+)
+def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant: random-hyperplane LSH buckets prune candidates
+    before the exact rerank — the 100 TB path. pytest asserts recall vs
+    the brute-force result; the driver records rows-only."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    out = similarity.lsh_bucket_topk(
+        queries, corpus, query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec",
+        k=_TOP_K, n_planes=4, dim=64)
+    return out.orderBy("q_id", "rank")
+
+
+@declared(
+    "l3_cosine_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("L2", "L3"),
+)
+def l3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45 — the corpus's
+    most-similar tail; no synthesized duplicates exist above 0.5)."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return (similarity.cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45)
+        .orderBy("id_a", "id_b"))

@@ -1,0 +1,109 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md L4): token
+counting, quality features, language stats, fingerprinting. The Spark
+side is pure JVM expressions (ops.text); the oracle reproduces each
+feature in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import declared, tables
+from ..ops import text as T
+
+
+@declared(
+    "l4_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER)  AS n_tokens,
+           CAST(n_chars AS BIGINT)     AS n_chars,
+           round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS mean_word_len
+    FROM (SELECT doc_id, n_chars,
+                 list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(T.mean_word_length(t), 6).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "l4_quality_features",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it',
+                  'for','on','with','as','at','by','be','this','that','are'],
+                 lower(t)))) AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+           round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS DOUBLE)
+                 / greatest(len(text), 1), 6) AS punct_ratio
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "l4_lang_source_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*)                                   AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)               AS total_chars,
+           CAST(AVG(n_chars) AS DOUBLE)               AS avg_chars,
+           QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.5) AS median_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    survey_ids=("L4", "A1", "A7"),
+)
+def l4_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics — the language-filter +
+    per-source stats rollup of a training-data pipeline."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.avg("n_chars").alias("avg_chars"),
+                 F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("median_chars"))
+            .orderBy("lang", "source"))
+
+
+@declared(
+    "l4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4", "L1"),
+)
+def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (md5 of normalized text)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")

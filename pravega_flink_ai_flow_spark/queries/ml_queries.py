@@ -1,0 +1,126 @@
+"""ML-operator queries (SURVEY.md §2.11, M1-M3) expressed as declarative
+plans over ``embeddings`` so the DuckDB oracle can check them.
+
+The reference's model is KNeighborsClassifier(n_neighbors=5)
+(processor.py:128) and its validate metric is mean accuracy
+(knn.score, processor.py:180). Both re-expressed Spark-first:
+KNN = broadcast-join + top-k window + majority vote; accuracy =
+avg(pred == label). The sklearn/joblib registry flow itself lives in
+``pravega_flink_ai_flow_spark.ml`` and is covered by the pytest iris
+end-to-end suite (it is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import declared, tables
+
+_SPLIT = 100   # vec_id < _SPLIT → test set; rest → train set
+_K = 5
+
+_KNN_CTE = f"""
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    test  AS (SELECT * FROM e WHERE vec_id <  {_SPLIT}),
+    train AS (SELECT * FROM e WHERE vec_id >= {_SPLIT}),
+    dists AS (
+        SELECT t.vec_id, t.label AS true_label,
+               n.vec_id AS n_id, n.label AS n_label,
+               list_dot_product(t.v, t.v) - 2 * list_dot_product(t.v, n.v)
+                 + list_dot_product(n.v, n.v) AS dist2
+        FROM test t CROSS JOIN train n
+    ),
+    nearest AS (
+        SELECT vec_id, true_label, n_label FROM (
+            SELECT vec_id, true_label, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, n_id) AS rn
+            FROM dists
+        ) WHERE rn <= {_K}
+    ),
+    votes AS (
+        SELECT vec_id, true_label, n_label AS pred_label, COUNT(*) AS n_votes
+        FROM nearest GROUP BY vec_id, true_label, n_label
+    ),
+    pred AS (
+        SELECT vec_id, true_label, pred_label FROM (
+            SELECT vec_id, true_label, pred_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY n_votes DESC, pred_label) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+"""
+
+
+def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    test = (e.filter(F.col("vec_id") < _SPLIT)
+            .select(F.col("vec_id"), F.col("label").alias("true_label"),
+                    F.col("v").alias("tv")))
+    train = (e.filter(F.col("vec_id") >= _SPLIT)
+             .select(F.col("vec_id").alias("n_id"),
+                     F.col("label").alias("n_label"), F.col("v").alias("nv")))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    # ||t-n||² = t·t − 2 t·n + n·n  (same arithmetic as the oracle so the
+    # double results are bit-comparable)
+    dists = (train.join(F.broadcast(test))
+             .withColumn("dist2",
+                         dot(F.col("tv"), F.col("tv"))
+                         - 2 * dot(F.col("tv"), F.col("nv"))
+                         + dot(F.col("nv"), F.col("nv"))))
+    w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
+    nearest = (dists.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= _K))
+    votes = (nearest.groupBy("vec_id", "true_label", F.col("n_label").alias("pred_label"))
+             .agg(F.count("*").alias("n_votes")))
+    vw = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label"))
+    return (votes.withColumn("vr", F.row_number().over(vw))
+            .filter(F.col("vr") == 1)
+            .select("vec_id", "true_label", "pred_label"))
+
+
+@declared(
+    "m2_knn_predict",
+    oracle=f"""
+    WITH {_KNN_CTE}
+    SELECT vec_id, true_label, pred_label FROM pred
+    ORDER BY vec_id
+    """,
+    survey_ids=("M2", "F1", "J7", "O3"),
+)
+def m2_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN (k=5, euclidean, majority vote with deterministic tie-breaks)
+    as a pure DataFrame plan: broadcast test set → one corpus pass →
+    per-test top-k window → vote. Mirrors the reference's predict job
+    (processor.py:236-258) without a Python UDF in the row path."""
+    return _spark_knn(spark, sf_dir).orderBy("vec_id")
+
+
+@declared(
+    "m3_model_accuracy",
+    oracle=f"""
+    WITH {_KNN_CTE}
+    SELECT CAST(COUNT(*) FILTER (WHERE pred_label = true_label) AS DOUBLE)
+             / COUNT(*) AS accuracy,
+           COUNT(*) AS n_test
+    FROM pred
+    """,
+    survey_ids=("M3",),
+)
+def m3_model_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate metric: mean accuracy ≡ knn.score (processor.py:180) —
+    avg(pred == label) as a deterministic aggregate."""
+    pred = _spark_knn(spark, sf_dir)
+    return pred.agg(
+        (F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+         .cast("double") / F.count("*")).alias("accuracy"),
+        F.count("*").alias("n_test"),
+    )

@@ -1,0 +1,157 @@
+"""Source/sink queries (SURVEY.md §2.1, rows S1-S9).
+
+Each query exercises a real engine source/sink round-trip and is verified
+against the oracle reading the original parquet directly — so a format
+bug (quoting, nulls, timestamp rendering) breaks the hash.
+
+Round-trips write under ``.scratch/`` inside the repo (the engine never
+touches paths outside ``/root/repo``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import declared, tables
+from ..io import batch
+from ..io.pravega_sim import StreamDir
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _tmpdir(prefix: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH)
+    shutil.rmtree(path)  # Spark writers want to create the dir themselves
+    return path
+
+
+NATION_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.IntegerType()),
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_regionkey", T.IntegerType()),
+])
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+@declared(
+    "s1_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    survey_ids=("S1", "S2"),
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink (processor.py:268-278) then CSV source with explicit schema
+    and DROPMALFORMED (processor.py:44-58) — values must survive the
+    round-trip bit-exact vs the parquet original."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    path = _tmpdir("s1_csv_")
+    batch.write(nation, "csv", path)
+    return batch.read_csv(spark, path, NATION_SCHEMA).orderBy("n_nationkey")
+
+
+@declared(
+    "s3_s4_stream_dir_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                      AS n_events,
+           CAST(SUM(value) AS DOUBLE)    AS total_value,
+           MIN(event_id)                 AS min_event_id,
+           MAX(event_id)                 AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ids=("S3", "S4", "S6"),
+)
+def s3_s4_stream_dir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pravega-sim: JSON stream sink (processor.py:67-90) then bounded
+    stream read (scan.execution.type=batch, processor.py:93-114), with an
+    aggregate on top. Timestamps/doubles must survive JSON encode/decode."""
+    (events,) = tables(spark, sf_dir, "events")
+    stream = StreamDir(_tmpdir("s3_stream_"), EVENTS_SCHEMA)
+    stream.append(events)
+    bounded = stream.read_bounded(spark)
+    return (
+        bounded.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").cast("double").alias("total_value"),
+             F.min("event_id").alias("min_event_id"),
+             F.max("event_id").alias("max_event_id"))
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "s7_parquet_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 200000
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("S7",),
+)
+def s7_parquet_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan where Catalyst pushes the filter into the reader
+    (PushedFilters: [GreaterThan(o_totalprice,...)]) and prunes to a
+    2-column ReadSchema — the at-scale contract for every scan."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (orders.filter(F.col("o_totalprice") > 200000)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@declared(
+    "s8_rows_source",
+    oracle="""
+    SELECT t.r_name, COUNT(*) AS n_nations
+    FROM (VALUES (0, 'AFRICA'), (1, 'AMERICA'), (2, 'ASIA'),
+                 (3, 'EUROPE'), (4, 'MIDDLE EAST')) AS t(r_regionkey, r_name)
+    JOIN nation ON nation.n_regionkey = t.r_regionkey
+    GROUP BY t.r_name
+    ORDER BY t.r_name
+    """,
+    survey_ids=("S8", "J2"),
+)
+def s8_rows_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory literal-rows source (pd.DataFrame.from_records,
+    processor.py:248-249) joined against a real table."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    rows = [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST")]
+    lit = batch.from_rows(
+        spark, rows,
+        T.StructType([T.StructField("r_regionkey", T.IntegerType()),
+                      T.StructField("r_name", T.StringType())]))
+    return (
+        nation.join(F.broadcast(lit), nation.n_regionkey == lit.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+@declared(
+    "s9_pandas_bridge",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+    survey_ids=("S9",),
+)
+def s9_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow toPandas bridge (tab.to_pandas(), processor.py:124) and back —
+    values must survive the Arrow conversion."""
+    (region,) = tables(spark, sf_dir, "region")
+    pdf = batch.to_pandas(region.orderBy("r_regionkey"))
+    return spark.createDataFrame(pdf).orderBy("r_regionkey")

@@ -1,0 +1,133 @@
+"""Batch equivalents of the streaming operators (SURVEY.md §2.9: T3/T4/T5
+batch-declared ✓ rows, T7 dedup) over the static ``events`` table.
+
+The same windowing semantics run as true Structured Streaming in
+``pravega_flink_ai_flow_spark.streaming`` (tested with availableNow
+triggers); here they are expressed as deterministic batch SQL so the
+DuckDB oracle can check values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import declared, tables
+from ..ops.relational import session_windows
+
+
+@declared(
+    "t3_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*)                     AS n_events,
+           CAST(SUM(value) AS DOUBLE)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    survey_ids=("T3",),
+)
+def t3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate via F.window — identical semantics
+    to the streaming groupBy(window(...)) plan."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value")
+            .orderBy("window_start", "event_type"))
+
+
+@declared(
+    "t4_sliding_window",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events, CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM (
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+                 - s.off * INTERVAL 30 MINUTE AS window_start,
+               value
+        FROM events
+        CROSS JOIN (VALUES (0), (1)) AS s(off)
+    )
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    survey_ids=("T4",),
+)
+def t4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): every event lands in two
+    overlapping windows. F.window generates the expansion; the oracle
+    reproduces it with an explicit 2-row cross join."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+            .orderBy("window_start"))
+
+
+@declared(
+    "t5_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*)                    AS n_events,
+           CAST(SUM(value) AS DOUBLE)  AS total_value,
+           MIN(ts)                     AS session_start,
+           MAX(ts)                     AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    survey_ids=("T5",),
+)
+def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap: lag → boundary → running sum,
+    via ops.relational.session_windows (one shuffle on user_id)."""
+    (events,) = tables(spark, sf_dir, "events")
+    sessions = session_windows(events, key="user_id", ts="ts", gap_seconds=1800)
+    return (sessions.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").cast("double").alias("total_value"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .orderBy("user_id", "session_id"))
+
+
+@declared(
+    "t7_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN_BY(event_id, event_id) AS first_event_id,
+           MIN_BY(value, event_id)    AS first_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    survey_ids=("T7", "U5"),
+)
+def t7_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the first occurrence (deterministic via
+    min_by on the unique event_id) — the batch shape of streaming
+    withWatermark + dropDuplicates."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (events.groupBy("user_id", "event_type")
+            .agg(F.min_by("event_id", "event_id").alias("first_event_id"),
+                 F.min_by("value", "event_id").alias("first_value"))
+            .orderBy("user_id", "event_type"))

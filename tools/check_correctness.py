@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every declared
+query via Spark AND its oracle via DuckDB on the same parquet tables,
+canonicalize (FIXTURES.md rules), and diff.
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def canon_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(canon_value(row[i]) for i in order))
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [columns[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    spark = get_spark("correctness-check")
+    registry = load_all()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, q in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if q.oracle is None:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as e:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        _, cs = canon_rows(s_cols, s_rows)
+        _, cd = canon_rows(d_cols, d_rows)
+        if len(cs) != len(cd):
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: row count spark={len(cs)} duck={len(cd)}")
+            continue
+        if cs != cd:
+            n_fail += 1
+            failures.append(name)
+            bad = next(i for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
+            print(f"FAIL  {name}: values differ at canon row {bad}:")
+            print(f"      spark: {cs[bad]}")
+            print(f"      duck : {cd[bad]}")
+        else:
+            n_pass += 1
+            print(f"ok    {name}: {len(cs)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED"
+          + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
