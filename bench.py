@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers each scale-critical plan shape: pruned parquet
+scan, star broadcast join, large-large shuffle join, grouped agg, window,
+as-of join, session windows, MinHash-LSH dedup, ANN top-k, KNN predict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "a3_count_distinct",
+    "j2_broadcast_dim_join",
+    "j3_large_large_join",
+    "j9_asof_join",
+    "w4_running_sum",
+    "o3_topk_per_group",
+    "t5_session_window",
+    "f_explode_wordcount",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l3_brute_force_topk",
+    "l4_lang_source_stats",
+    "m2_knn_predict",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warm the JVM + parquet footers once so timings measure the query,
+    # not session bootstrap
+    registry["a2_global_agg"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        # noop sink: executes the FULL plan (count() would let Catalyst
+        # prune projections) without driver materialization
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -115,8 +115,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline (L2): shingle → MinHash → LSH buckets →
     exact-Jaccard verify ≥ threshold. The verify step makes the output
-    exact (hash-checkable) while LSH keeps the candidate set ≈linear."""
-    shingled = shingle_table(df, id_col, text_col, k)
+    exact (hash-checkable) while LSH keeps the candidate set ≈linear.
+
+    The shingle table feeds both the signature pass and the verify pass —
+    persist it so the tokenize+explode work runs once (at corpus scale
+    this is the dominant cost; spill-to-disk keeps it safe)."""
+    shingled = shingle_table(df, id_col, text_col, k).persist()
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     scored = exact_jaccard(cands, shingled)

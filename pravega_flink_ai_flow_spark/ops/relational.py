@@ -24,30 +24,51 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
 def asof_join(left: DataFrame, right: DataFrame, *,
               left_on: str, right_on: str,
               left_time: str, right_time: str,
-              tie_breakers: Sequence[Column] = (),
+              left_id: str | Sequence[str] | None = None,
+              tie_breakers: Sequence[str] = (),
               direction: str = "backward") -> DataFrame:
     """As-of join (SURVEY.md J9): for each left row, the single right row
     with the latest ``right_time`` ≤ ``left_time`` (direction='backward')
     or earliest ≥ (direction='forward') within the same key.
 
     Plan shape: equi-join on the key (shuffle both sides on the key — the
-    scalable part), inequality filter on time, then a per-left-row top-1
-    via row_number. The window partitions by the left row id, so state per
-    group is one row; no global sort. For extremely dense right sides,
-    pre-aggregating right to the last row per (key, left-time-bucket)
-    bounds the join fan-out.
+    scalable part), inequality filter on time, then per-left-row top-1 via
+    ``max_by(struct(right_cols), struct(time, tie_breakers))`` — a hash
+    aggregate with map-side partial combine, so the 1-row-per-left-row
+    reduction happens *before* the shuffle of the joined fan-out. This
+    beats a window (which must sort every candidate group) by a wide
+    margin when right is dense per key.
+
+    ``left_id``: column(s) uniquely identifying a left row (defaults to
+    all left columns). ``tie_breakers``: right column names appended to
+    the ordering struct for determinism.
     """
     lt, rt = F.col(left_time), F.col(right_time)
     cond = (F.col(left_on) == F.col(right_on)) & (
         (rt <= lt) if direction == "backward" else (rt >= lt))
     joined = left.join(right, cond)
-    order = [rt.desc() if direction == "backward" else rt.asc(), *tie_breakers]
-    # partition by a unique left-row identity: all left columns is correct
-    # but wasteful; callers' left keys are (id) columns, so use them.
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
-    return (joined.withColumn("__asof_rn", F.row_number().over(w))
-            .filter(F.col("__asof_rn") == 1)
-            .drop("__asof_rn"))
+
+    if left_id is None:
+        id_cols = list(left.columns)
+    elif isinstance(left_id, str):
+        id_cols = [left_id]
+    else:
+        id_cols = list(left_id)
+    carry = [c for c in left.columns if c not in id_cols]
+    right_cols = list(right.columns)
+
+    order_key = F.struct(rt, *[F.col(c) for c in tie_breakers])
+    if direction == "forward":
+        # min_by == max_by on the negated ordering; use min_by directly
+        pick = F.min_by(F.struct(*[F.col(c) for c in right_cols]), order_key)
+    else:
+        pick = F.max_by(F.struct(*[F.col(c) for c in right_cols]), order_key)
+
+    agg = (joined.groupBy(*[left[c] for c in id_cols])
+           .agg(*[F.first(left[c]).alias(c) for c in carry],
+                pick.alias("__asof_pick")))
+    return agg.select(*id_cols, *carry,
+                      *[F.col(f"__asof_pick.{c}").alias(c) for c in right_cols])
 
 
 def session_windows(df: DataFrame, *, key: str, ts: str,

@@ -34,9 +34,14 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, *,
     """Exact top-k cosine per query. The (small) query set is broadcast
     against the corpus — one pass over the corpus, no corpus shuffle; the
     per-query top-k is a WindowGroupLimit (each partition keeps ≤ k rows
-    per query before the final merge)."""
-    scored = (corpus.join(F.broadcast(queries))
-              .withColumn("cosine", cosine(F.col(query_vec), F.col(corpus_vec))))
+    per query before the final merge). Norms are precomputed per side so
+    each pair costs ONE dot product, not three."""
+    q = queries.withColumn("__qn", _norm(F.col(query_vec)))
+    c = corpus.withColumn("__cn", _norm(F.col(corpus_vec)))
+    scored = (c.join(F.broadcast(q))
+              .withColumn("cosine",
+                          _dot(F.col(query_vec), F.col(corpus_vec))
+                          / (F.col("__qn") * F.col("__cn"))))
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -87,9 +92,13 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     id-ordered self-join + cosine filter. This is the oracle-checkable
     baseline; at corpus scale use ``lsh_bucket_topk``-style hyperplane
     blocking first so the pair count stays near-linear."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = (df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+         .withColumn("__na", _norm(F.col("vec_a"))))
+    b = (df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+         .withColumn("__nb", _norm(F.col("vec_b"))))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (pairs.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+    return (pairs.withColumn("cosine",
+                             _dot(F.col("vec_a"), F.col("vec_b"))
+                             / (F.col("__na") * F.col("__nb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -271,7 +271,8 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, orders,
         left_on="user_id", right_on="o_custkey",
         left_time="ts", right_time="o_orderdate",
-        tie_breakers=[F.col("o_orderkey").desc()],
+        left_id="event_id",
+        tie_breakers=["o_orderkey"],
     )
     return (
         joined.select("event_id", "user_id",

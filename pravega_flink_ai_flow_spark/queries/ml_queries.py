@@ -57,24 +57,27 @@ def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    test = (e.filter(F.col("vec_id") < _SPLIT)
-            .select(F.col("vec_id"), F.col("label").alias("true_label"),
-                    F.col("v").alias("tv")))
-    train = (e.filter(F.col("vec_id") >= _SPLIT)
-             .select(F.col("vec_id").alias("n_id"),
-                     F.col("label").alias("n_label"), F.col("v").alias("nv")))
-
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    # ||t-n||² = t·t − 2 t·n + n·n  (same arithmetic as the oracle so the
-    # double results are bit-comparable)
+    test = (e.filter(F.col("vec_id") < _SPLIT)
+            .select(F.col("vec_id"), F.col("label").alias("true_label"),
+                    F.col("v").alias("tv"))
+            .withColumn("__tt", dot(F.col("tv"), F.col("tv"))))
+    train = (e.filter(F.col("vec_id") >= _SPLIT)
+             .select(F.col("vec_id").alias("n_id"),
+                     F.col("label").alias("n_label"), F.col("v").alias("nv"))
+             .withColumn("__nn", dot(F.col("nv"), F.col("nv"))))
+
+    # ||t-n||² = t·t − 2 t·n + n·n with the self-dots precomputed per side
+    # (pure functions — same doubles as the oracle's inline form), so each
+    # of the |test|×|train| pairs costs ONE dot product
     dists = (train.join(F.broadcast(test))
              .withColumn("dist2",
-                         dot(F.col("tv"), F.col("tv"))
+                         F.col("__tt")
                          - 2 * dot(F.col("tv"), F.col("nv"))
-                         + dot(F.col("nv"), F.col("nv"))))
+                         + F.col("__nn")))
     w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
     nearest = (dists.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= _K))
