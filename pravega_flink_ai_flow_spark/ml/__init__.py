@@ -1,0 +1,6 @@
+from .models import KNNClassifier, load_model, save_model
+from .registry import ModelRegistry, ModelVersionStage, ModelEvent
+from . import ops
+
+__all__ = ["KNNClassifier", "load_model", "save_model",
+           "ModelRegistry", "ModelVersionStage", "ModelEvent", "ops"]

@@ -64,20 +64,37 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
 def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, *,
                     query_id: str = "q_id", corpus_id: str = "c_id",
                     query_vec: str = "q_vec", corpus_vec: str = "c_vec",
-                    k: int = 10, n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join (vectors that
-    agree on all n_planes signs are candidates), exact cosine rerank
-    inside buckets. At scale this replaces the corpus-wide scan per query
-    with a bucket-equi-join — candidates per query drop ~2^n_planes."""
-    def bucket(vec_col: str) -> Column:
-        return F.concat_ws("", *[
-            _hyperplane_sign(F.col(vec_col), p, dim).cast("string")
-            for p in range(n_planes)])
+                    k: int = 10, n_tables: int = 8, n_planes: int = 3,
+                    dim: int = 64) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH. A pair is a
+    candidate if it collides in ANY of ``n_tables`` independent tables of
+    ``n_planes`` sign bits (the standard OR-of-ANDs construction: per-table
+    match P = (1−θ/π)^planes, overall 1−(1−P)^tables — tables buy recall,
+    planes buy selectivity). Candidates get an exact cosine rerank.
 
-    qb = queries.withColumn("bucket", bucket(query_vec))
-    cb = corpus.withColumn("bucket", bucket(corpus_vec))
-    scored = (cb.join(F.broadcast(qb), "bucket")
-              .withColumn("cosine", cosine(F.col(query_vec), F.col(corpus_vec))))
+    At scale the per-query corpus scan becomes an equi-join on
+    (table, bucket): candidate count drops ~2^planes per table."""
+    def table_rows(df: DataFrame, vec_col: str) -> DataFrame:
+        tables = [
+            F.struct(
+                F.lit(t).alias("lsh_table"),
+                F.concat_ws("", *[
+                    _hyperplane_sign(F.col(vec_col), t * n_planes + p, dim)
+                    .cast("string")
+                    for p in range(n_planes)]).alias("bucket"))
+            for t in range(n_tables)]
+        return (df.withColumn("__tb", F.explode(F.array(*tables)))
+                .withColumn("lsh_table", F.col("__tb.lsh_table"))
+                .withColumn("bucket", F.col("__tb.bucket"))
+                .drop("__tb"))
+
+    qb = table_rows(queries, query_vec)
+    cb = table_rows(corpus, corpus_vec)
+    cands = (cb.join(F.broadcast(qb), ["lsh_table", "bucket"])
+             .select(query_id, corpus_id, query_vec, corpus_vec)
+             .dropDuplicates([query_id, corpus_id]))
+    scored = cands.withColumn(
+        "cosine", cosine(F.col(query_vec), F.col(corpus_vec)))
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -78,7 +78,7 @@ def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.lsh_bucket_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, n_planes=4, dim=64)
+        k=_TOP_K, n_tables=8, n_planes=3, dim=64)
     return out.orderBy("q_id", "rank")
 
 

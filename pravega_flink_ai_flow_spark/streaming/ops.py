@@ -1,0 +1,95 @@
+"""Structured Streaming operators (SURVEY.md §2.9, rows T1-T10).
+
+The reference's streaming surface: a stream env (processor.py:36),
+Pravega JSON sink (processor.py:67-90), bounded stream scan
+(``scan.execution.type=batch``, processor.py:108/219). The engine's
+transport is the Pravega-sim stream-dir (io.pravega_sim); this module
+adds the data-plane operators on top.
+
+Scale notes: every op keeps state bounded — watermarks cap window/dedup
+state; ``applyInPandasWithState`` state is per-key and timeout-evicted.
+``trigger(availableNow=True)`` reproduces the reference's bounded
+stream scan exactly: drain what exists, then stop (T10).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts",
+                   delay: str = "10 minutes") -> DataFrame:
+    """T2: late-data bound — state for windows/dedup older than
+    max(event time) − delay is evicted; later rows are dropped (T6)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(df: DataFrame, *aggs, ts_col: str = "ts",
+                        size: str = "1 hour", keys: tuple = ()) -> DataFrame:
+    """T3: non-overlapping event-time windows."""
+    return df.groupBy(F.window(ts_col, size).alias("window"), *keys).agg(*aggs)
+
+
+def sliding_window_agg(df: DataFrame, *aggs, ts_col: str = "ts",
+                       size: str = "1 hour", slide: str = "30 minutes",
+                       keys: tuple = ()) -> DataFrame:
+    """T4: overlapping windows — each row lands in size/slide windows."""
+    return df.groupBy(F.window(ts_col, size, slide).alias("window"), *keys).agg(*aggs)
+
+
+def session_window_agg(df: DataFrame, *aggs, ts_col: str = "ts",
+                       gap: str = "30 minutes", keys: tuple = ()) -> DataFrame:
+    """T5: gap-based session windows (native session_window operator;
+    the batch-SQL equivalent lives in ops.relational.session_windows)."""
+    return df.groupBy(F.session_window(ts_col, gap).alias("window"), *keys).agg(*aggs)
+
+
+def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """T7: streaming exactly-once-per-key dedup; watermark bounds the
+    seen-keys state."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stateful_running_agg(df: DataFrame, key_col: str, value_col: str,
+                         out_schema: str = None,
+                         state_timeout: str = GroupStateTimeout.NoTimeout):
+    """T8: custom per-key stateful processing via applyInPandasWithState —
+    a running (count, sum) per key that survives across micro-batches.
+    State is one row per key; timeout policy controls eviction."""
+    import pandas as pd
+    out_schema = out_schema or f"{key_col} long, n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema,
+                                    "n long, total double",
+                                    "update", state_timeout))
+
+
+def run_available_now(stream_df: DataFrame, sink_fn: Callable = None,
+                      checkpoint: str = None, output_mode: str = "append",
+                      memory_table: str = None):
+    """T9/T10: drain-everything-then-stop execution — the exact semantics
+    of the reference's ``scan.execution.type=batch`` bounded stream scan
+    (processor.py:108). Sink is either foreachBatch (stream-dir / any
+    batch writer) or an in-memory table for test asserts."""
+    writer = stream_df.writeStream.outputMode(output_mode).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if memory_table is not None:
+        q = writer.format("memory").queryName(memory_table).start()
+    else:
+        q = writer.foreachBatch(sink_fn).start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,204 @@
+"""Unit tests for engine operators on tiny literal frames (SURVEY.md §5.1)
+— as-of join edge cases, top-k, session gaps, dedup family, similarity,
+text features, catalog, multimodal plumbing."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from pravega_flink_ai_flow_spark.engine.catalog import Catalog
+from pravega_flink_ai_flow_spark.ops import (
+    dedup, multimodal, relational, similarity, text)
+
+
+def ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+# -- relational -------------------------------------------------------------
+
+def test_asof_join_backward_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts(60)), (2, 10, ts(5)), (3, 99, ts(60))],
+        "id long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, ts(0)), (101, 10, ts(30)), (102, 10, ts(90))],
+        "rid long, rk long, rt timestamp")
+    out = relational.asof_join(
+        left, right, left_on="k", right_on="rk",
+        left_time="t", right_time="rt", left_id="id",
+        tie_breakers=["rid"]).collect()
+    got = {r.id: r.rid for r in out}
+    # id=1 at t=60 → latest rt ≤ 60 is 101; id=2 at t=5 → 100;
+    # id=3 has no matching key → absent (inner as-of)
+    assert got == {1: 101, 2: 100}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, ts(10))], "id long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, ts(0)), (101, 10, ts(30))], "rid long, rk long, rt timestamp")
+    out = relational.asof_join(
+        left, right, left_on="k", right_on="rk",
+        left_time="t", right_time="rt", left_id="id",
+        direction="forward").collect()
+    assert out[0].rid == 101   # earliest at-or-after
+
+
+def test_top_k_per_group_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 1.0), ("b", 4, 9.0)],
+        "g string, id long, v double")
+    out = relational.top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id")], k=2).collect()
+    got = sorted((r.g, r.id) for r in out)
+    assert got == [("a", 1), ("a", 2), ("b", 4)]
+
+
+def test_session_windows_gap_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(29)), (1, ts(60)), (2, ts(0))],
+        "k long, ts timestamp")
+    out = relational.session_windows(df, key="k", ts="ts", gap_seconds=1800).collect()
+    sessions = {(r.k, r.ts.hour * 60 + r.ts.minute): r.session_id for r in out}
+    # 29min gap < 30min keeps one session; 31min gap opens a new one
+    assert sessions[(1, 0)] == sessions[(1, 29)] == 1
+    assert sessions[(1, 60)] == 2
+    assert sessions[(2, 0)] == 1
+
+
+# -- dedup ------------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+    (3, "completely different text with no overlap at all whatsoever here"),
+    (4, "the quick brown fox jumps over the lazy dog today"),    # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in out}
+    assert by_keeper == {1: 2, 2: 1, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_dedup_pairs(_docs(spark), threshold=0.5).collect()
+    got = sorted((r.id_a, r.id_b) for r in pairs)
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_agrees_with_jaccard(spark):
+    pairs = dedup.simhash_near_pairs(_docs(spark), max_hamming=12).collect()
+    got = sorted((r.id_a, r.id_b) for r in pairs)
+    assert (1, 4) in got          # identical text → hamming 0
+    assert all(3 not in p for p in got)
+    exact = {r.id_a for r in pairs if r.hamming == 0}
+    assert exact == {1}
+
+
+def test_shingles_shorter_than_k(spark):
+    df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    out = dedup.shingle_table(df).collect()
+    assert [r.shingle for r in out] == ["two words"]
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_brute_force_topk_exact(spark):
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<double>")
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "c_id long, c_vec array<double>")
+    out = similarity.brute_force_topk(q, c, k=2).collect()
+    ranked = [(r.rank, r.c_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == (1, 1)            # identical direction first
+    assert ranked[1][1] == 3              # 45° second
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    """The approximate path must recover most of the exact top-k
+    (identical-bucket criterion with 4 planes is conservative)."""
+    from pravega_flink_ai_flow_spark.queries import load_all
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
+    approx = {(r.q_id, r.c_id) for r in reg["l3_lsh_topk"].fn(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall   # bucket pruning trades recall for speed
+
+
+# -- text -------------------------------------------------------------------
+
+def test_text_profile_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in a house!")], "doc_id long, text string")
+    row = text.profile(df).collect()[0]
+    assert row.n_tokens == 8
+    assert row.punct_ratio > 0
+    assert 0 <= row.quality <= 1
+    assert row.lang_guess == "en"
+    assert len(row.fingerprint) == 32
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string")
+    rows = df.select(text.fingerprint(F.col("text")).alias("fp")).collect()
+    assert rows[0].fp == rows[1].fp != rows[2].fp
+
+
+# -- catalog ----------------------------------------------------------------
+
+def test_catalog_roundtrip(spark, tmp_workdir):
+    cat = Catalog(os.path.join(tmp_workdir, "catalog.json"))
+    schema = T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("b", T.StringType())])
+    uri = os.path.join(tmp_workdir, "ds")
+    cat.register_dataset("ds1", "json", uri, schema)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+    cat.write(df, "ds1")
+    back = cat.read(spark, "ds1")
+    assert sorted((r.a, r.b) for r in back.collect()) == [(1, "x"), (2, "y")]
+    # persisted: a fresh catalog instance sees the registration
+    cat2 = Catalog(os.path.join(tmp_workdir, "catalog.json"))
+    assert "ds1" in cat2 and cat2.get("ds1").schema == schema
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_feature_extraction(spark):
+    rows = [(1, "image", bytearray(b"payload-one"), (4, 4, None, None, "image/png")),
+            (2, "image", bytearray(b"payload-two"), (8, 8, None, None, "image/png"))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).collect()
+    got = {r.media_id: r for r in out}
+    assert got[1].n_bytes == 11
+    assert len(got[1].feature) == 8
+    assert got[1].content_sha256 != got[2].content_sha256
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in multimodal.extract_features(df).collect()}
+    assert again[1] == got[1].feature
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, "video", bytearray(b"v"), (None, None, None, 25, "video/mp4"))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = [r.frame_idx for r in multimodal.frame_sample_plan(df, every_n=10).collect()]
+    assert frames == [0, 10, 20]

@@ -1,0 +1,156 @@
+"""Streaming tests (SURVEY.md T1-T10): Pravega-sim unbounded source,
+availableNow drain (the reference's bounded stream scan), tumbling and
+session windows with watermarks, streaming dedup, stateful processing,
+late-data handling, and stream-dir sink via foreachBatch.
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from pravega_flink_ai_flow_spark.io.pravega_sim import StreamDir
+from pravega_flink_ai_flow_spark.streaming import ops as st
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _mk_events(spark, rows):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=base + dt.timedelta(minutes=m), user_id=u, value=v)
+         for (i, m, u, v) in rows], SCHEMA)
+
+
+def test_available_now_drains_stream_dir(spark, tmp_workdir):
+    """T1 + T10: unbounded file-stream source over the stream-dir, drained
+    with availableNow — the scan.execution.type=batch semantics."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 5, 1, 2.0)]))
+    stream.append(_mk_events(spark, [(3, 10, 2, 3.0)]))  # second append = new files
+
+    sdf = stream.read_stream(spark)
+    assert sdf.isStreaming
+    st.run_available_now(sdf, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="drained")
+    got = spark.sql("SELECT * FROM drained").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+
+def test_tumbling_window_with_watermark(spark, tmp_workdir):
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [
+        (1, 0, 1, 1.0), (2, 30, 1, 2.0),    # window 00:00
+        (3, 61, 1, 4.0),                     # window 01:00
+    ]))
+    sdf = st.with_watermark(stream.read_stream(spark), "ts", "10 minutes")
+    agg = st.tumbling_window_agg(
+        sdf, F.count("*").alias("n"), F.sum("value").alias("total"),
+        ts_col="ts", size="1 hour")
+    st.run_available_now(agg, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="tumbling", output_mode="complete")
+    got = {r.window.start.isoformat(): (r.n, r.total)
+           for r in spark.sql("SELECT * FROM tumbling").collect()}
+    assert got == {"2024-01-01T00:00:00": (2, 3.0),
+                   "2024-01-01T01:00:00": (1, 4.0)}
+
+
+def test_session_window_stream(spark, tmp_workdir):
+    """T5: native session windows (30-minute gap) in a stream."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [
+        (1, 0, 1, 1.0), (2, 10, 1, 1.0),     # session 1 (gap 10min < 30)
+        (3, 120, 1, 1.0),                     # session 2
+    ]))
+    sdf = st.with_watermark(stream.read_stream(spark), "ts", "10 minutes")
+    agg = st.session_window_agg(sdf, F.count("*").alias("n"),
+                                ts_col="ts", gap="30 minutes", keys=("user_id",))
+    st.run_available_now(agg, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="sessions", output_mode="complete")
+    ns = sorted(r.n for r in spark.sql("SELECT * FROM sessions").collect())
+    assert ns == [1, 2]
+
+
+def test_streaming_dedup(spark, tmp_workdir):
+    """T7: duplicate event_ids across micro-batch files collapse to one."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 1, 1, 2.0)]))
+    stream.append(_mk_events(spark, [(2, 1, 1, 2.0), (3, 2, 2, 3.0)]))  # dup id=2
+    sdf = stream.read_stream(spark)
+    deduped = st.stream_dedup(sdf, ["event_id"], "ts", "1 hour")
+    st.run_available_now(deduped, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="deduped")
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM deduped").collect())
+    assert got == [1, 2, 3]
+
+
+def test_late_data_dropped(spark, tmp_workdir):
+    """T6: a row older than watermark − delay is dropped from append-mode
+    windowed aggregation."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    # first batch advances the watermark far ahead
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 600, 1, 2.0)]))
+    sdf = st.with_watermark(stream.read_stream(spark, max_files_per_trigger=1),
+                            "ts", "10 minutes")
+    agg = st.tumbling_window_agg(sdf, F.count("*").alias("n"),
+                                 ts_col="ts", size="1 hour")
+    ck = os.path.join(tmp_workdir, "ck")
+    emitted = []
+
+    def sink(batch_df, _bid):
+        emitted.extend(batch_df.collect())
+
+    st.run_available_now(agg, sink_fn=sink, checkpoint=ck)
+    first_run = list(emitted)
+    # late event lands in the long-closed 00:00 window
+    stream.append(_mk_events(spark, [(99, 1, 1, 100.0)]))
+    emitted.clear()
+    sdf2 = st.with_watermark(stream.read_stream(spark, max_files_per_trigger=1),
+                             "ts", "10 minutes")
+    agg2 = st.tumbling_window_agg(sdf2, F.count("*").alias("n"),
+                                  ts_col="ts", size="1 hour")
+    st.run_available_now(agg2, sink_fn=sink, checkpoint=ck)  # resumes state
+    # append mode emitted the closed 00:00 window in run 1 with only the
+    # on-time row; the late row in run 2 must not produce a new emission
+    # for the 00:00 window
+    assert all(r.window.start.hour != 0 for r in emitted), (first_run, emitted)
+
+
+def test_stateful_running_agg(spark, tmp_workdir):
+    """T8: applyInPandasWithState keeps per-key running totals across
+    micro-batches (2 files → 2 batches with maxFilesPerTrigger=1)."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 1, 1, 2.0)]))
+    stream.append(_mk_events(spark, [(3, 2, 1, 3.0), (4, 3, 2, 4.0)]))
+    sdf = stream.read_stream(spark, max_files_per_trigger=1)
+    out = st.stateful_running_agg(sdf, "user_id", "value")
+    st.run_available_now(out, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="state", output_mode="update")
+    rows = spark.sql("SELECT * FROM state").collect()
+    # final state for user 1 must be n=3 total=6.0 (accumulated across batches)
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n, r.total)
+    assert last[1] == (3, 6.0)
+    assert last[2] == (1, 4.0)
+
+
+def test_foreach_batch_stream_sink_roundtrip(spark, tmp_workdir):
+    """T9 + S3: streaming writes back into a stream-dir via foreachBatch,
+    readable as a bounded snapshot afterwards."""
+    src = StreamDir(os.path.join(tmp_workdir, "src"), SCHEMA)
+    dst = StreamDir(os.path.join(tmp_workdir, "dst"), SCHEMA)
+    src.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 1, 2, 2.0)]))
+    sdf = src.read_stream(spark)
+    st.run_available_now(sdf, sink_fn=dst.foreach_batch_writer(),
+                         checkpoint=os.path.join(tmp_workdir, "ck"))
+    got = dst.read_bounded(spark).collect()
+    assert sorted(r.event_id for r in got) == [1, 2]
