@@ -61,6 +61,24 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "u3_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+    survey_ids=("U3",),
+)
+def u3_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL — keeps min(multiplicity) occurrences."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b).orderBy("custkey")
+
+
+@declared(
     "u4_except",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

@@ -77,6 +77,23 @@ def stateful_running_agg(df: DataFrame, key_col: str, value_col: str,
                                     "update", state_timeout))
 
 
+def interval_join(left: DataFrame, right: DataFrame, *, key: str,
+                  left_ts: str = "l_ts", right_ts: str = "r_ts",
+                  lookback: str = "5 minutes",
+                  left_watermark: str = "10 minutes",
+                  right_watermark: str = "10 minutes") -> DataFrame:
+    """T10/J10: stream-stream interval join — right events within
+    [left_ts − lookback, left_ts] for the same key. Watermarks on BOTH
+    sides bound the join state (Spark evicts buffered rows older than the
+    watermark minus the interval width)."""
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} BETWEEN "
+        f"l.{left_ts} - interval {lookback} AND l.{left_ts}")
+    return l.alias("l").join(r.alias("r"), cond)
+
+
 def run_available_now(stream_df: DataFrame, sink_fn: Callable = None,
                       checkpoint: str = None, output_mode: str = "append",
                       memory_table: str = None):

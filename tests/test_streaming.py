@@ -143,6 +143,42 @@ def test_stateful_running_agg(spark, tmp_workdir):
     assert last[2] == (1, 4.0)
 
 
+def test_stream_stream_interval_join(spark, tmp_workdir):
+    """T10/J10: clicks joined to impressions within a 5-minute lookback,
+    same user; watermarks on both sides."""
+    imp_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("imp_id", T.LongType()),
+        T.StructField("imp_ts", T.TimestampType()),
+    ])
+    clk_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("clk_id", T.LongType()),
+        T.StructField("clk_ts", T.TimestampType()),
+    ])
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    imps = StreamDir(os.path.join(tmp_workdir, "imps"), imp_schema)
+    clks = StreamDir(os.path.join(tmp_workdir, "clks"), clk_schema)
+    imps.append(spark.createDataFrame(
+        [(1, 100, m(0)), (1, 101, m(20)), (2, 102, m(0))], imp_schema))
+    clks.append(spark.createDataFrame(
+        [(1, 200, m(3)),     # within 5min of imp 100
+         (1, 201, m(21)),    # within 5min of imp 101, not 100
+         (2, 202, m(30))],   # >5min after imp 102 → no match
+        clk_schema))
+    joined = st.interval_join(
+        clks.read_stream(spark), imps.read_stream(spark),
+        key="user_id", left_ts="clk_ts", right_ts="imp_ts",
+        lookback="5 minutes")
+    st.run_available_now(joined, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="attributed")
+    got = sorted((r.clk_id, r.imp_id)
+                 for r in spark.sql("SELECT * FROM attributed").collect())
+    assert got == [(200, 100), (201, 101)]
+
+
 def test_foreach_batch_stream_sink_roundtrip(spark, tmp_workdir):
     """T9 + S3: streaming writes back into a stream-dir via foreachBatch,
     readable as a bounded snapshot afterwards."""
