@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Column, functions as F
 
+from .partitioning import spread
+
 # Mersenne prime 2^31-1: universal-hash modulus. The base hash and the
 # coefficients are all reduced below 2^31 so a*h+b < 2^62 — no signed-64
 # overflow even under ANSI mode (the driver may run these queries in a
@@ -34,26 +36,51 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
     Indexed ``transform`` + ``F.get`` (O(1), null-safe out of bounds even
     under ANSI mode) instead of a per-gram ``slice`` — each gram is k
-    element lookups, not an array copy; ~3× faster at corpus scale."""
+    element lookups, not an array copy.
+
+    The token array is *let-bound* through a single-element
+    ``transform(array(words), ws -> ...)`` so the regex split runs ONCE
+    per row: naively referencing the split expression inside the per-gram
+    lambda re-inlines (and re-evaluates) it for every element — O(n²)
+    regex work per document."""
     words = F.split(F.trim(text), r"\s+")
-    n = F.size(words)
-    grams = F.transform(
-        words,
-        lambda w, i: F.concat_ws(
-            " ", *([w] + [F.get(words, i + j) for j in range(1, k)])))
-    # positions past n-k produce short grams — cut them before distinct;
-    # a doc shorter than k words yields its whole text as one shingle
-    return F.array_distinct(
-        F.when(n >= k, F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1))))
-        .otherwise(F.array(F.concat_ws(" ", words))))
+
+    def gen(ws: Column) -> Column:
+        n = F.size(ws)
+        grams = F.transform(
+            ws,
+            lambda w, i: F.concat_ws(
+                " ", *([w] + [F.get(ws, i + j) for j in range(1, k)])))
+        # positions past n-k produce short grams — cut them before
+        # distinct; a doc shorter than k words yields its whole text as
+        # one shingle
+        return F.array_distinct(
+            F.when(n >= k, F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1))))
+            .otherwise(F.array(F.concat_ws(" ", ws))))
+
+    return F.get(F.transform(F.array(words), gen), 0)
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) exploded table — the shared substrate for MinHash,
-    SimHash and exact-Jaccard verification."""
+    """(id, shingle) exploded table — substrate for the shingle-join
+    (inverted-index) formulations like exact n-gram Jaccard."""
+    df = spread(df)
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(word_shingles(F.col(text_col), k)).alias("shingle")))
+
+
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) — doc-level distinct shingle arrays.
+
+    Keeping shingles as a per-doc array (documents are bounded-size, so the
+    array is too) lets signatures and exact-Jaccard verification run as
+    narrow JVM expressions with ZERO shuffle — at 100 TB the only shuffles
+    left in the near-dup pipeline are the LSH bucket join and the
+    candidate→array lookups."""
+    return df.select(F.col(id_col).alias("id"),
+                     word_shingles(F.col(text_col), k).alias("shingles"))
 
 
 def _perm_hash(base: Column, i: int) -> Column:
@@ -63,11 +90,28 @@ def _perm_hash(base: Column, i: int) -> Column:
 
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per id: num_hashes permutation-min aggregates in
-    ONE groupBy — map-side partial min makes the shuffle O(ids × hashes)."""
+    """MinHash signature per id from the exploded (id, shingle) table:
+    num_hashes permutation-min aggregates in ONE groupBy — map-side partial
+    min makes the shuffle O(ids × hashes)."""
     base = F.pmod(F.xxhash64("shingle"), F.lit(_P))
     aggs = [F.min(_perm_hash(base, i)).alias(f"mh{i}") for i in range(num_hashes)]
     return shingled.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_from_arrays(arrs: DataFrame,
+                                   num_hashes: int = 64) -> DataFrame:
+    """MinHash signature per id computed entirely inside the row — no
+    explode, no groupBy, no shuffle: hash the shingle array once, then each
+    permutation is an ``array_min(transform(...))`` over the hashes.
+    Produces the exact same signatures as :func:`minhash_signatures`."""
+    hashed = arrs.withColumn(
+        "__h", F.transform("shingles",
+                           lambda s: F.pmod(F.xxhash64(s), F.lit(_P))))
+    sig_cols = [
+        F.array_min(F.transform("__h", lambda h: _perm_hash(h, i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select("id", *sig_cols)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
@@ -124,36 +168,45 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     exact-Jaccard verify ≥ threshold. The verify step makes the output
     exact (hash-checkable) while LSH keeps the candidate set ≈linear.
 
-    The shingle table feeds both the signature pass and the verify pass —
-    persist it so the tokenize+explode work runs once (at corpus scale
-    this is the dominant cost; spill-to-disk keeps it safe)."""
-    shingled = shingle_table(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures(shingled, num_hashes)
+    Plan shape (the 100 TB story): signatures are per-row array
+    expressions (zero shuffle); the only shuffles are the LSH band
+    self-join and the two candidate→shingle-array lookups; the verify is
+    ``array_intersect`` inside the row. The shingle arrays are persisted
+    so tokenization runs once for the signature and verify passes."""
+    arrs = shingle_arrays(spread(df), id_col, text_col, k).persist()
+    sigs = minhash_signatures_from_arrays(arrs, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
-    scored = exact_jaccard(cands, shingled)
-    return (scored.filter(F.col("jaccard") >= threshold)
+    sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        n_common /
+                        (F.size("__sa") + F.size("__sb") - n_common))
+            .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3) -> DataFrame:
     """64-bit SimHash per doc: per-shingle xxhash64, sum ±1 per bit
-    position, sign → bit. Pure JVM expressions; one groupBy."""
-    shingled = shingle_table(df, id_col, text_col, k)
-    h = F.xxhash64("shingle")
-    bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        .alias(f"bit{i}")
-        for i in range(64)
-    ]
-    sums = shingled.groupBy("id").agg(*bit_sums)
+    position, sign → bit. Computed per-row over the shingle array (the
+    ±1 sum at bit i is ``2·|{h: bit_i(h)=1}| > n``) — pure JVM
+    expressions, ZERO shuffle."""
+    hashed = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), k),
+                    lambda s: F.xxhash64(s)).alias("__h"))
+    n = F.size("__h")
     sig = None
     for i in range(64):
+        ones = F.size(F.filter(
+            "__h", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
         # shiftleft instead of a 1<<i literal: 1<<63 does not fit a long
-        bit = F.when(F.col(f"bit{i}") > 0,
+        bit = F.when(2 * ones > n,
                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    return sums.select("id", sig.alias("simhash"))
+    return hashed.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -21,6 +21,52 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
             .filter(F.col(rank_col) <= k))
 
 
+def asof_merge(left: DataFrame, right: DataFrame, *,
+               left_on: str, right_on: str,
+               left_time: str, right_time: str,
+               tie_breakers: Sequence[str] = ()) -> DataFrame:
+    """Backward as-of join via the sort-merge formulation: union both
+    sides tagged, sort per key by (time, side, tie_breakers) and carry the
+    last-seen right row forward with ``last(..., ignorenulls)``.
+
+    Cost is ONE shuffle of |L|+|R| rows (vs the join+reduce strategy,
+    whose joined fan-out is |L| × avg-right-rows-per-key) — the right
+    strategy when right is dense per key. Inner semantics: left rows with
+    no right row at-or-before their time are dropped.
+
+    Right rows sort *before* left rows at equal timestamps (`<=` is
+    inclusive); ties among right rows resolve to the max ``tie_breakers``
+    because ascending sort + last-wins.
+    """
+    lcols, rcols = list(left.columns), list(right.columns)
+    l = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(right.select(F.struct(*rcols).alias("s")).schema["s"].dataType).alias("__r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
+          for c in tie_breakers],
+    )
+    r = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias("__l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+        *[F.col(c).alias(f"__tb_{c}") for c in tie_breakers],
+    )
+    w = (Window.partitionBy("__k")
+         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(),
+                  *[F.col(f"__tb_{c}").asc() for c in tie_breakers])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (l.unionByName(r)
+              .withColumn("__carry", F.last("__r", ignorenulls=True).over(w))
+              .filter((F.col("__is_left") == 1) & F.col("__carry").isNotNull()))
+    return merged.select(*[F.col(f"__l.{c}").alias(c) for c in lcols],
+                         *[F.col(f"__carry.{c}").alias(c) for c in rcols])
+
+
 def asof_join(left: DataFrame, right: DataFrame, *,
               left_on: str, right_on: str,
               left_time: str, right_time: str,
@@ -35,9 +81,9 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     scalable part), inequality filter on time, then per-left-row top-1 via
     ``max_by(struct(right_cols), struct(time, tie_breakers))`` — a hash
     aggregate with map-side partial combine, so the 1-row-per-left-row
-    reduction happens *before* the shuffle of the joined fan-out. This
-    beats a window (which must sort every candidate group) by a wide
-    margin when right is dense per key.
+    reduction happens *before* the shuffle of the joined fan-out.
+    See :func:`asof_merge` for the |L|+|R| sort-merge strategy, which wins
+    when right is dense per key.
 
     ``left_id``: column(s) uniquely identifying a left row (defaults to
     all left columns). ``tie_breakers``: right column names appended to

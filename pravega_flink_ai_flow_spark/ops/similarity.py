@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .partitioning import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """JVM-side dot product: zip_with multiply → aggregate sum (doubles)."""
@@ -37,7 +39,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, *,
     per query before the final merge). Norms are precomputed per side so
     each pair costs ONE dot product, not three."""
     q = queries.withColumn("__qn", _norm(F.col(query_vec)))
-    c = corpus.withColumn("__cn", _norm(F.col(corpus_vec)))
+    # the per-pair dot products run on the corpus side's partitioning —
+    # spread a small single-file corpus across the cluster first
+    c = spread(corpus).withColumn("__cn", _norm(F.col(corpus_vec)))
     scored = (c.join(F.broadcast(q))
               .withColumn("cosine",
                           _dot(F.col(query_vec), F.col(corpus_vec))
@@ -89,7 +93,7 @@ def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, *,
                 .drop("__tb"))
 
     qb = table_rows(queries, query_vec)
-    cb = table_rows(corpus, corpus_vec)
+    cb = table_rows(spread(corpus), corpus_vec)
     cands = (cb.join(F.broadcast(qb), ["lsh_table", "bucket"])
              .select(query_id, corpus_id, query_vec, corpus_vec)
              .dropDuplicates([query_id, corpus_id]))
@@ -109,6 +113,7 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     id-ordered self-join + cosine filter. This is the oracle-checkable
     baseline; at corpus scale use ``lsh_bucket_topk``-style hyperplane
     blocking first so the pair count stays near-linear."""
+    df = spread(df)
     a = (df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
          .withColumn("__na", _norm(F.col("vec_a"))))
     b = (df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

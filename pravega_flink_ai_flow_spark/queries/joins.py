@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from . import declared, tables
-from ..ops.relational import asof_join
+from ..ops.relational import asof_join, asof_merge
 
 
 @declared(
@@ -264,14 +264,15 @@ def j8_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order at-or-before the event
-    time for that user. Implemented by ``ops.relational.asof_join``
-    (time-conditioned join + per-left-row top-1)."""
+    time for that user. Implemented by ``ops.relational.asof_merge``
+    (union + sort per user + last-non-null carry): ONE shuffle of
+    |events|+|orders| rows, vs the join+reduce strategy whose fan-out is
+    |events| × orders-per-customer."""
     events, orders = tables(spark, sf_dir, "events", "orders")
-    joined = asof_join(
+    joined = asof_merge(
         events, orders,
         left_on="user_id", right_on="o_custkey",
         left_time="ts", right_time="o_orderdate",
-        left_id="event_id",
         tie_breakers=["o_orderkey"],
     )
     return (

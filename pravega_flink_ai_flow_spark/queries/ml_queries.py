@@ -65,7 +65,10 @@ def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id"), F.col("label").alias("true_label"),
                     F.col("v").alias("tv"))
             .withColumn("__tt", dot(F.col("tv"), F.col("tv"))))
-    train = (e.filter(F.col("vec_id") >= _SPLIT)
+    # the |test|×|train| dot products run on the train side's partitioning
+    # — spread the small single-file table across cores first
+    from ..ops.partitioning import spread
+    train = (spread(e.filter(F.col("vec_id") >= _SPLIT))
              .select(F.col("vec_id").alias("n_id"),
                      F.col("label").alias("n_label"), F.col("v").alias("nv"))
              .withColumn("__nn", dot(F.col("nv"), F.col("nv"))))

@@ -1,0 +1,210 @@
+"""TPC-H-shaped multi-join analytical queries.
+
+The reference embeds the full Flink SQL surface
+(``table_env.execute_sql``, batch_train_batch_predict_processor.py:44) —
+these queries exercise the join-heavy end of that surface the way a real
+deployment would: star joins over the TPC-H-ish driver tables, aggregate
+pushdown, correlated subqueries, top-k.
+
+Scale notes (the plans Catalyst should and does pick — verified with
+``.explain("formatted")``):
+- dimension tables (region/nation/customer/supplier/part) broadcast; the
+  only shuffles are the fact-table aggregations;
+- filters and the column projections push into the parquet scans;
+- q17/q18's per-key aggregate subqueries are planned as partial+final
+  hash aggregates before the join, so shuffle volume is #keys not #rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import declared, tables
+
+
+@declared(
+    "tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    survey_ids=("J1", "J2", "A1", "O2"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority (TPC-H Q3 shape): filtered customer dim broadcast
+    into orders⋈lineitem, grouped revenue, top-10."""
+    customer, orders, lineitem = tables(spark, sf_dir,
+                                        "customer", "orders", "lineitem")
+    cut = F.lit("1997-03-15 00:00:00").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(orders.filter(F.col("o_orderdate") < cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@declared(
+    "tpch_q5",
+    oracle="""
+    SELECT n_name,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    survey_ids=("J1", "J2", "A1"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): six-way join where every
+    dimension side is broadcast — lineitem is never shuffled until the
+    5-row final aggregate."""
+    customer, orders, lineitem, supplier, nation, region = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region")
+    return (
+        lineitem
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")) &
+            (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer),
+              (F.col("o_custkey") == F.col("c_custkey")) &
+              (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@declared(
+    "tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey_ids=("J1", "J2", "A1", "O2"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    lost revenue on returned lineitems."""
+    customer, orders, lineitem, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp")) &
+            (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@declared(
+    "tpch_q17",
+    oracle="""
+    SELECT round(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    survey_ids=("J1", "A1", "A2"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape) — a correlated
+    scalar subquery, expressed as SQL so Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+    join (the scalable plan: per-part averages are a partial+final hash
+    aggregate, never a per-row re-scan)."""
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    lineitem.createOrReplaceTempView("v_lineitem")
+    part.createOrReplaceTempView("v_part")
+    return spark.sql("""
+        SELECT round(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM v_lineitem, v_part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@declared(
+    "tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    survey_ids=("J1", "J5", "A1", "A8", "O2"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): HAVING subquery as a
+    left-semi join against the aggregated keys (threshold 250 fits the
+    driver data's quantity distribution — p99 ≈ 262 at sf0.01)."""
+    customer, orders, lineitem = tables(spark, sf_dir,
+                                        "customer", "orders", "lineitem")
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__sq"))
+           .filter(F.col("__sq") > 250)
+           .select("l_orderkey"))
+    return (
+        lineitem.join(big.withColumnRenamed("l_orderkey", "__bk"),
+                      F.col("l_orderkey") == F.col("__bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
