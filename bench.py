@@ -26,6 +26,9 @@ HEADLINE = [
     "j2_broadcast_dim_join",
     "j3_large_large_join",
     "j9_asof_join",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
     "w4_running_sum",
     "o3_topk_per_group",
     "t5_session_window",

@@ -106,6 +106,49 @@ def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, *,
             .select(query_id, corpus_id, "cosine", "rank"))
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
+             query_id: str = "q_id", corpus_id: str = "c_id",
+             query_vec: str = "q_vec", corpus_vec: str = "c_vec",
+             k: int = 10, centroid_stride: int = 50,
+             nprobe: int = 4) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index, the other
+    standard ANN layout next to LSH: partition the corpus into cells
+    around centroids, probe only the ``nprobe`` nearest cells per query.
+
+    Centroids are a deterministic corpus subsample (every
+    ``centroid_stride``-th id) instead of k-means — same index structure,
+    reproducible without an iterative training job. All steps are
+    DataFrame ops: cell assignment is a broadcast join + per-row min, the
+    probe is an equi-join on cell id — no driver-side collect, so the
+    build scales with the corpus."""
+    cents = (corpus.filter(F.pmod(F.col(corpus_id), F.lit(centroid_stride)) == 0)
+             .select(F.col(corpus_id).alias("cent_id"),
+                     F.col(corpus_vec).alias("cent_vec")))
+
+    def nearest_cells(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
+        scored = (df.join(F.broadcast(cents))
+                  .withColumn("__sim", cosine(F.col(vec), F.col("cent_vec"))))
+        w = Window.partitionBy(*df.columns[:1]).orderBy(
+            F.col("__sim").desc(), F.col("cent_id").asc())
+        return (scored.withColumn("__cr", F.row_number().over(w))
+                .filter(F.col("__cr") <= n)
+                .select(*df.columns, F.col("cent_id").alias(out)))
+
+    # corpus side: each vector lives in exactly its nearest cell
+    assigned = nearest_cells(spread(corpus), corpus_vec, 1, "cell")
+    # query side: probe the nprobe nearest cells
+    probes = nearest_cells(queries, query_vec, nprobe, "cell")
+    cands = (assigned.join(F.broadcast(probes), "cell")
+             .dropDuplicates([query_id, corpus_id]))
+    scored = cands.withColumn(
+        "cosine", cosine(F.col(query_vec), F.col(corpus_vec)))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "cosine", "rank"))
+
+
 def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95) -> DataFrame:

@@ -64,18 +64,68 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + stop_score + wl_score) / 3.0, 6)
 
 
-def language_id(text: Column) -> Column:
-    """Heuristic language ID from stopword hits (SURVEY.md: n-gram
-    heuristic). Real systems use character n-gram profiles; the structure
-    — per-language evidence columns, argmax — is identical."""
-    en = F.array(*[F.lit(s) for s in ["the", "and", "of", "to", "is"]])
-    es = F.array(*[F.lit(s) for s in ["el", "la", "de", "que", "y"]])
+# Per-language marker-token profiles for the language-ID heuristic.
+# Alphabetical language order is the deterministic tie-break.
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "für"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "on"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+    "fr": ["le", "la", "les", "et", "est", "des", "un", "une", "dans", "que"],
+}
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-token hit count per language — the evidence columns behind
+    :func:`language_id` (SURVEY.md: n-gram heuristic; real systems use
+    char n-gram profiles, the argmax structure is identical)."""
     toks = F.transform(tokens(text), lambda t: F.lower(t))
-    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
-    n_es = F.size(F.filter(toks, lambda t: F.array_contains(es, t)))
-    return (F.when(n_en > n_es, "en")
-            .when(n_es > n_en, "es")
-            .otherwise("und"))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """Argmax over the per-language marker scores; ties go to the
+    alphabetically-first language; all-zero → 'und'."""
+    s = language_scores(text)
+    return (F.when((s["de"] == 0) & (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0),
+                   "und")
+            .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+            .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+            .when(s["es"] >= s["fr"], "es")
+            .otherwise("fr"))
+
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space
+# symbol — the shape of a GPT-2-style pre-tokenizer, minus the merges.
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_piece_count(text: Column) -> Column:
+    """Count of BPE-ish pieces (whitespace-token counting's companion —
+    the cheap proxy for LLM token budgets)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_PATTERN), F.lit(0)))
+
+
+_RH_P = (1 << 31) - 1   # Mersenne modulus; values stay < 2^31 → no overflow
+_RH_M = 1000003
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over the token stream (Karp-Rabin shape):
+    H = fold(H * m + v(tok)) mod p, with a per-token value derived from
+    length + first/last code points. Order-sensitive (unlike a bag hash)
+    and pure JVM arithmetic."""
+    toks = tokens(text)
+    def tok_val(t: Column) -> Column:
+        return (131 * F.length(t)
+                + 7 * F.ascii(t)
+                + F.ascii(F.substring(t, -1, 1))).cast("long")
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * _RH_M + tok_val(t), F.lit(_RH_P)))
 
 
 def fingerprint(text: Column) -> Column:

@@ -52,10 +52,12 @@ def load_all() -> dict[str, DeclaredQuery]:
         setops,
         scalar_funcs,
         streaming_batch,
+        tpch,
         llm_dedup,
         llm_similarity,
         llm_text,
         ml_queries,
+        multimodal,
     )
     return REGISTRY
 

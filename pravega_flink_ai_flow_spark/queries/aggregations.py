@@ -252,3 +252,32 @@ def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_orders") >= 8) & (F.col("total_spent") > 100000))
         .orderBy("o_custkey")
     )
+
+
+@declared(
+    "a5_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                          AS n_orders,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    survey_ids=("A5",),
+)
+def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (rollup/cube's general form), via the SQL
+    entry point — one pass, Expand + partial/final aggregate."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*)                          AS n_orders,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """)

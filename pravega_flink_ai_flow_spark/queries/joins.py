@@ -281,3 +281,37 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("o_totalprice").alias("last_totalprice"))
         .orderBy("event_id")
     )
+
+
+@declared(
+    "j10_interval_join_batch",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    survey_ids=("J8", "J10"),
+)
+def j10_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the stream-stream interval join (J10): same-user
+    event pairs within a 5-minute follow window. The equi-key (user_id)
+    carries the shuffle; the time band is a post-join filter — exactly the
+    plan Structured Streaming uses with watermarked state."""
+    (events,) = tables(spark, sf_dir, "events")
+    a = events.select(F.col("user_id"), F.col("ts").alias("ts_a"),
+                      F.col("event_type").alias("type_a"))
+    b = events.select(F.col("user_id"), F.col("ts").alias("ts_b"),
+                      F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, ["user_id"])
+        .filter((F.col("ts_b") > F.col("ts_a")) &
+                (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )

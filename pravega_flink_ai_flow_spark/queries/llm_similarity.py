@@ -83,6 +83,28 @@ def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l3_ivf_topk",
+    oracle=None,  # approximate (cell pruning) — rows-only check
+    survey_ids=("L3",),
+)
+def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-k (the ANN layout next to LSH):
+    deterministic centroid subsample → cell assignment → nprobe-cell
+    probe → exact rerank. pytest asserts recall vs brute force."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    out = similarity.ivf_topk(
+        queries, corpus, query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec",
+        k=_TOP_K, centroid_stride=50, nprobe=4)
+    return out.orderBy("q_id", "rank")
+
+
+@declared(
     "l3_cosine_near_dup",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

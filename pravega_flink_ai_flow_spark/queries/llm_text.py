@@ -92,6 +92,103 @@ def l4_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l4_language_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           s_en
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> list_contains(
+                   ['der','die','das','und','ist','nicht','mit','ein','von','für'], t))) AS s_de,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','and','of','to','is','in','that','it','for','on'], t))) AS s_en,
+               len(list_filter(toks, t -> list_contains(
+                   ['el','la','los','de','que','y','en','un','una','es'], t))) AS s_es,
+               len(list_filter(toks, t -> list_contains(
+                   ['le','la','les','et','est','des','un','une','dans','que'], t))) AS s_fr
+        FROM (SELECT doc_id, lang,
+                     list_transform(
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     t -> t != ''),
+                         t -> lower(t)) AS toks
+              FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token evidence per language, argmax
+    with alphabetical tie-break. (The driver corpus's ``lang`` column is
+    synthetic metadata over a shared vocabulary, so the interesting output
+    is the deterministic classifier itself, not its accuracy.)"""
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", "lang",
+        T.language_id(t).alias("lang_guess"),
+        T.language_scores(t)["en"].alias("s_en"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "l4_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+               AS n_pieces,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))
+               AS INTEGER) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: BPE-ish pre-tokenizer pieces (letter runs
+    | digit runs | symbols) vs whitespace tokens."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.bpe_piece_count(t).alias("n_pieces"),
+        T.token_count(t).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "l4_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t != ''),
+                       t -> CAST(131 * len(t) + 7 * unicode(t[1:1])
+                                 + unicode(t[-1:]) AS BIGINT))),
+               (acc, v) -> (acc * 1000003 + v) % 2147483647) AS rhash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4", "L1"),
+)
+def l4_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Karp-Rabin polynomial rolling
+    hash over the token stream (md5's companion — survives per-token
+    inspection, supports incremental updates)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.rolling_hash(F.col("text")).alias("rhash"),
+    ).orderBy("doc_id")
+
+
+@declared(
     "l4_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 from pravega_flink_ai_flow_spark.engine.catalog import Catalog
 from pravega_flink_ai_flow_spark.ops import (
     dedup, multimodal, relational, similarity, text)
+from pravega_flink_ai_flow_spark.ops import text as text_ops
 
 
 def ts(m):
@@ -202,3 +203,45 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     frames = [r.frame_idx for r in multimodal.frame_sample_plan(df, every_n=10).collect()]
     assert frames == [0, 10, 20]
+
+
+def test_ivf_topk_recall_on_testdata(spark):
+    """IVF cell-probing must recover most of the exact top-k (nprobe=4
+    of ~10 cells covers the near neighborhood for clustered data)."""
+    from pravega_flink_ai_flow_spark.queries import load_all
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
+    approx = {(r.q_id, r.c_id) for r in reg["l3_ivf_topk"].fn(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.h for r in
+           df.select("doc_id", text_ops.rolling_hash(F.col("text")).alias("h")).collect()}
+    assert out[1] == out[3]           # deterministic
+    assert out[1] != out[2]           # order matters (unlike a bag hash)
+    assert all(0 <= v < (1 << 31) - 1 for v in out.values())
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is on that mat"),
+         (2, "der Hund ist nicht mit der Katze und"),
+         (3, "el que la una es los de en"),
+         (4, "xyzzy plugh")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in
+           df.select("doc_id", text_ops.language_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "es" and out[4] == "und"
+
+
+def test_bpe_piece_count(spark):
+    df = spark.createDataFrame([(1, "hello, world42!")], "doc_id long, text string")
+    # pieces: hello , world 42 !  -> 5
+    n = df.select(text_ops.bpe_piece_count(F.col("text")).alias("n")).collect()[0].n
+    assert n == 5
