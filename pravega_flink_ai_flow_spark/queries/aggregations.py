@@ -281,3 +281,31 @@ def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
     """)
+
+
+@declared(
+    "a9_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0) AS DOUBLE) AS F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0) AS DOUBLE) AS O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0) AS DOUBLE) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A1", "P5"),
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): one output column per order status. With
+    the value list given explicitly, Spark plans a single pass — no extra
+    distinct-values job, same two-phase hash aggregate as any groupBy."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    out = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .sum("o_totalprice"))
+    return (out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("double").alias(c)
+          for c in ["F", "O", "P"]])
+        .orderBy("o_orderpriority"))

@@ -115,17 +115,27 @@ def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("L2",),
 )
 def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.5 — shingle-join formulation (pairs
-    sharing zero shingles never materialize, unlike a naive cross join)."""
+    """Exact n-gram Jaccard pairs ≥ 0.5 — inverted-index formulation:
+    candidate pairs come from the shingle self-join (pairs sharing zero
+    shingles never materialize), the Jaccard itself is an in-row
+    ``array_intersect`` over the per-doc shingle arrays (no join fan-out
+    per common shingle, no per-pair aggregation shuffle)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    shingled = dedup.shingle_table(docs, "doc_id", "text", k=3)
+    arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", k=3).persist()
+    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
     pairs = (shingled.alias("a")
              .join(shingled.alias("b"),
                    (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    return (dedup.exact_jaccard(pairs, shingled)
+    sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        n_common /
+                        (F.size("__sa") + F.size("__sb") - n_common))
             .filter(F.col("jaccard") >= 0.5)
             .select("id_a", "id_b", "jaccard")
             .orderBy("id_a", "id_b"))

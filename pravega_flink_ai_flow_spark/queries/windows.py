@@ -171,3 +171,28 @@ def w7_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_val"),
         F.last("value").over(w).alias("last_val"),
     ).orderBy("event_id"))
+
+
+@declared(
+    "w8_percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_ids=("W2",),
+)
+def w8_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank + cume_dist per nation by
+    account balance (ties broken by key for determinism)."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    return (customer.select(
+        "c_custkey", "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        .orderBy("c_custkey"))
