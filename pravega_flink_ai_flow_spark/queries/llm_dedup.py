@@ -139,3 +139,57 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jaccard") >= 0.5)
             .select("id_a", "id_b", "jaccard")
             .orderBy("id_a", "id_b"))
+
+
+@declared(
+    "l2_edit_distance_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    cand AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    )
+    SELECT id_a, id_b,
+           levenshtein(da.text, db.text) AS edit_dist
+    FROM cand
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("L2",),
+)
+def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verify for near-dup candidates: exact Levenshtein
+    distance, computed ONLY on shingle-Jaccard candidates (edit distance
+    is O(len²) per pair — at corpus scale it can never run all-pairs;
+    blocking first is the point)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", k=3).persist()
+    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
+    pairs = (shingled.alias("a")
+             .join(shingled.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    cand = (pairs.join(sa, "id_a").join(sb, "id_b")
+            .filter((n_common /
+                     (F.size("__sa") + F.size("__sb") - n_common)) >= 0.5)
+            .select("id_a", "id_b"))
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("__ta", "__tb").alias("edit_dist"))
+            .orderBy("id_a", "id_b"))

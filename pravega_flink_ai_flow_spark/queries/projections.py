@@ -144,3 +144,24 @@ def p6_rename_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s_acctbal").alias("balance"))
         .orderBy("supplier_id")
     )
+
+
+@declared(
+    "p7_systematic_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 20 = 7
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("P4",),
+)
+def p7_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling (key mod stride) — the
+    reproducible alternative to TABLESAMPLE for cross-engine-checkable
+    pipelines; the predicate pushes into the scan like any filter."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (orders.filter(F.col("o_orderkey") % 20 == 7)
+            .select("o_orderkey", "o_custkey",
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"))
+            .orderBy("o_orderkey"))

@@ -245,3 +245,25 @@ def test_bpe_piece_count(spark):
     # pieces: hello , world 42 !  -> 5
     n = df.select(text_ops.bpe_piece_count(F.col("text")).alias("n")).collect()[0].n
     assert n == 5
+
+
+def test_asof_merge_equals_maxby_strategy(spark):
+    """Both as-of strategies (join+max_by vs union+sort-merge) must agree,
+    including the inclusive-≤ boundary and max-tiebreaker-at-equal-time
+    rule."""
+    import random
+    rng = random.Random(7)
+    left = [(i, rng.randint(0, 5), ts(rng.randint(0, 120))) for i in range(60)]
+    right = [(j, rng.randint(0, 5), ts(rng.choice([0, 30, 30, 60, 90])), j * 1.5)
+             for j in range(40)]
+    l = spark.createDataFrame(left, "event_id long, k long, t timestamp")
+    r = spark.createDataFrame(right, "order_id long, k2 long, t2 timestamp, amt double")
+    a = relational.asof_join(
+        l, r, left_on="k", right_on="k2", left_time="t", right_time="t2",
+        left_id="event_id", tie_breakers=["order_id"])
+    b = relational.asof_merge(
+        l, r, left_on="k", right_on="k2", left_time="t", right_time="t2",
+        tie_breakers=["order_id"])
+    rows_a = {(x.event_id, x.order_id) for x in a.collect()}
+    rows_b = {(x.event_id, x.order_id) for x in b.collect()}
+    assert rows_a == rows_b and len(rows_a) > 0
