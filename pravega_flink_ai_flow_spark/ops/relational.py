@@ -21,6 +21,31 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
             .filter(F.col(rank_col) <= k))
 
 
+def salted_join(left: DataFrame, right: DataFrame, *,
+                left_on: str, right_on: str, how: str = "inner",
+                salt: int = 8, salt_source: str | None = None) -> DataFrame:
+    """Equi-join with explicit key salting for skewed keys: the left
+    (large, skewed) side gets a deterministic salt in [0, salt) derived
+    from ``salt_source`` (any well-distributed left column; defaults to
+    the whole row hash), the right side is replicated ``salt`` times, and
+    the join runs on (key, salt) — splitting each hot key's rows across
+    ``salt`` reducers instead of one straggler.
+
+    Result is row-identical to the unsalted join (replication only
+    multiplies the *matching opportunity*, each left row still matches
+    its right rows exactly once). AQE's skew-join splitting does this
+    adaptively; the explicit form is for engines/paths where AQE can't
+    see the skew (e.g. streaming state, pre-partitioned writes)."""
+    src = (F.xxhash64(*[F.col(c) for c in left.columns])
+           if salt_source is None else F.xxhash64(F.col(salt_source)))
+    l = left.withColumn("__salt", F.pmod(src, F.lit(salt)).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = l.join(r, (l[left_on] == r[right_on]) & (l["__salt"] == r["__salt"]),
+                 how)
+    return out.drop("__salt")
+
+
 def asof_merge(left: DataFrame, right: DataFrame, *,
                left_on: str, right_on: str,
                left_time: str, right_time: str,

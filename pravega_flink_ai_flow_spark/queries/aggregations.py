@@ -309,3 +309,79 @@ def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(c), F.lit(0)).cast("double").alias(c)
           for c in ["F", "O", "P"]])
         .orderBy("o_orderpriority"))
+
+
+@declared(
+    "a10_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, charge, amount
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               CAST(l_discount AS DOUBLE)      AS discount,
+               CAST(l_tax AS DOUBLE)           AS tax
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (amount FOR charge IN (price, discount, tax))
+    ORDER BY l_orderkey, l_linenumber, charge
+    """,
+    survey_ids=("P5", "A1"),
+)
+def a10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (long-form melt) via ``stack`` — the inverse of a9_pivot;
+    a narrow per-row expansion, no shuffle."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_orderkey") < 100)
+            .select("l_orderkey", "l_linenumber",
+                    F.expr("stack(3, 'price', CAST(l_extendedprice AS DOUBLE),"
+                           " 'discount', CAST(l_discount AS DOUBLE),"
+                           " 'tax', CAST(l_tax AS DOUBLE)) AS (charge, amount)"))
+            .orderBy("l_orderkey", "l_linenumber", "charge"))
+
+
+@declared(
+    "a11_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    survey_ids=("A6",),
+)
+def a11_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — collect_list is unordered by design,
+    so determinism comes from array_sort before the join."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    return (nation.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations"))
+            .orderBy("n_regionkey"))
+
+
+@declared(
+    "a12_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ids=("A7",),
+)
+def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr/covar/regression slope) — single-pass
+    partial+final aggregation like any sum."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_covar"),
+                 F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+                 .alias("price_per_qty"))
+            .orderBy("l_returnflag"))

@@ -315,3 +315,32 @@ def j10_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("type_a", "type_b")
     )
+
+
+@declared(
+    "j11_salted_skew_join",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*)                          AS n_events,
+           CAST(SUM(c.c_acctbal) AS DOUBLE)  AS sum_acctbal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    survey_ids=("J1",),
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted equi-join (the skew pattern): the fact side's hot
+    keys are split across 8 salts, the dimension side replicated 8×, the
+    join runs on (key, salt) — row-identical to the plain join the oracle
+    computes, but no single reducer owns a hot key. See
+    ``ops.relational.salted_join``."""
+    from ..ops.relational import salted_join
+    events, customer = tables(spark, sf_dir, "events", "customer")
+    joined = salted_join(events, customer,
+                         left_on="user_id", right_on="c_custkey",
+                         salt=8, salt_source="event_id")
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("c_acctbal").cast("double").alias("sum_acctbal"))
+            .orderBy("event_type"))

@@ -155,3 +155,23 @@ def s9_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (region,) = tables(spark, sf_dir, "region")
     pdf = batch.to_pandas(region.orderBy("r_regionkey"))
     return spark.createDataFrame(pdf).orderBy("r_regionkey")
+
+
+@declared(
+    "s10_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+    survey_ids=("S7",),
+)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip (the other columnar at-rest format);
+    verified against the oracle reading the original parquet — a type
+    mapping or null-handling bug in either direction breaks the hash."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    path = _tmpdir("orc_roundtrip")
+    nation.write.mode("overwrite").orc(path)
+    return (spark.read.orc(path)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey"))

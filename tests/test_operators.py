@@ -267,3 +267,48 @@ def test_asof_merge_equals_maxby_strategy(spark):
     rows_a = {(x.event_id, x.order_id) for x in a.collect()}
     rows_b = {(x.event_id, x.order_id) for x in b.collect()}
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    import random
+    rng = random.Random(3)
+    # skewed: 80% of left rows hit key 0
+    left = [(i, 0 if rng.random() < 0.8 else rng.randint(1, 4)) for i in range(200)]
+    right = [(k, f"dim{k}") for k in range(5)]
+    l = spark.createDataFrame(left, "row_id long, k long")
+    r = spark.createDataFrame(right, "rk long, name string")
+    plain = {(x.row_id, x.name) for x in
+             l.join(r, l.k == r.rk).select("row_id", "name").collect()}
+    salted = {(x.row_id, x.name) for x in
+              relational.salted_join(l, r, left_on="k", right_on="rk",
+                                     salt=8, salt_source="row_id")
+              .select("row_id", "name").collect()}
+    assert salted == plain and len(plain) == 200
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_workdir):
+    """Bucketing both sides on the join key co-locates them at write time:
+    the join plan must contain NO Exchange — the 100 TB answer to
+    repeated large-large joins on the same key."""
+    import uuid
+    suffix = uuid.uuid4().hex[:8]
+    a, b = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    # autoBucketedScan may drop bucketed layout when it guesses no
+    # benefit; pin it for the assertion
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(a)
+        df.withColumn("w", F.col("id") + 1).write.bucketBy(8, "id") \
+          .sortBy("id").mode("overwrite").saveAsTable(b)
+        joined = spark.table(a).join(spark.table(b), "id")
+        assert joined.count() == 10000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both scans read bucketed layout; the join needs NO shuffle on id
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange hashpartitioning(id" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
