@@ -149,6 +149,71 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
             .select(query_id, corpus_id, "cosine", "rank"))
 
 
+def cosine_near_dup_pairs_blocked(df: DataFrame, *, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  threshold: float = 0.95,
+                                  n_blocks: int = 8) -> DataFrame:
+    """All-pairs cosine ≥ threshold via blocked GEMM — the scalable exact
+    formulation: split the corpus into ``n_blocks`` deterministic blocks,
+    ship each unordered block pair (i ≤ j) to one ``applyInPandas`` group,
+    and compute the block×block similarity as ONE numpy matrix multiply
+    over L2-normalized float64 rows.
+
+    Shuffle volume is corpus × (n_blocks+1)/2 rows (each row joins every
+    partner block) — tune n_blocks ≈ √cluster-parallelism; per-task
+    memory is 2 blocks of vectors, independent of corpus size. Versus the
+    row-at-a-time self-join this replaces |corpus|²/2 interpreted
+    higher-order-function dot products with dense BLAS.
+
+    Numerics: float64 matmul can differ from a sequential fold in the
+    last ulp — equal under any ≥1e-9 tolerance (pytest-checked against
+    :func:`cosine_near_dup_pairs`); use the fold version when bit-exact
+    SQL parity matters."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+                  F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"))
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int")
+    # a row participates in pair (ba, bb) if its block matches either side
+    tagged = e.join(F.broadcast(block_pairs),
+                    (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def gemm(key, pdf: pd.DataFrame):
+        ba, bb = key
+        va = pdf[pdf["blk"] == ba]
+        vb = pdf[pdf["blk"] == bb]
+        if len(va) == 0 or len(vb) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        A = np.stack(va["vec"].to_numpy()).astype(np.float64)
+        B = np.stack(vb["vec"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        sims = A @ B.T
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a = va["vid"].to_numpy()[ia]
+        id_b = vb["vid"].to_numpy()[ib]
+        cos = sims[ia, ib]
+        if ba == bb:
+            # each unordered pair appears as (u,v) AND (v,u): keep one
+            keep = id_a < id_b
+            id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        else:
+            # appears once — orient to (lo, hi)
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    return (tagged.groupBy("ba", "bb")
+            .applyInPandas(gemm, out_schema))
+
+
 def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95) -> DataFrame:

@@ -312,3 +312,21 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_workdir):
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_blocked_gemm_near_dup_matches_exact(spark):
+    """The blocked-GEMM all-pairs path must find the same pairs with the
+    same cosines (1e-9 tolerance — BLAS vs fold summation) as the
+    row-at-a-time exact baseline."""
+    from pravega_flink_ai_flow_spark.queries import tables
+    (emb,) = tables(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in similarity.cosine_near_dup_pairs(
+                 emb, id_col="vec_id", vec_col="embedding", threshold=0.4).collect()}
+    blocked = {(r.id_a, r.id_b): r.cosine
+               for r in similarity.cosine_near_dup_pairs_blocked(
+                   emb, id_col="vec_id", vec_col="embedding",
+                   threshold=0.4, n_blocks=4).collect()}
+    assert set(exact) == set(blocked)
+    assert len(exact) > 0
+    assert all(abs(exact[k] - blocked[k]) < 1e-9 for k in exact)

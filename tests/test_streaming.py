@@ -190,3 +190,20 @@ def test_foreach_batch_stream_sink_roundtrip(spark, tmp_workdir):
                          checkpoint=os.path.join(tmp_workdir, "ck"))
     got = dst.read_bounded(spark).collect()
     assert sorted(r.event_id for r in got) == [1, 2]
+
+
+def test_sliding_window_stream(spark, tmp_workdir):
+    """T4: sliding windows — each event lands in size/slide overlapping
+    windows."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 30, 1, 2.0)]))   # 00:30
+    sdf = st.with_watermark(stream.read_stream(spark), "ts", "10 minutes")
+    agg = st.sliding_window_agg(
+        sdf, F.count("*").alias("n"), ts_col="ts",
+        size="1 hour", slide="30 minutes")
+    st.run_available_now(agg, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="sliding", output_mode="complete")
+    starts = sorted(r.window.start.isoformat()
+                    for r in spark.sql("SELECT * FROM sliding").collect())
+    # event at 00:30 belongs to windows starting 00:00 and 00:30
+    assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:30:00"]
