@@ -330,3 +330,19 @@ def test_blocked_gemm_near_dup_matches_exact(spark):
     assert set(exact) == set(blocked)
     assert len(exact) > 0
     assert all(abs(exact[k] - blocked[k]) < 1e-9 for k in exact)
+
+
+def test_csv_drop_malformed_rows(spark, tmp_workdir):
+    """S1 parity with the reference's csv.ignore-parse-errors=true
+    (processor.py:55): malformed rows are dropped, not fatal."""
+    from pravega_flink_ai_flow_spark.io import batch
+    path = os.path.join(tmp_workdir, "bad.csv")
+    with open(path, "w") as f:
+        f.write("1.0,2.0,3.0,4.0,0\n")
+        f.write("not,a,valid,row,oops\n")     # malformed → dropped
+        f.write("5.0,6.0,7.0,8.0,1\n")
+    schema = T.StructType([T.StructField(c, T.DoubleType())
+                           for c in ["sl", "sw", "pl", "pw", "type"]])
+    out = batch.read_csv(spark, path, schema, ignore_parse_errors=True).collect()
+    assert len(out) == 2
+    assert sorted(r.type for r in out) == [0.0, 1.0]
