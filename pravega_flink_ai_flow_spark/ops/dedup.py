@@ -83,55 +83,45 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
                      word_shingles(F.col(text_col), k).alias("shingles"))
 
 
-def _perm_hash(base: Column, i: int) -> Column:
-    # ((a*h + b) mod P) over the 31-bit-reduced base; pmod keeps it
-    # non-negative.
-    return F.pmod(_A[i] * base + _B[i], F.lit(_P))
-
-
-def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per id from the exploded (id, shingle) table:
-    num_hashes permutation-min aggregates in ONE groupBy — map-side partial
-    min makes the shuffle O(ids × hashes)."""
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_P))
-    aggs = [F.min(_perm_hash(base, i)).alias(f"mh{i}") for i in range(num_hashes)]
-    return shingled.groupBy("id").agg(*aggs)
-
-
 def minhash_signatures_from_arrays(arrs: DataFrame,
                                    num_hashes: int = 64) -> DataFrame:
     """MinHash signature per id computed entirely inside the row — no
-    explode, no groupBy, no shuffle: hash the shingle array once, then each
-    permutation is an ``array_min(transform(...))`` over the hashes.
-    Produces the exact same signatures as :func:`minhash_signatures`."""
-    hashed = arrs.withColumn(
-        "__h", F.transform("shingles",
-                           lambda s: F.pmod(F.xxhash64(s), F.lit(_P))))
-    sig_cols = [
-        F.array_min(F.transform("__h", lambda h: _perm_hash(h, i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.select("id", *sig_cols)
+    explode, no groupBy, no shuffle: hash the shingle array once, then
+    every permutation-min comes out of ONE nested higher-order expression
+    producing an ``array<long>`` signature column.
+
+    One expression instead of ``num_hashes`` separate ``array_min``
+    columns matters: 64 wide expressions generate megabytes of
+    whole-stage-codegen source whose first-run janino compile costs
+    seconds; the array form is a few hundred bytes of code regardless of
+    ``num_hashes`` (the coefficient arrays constant-fold to literals)."""
+    a_lit = F.array(*[F.lit(a) for a in _A[:num_hashes]])
+    b_lit = F.array(*[F.lit(b) for b in _B[:num_hashes]])
+    hashes = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    # let-bind the hash array: referencing it directly inside the per-
+    # permutation lambda would re-inline (re-hash) it per permutation
+    sig = F.get(F.transform(F.array(hashes), lambda hs: F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            hs, lambda h: F.pmod(F.get(a_lit, i) * h + F.get(b_lit, i),
+                                 F.lit(_P)))))), 0)
+    return arrs.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
                         bands: int = 16) -> DataFrame:
-    """Band the signature (bands × rows-per-band = num_hashes), bucket by
-    band hash, emit candidate pairs from co-bucketed ids. The self-join
-    happens per (band, bucket) group — tiny — never across the corpus."""
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        .alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_sig"))
-            for b in range(bands)])).alias("bb"))
-    stacked = stacked.select("id", "bb.band_id", "bb.band_sig")
+    """Band the ``sig`` array (bands × rows-per-band = num_hashes), bucket
+    by the band-slice hash, emit candidate pairs from co-bucketed ids.
+    The self-join happens per (band, bucket) group — tiny — never across
+    the corpus."""
+    rpb = num_hashes // bands
+    banded = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(F.slice("sig", b * rpb + 1, rpb)).alias("band_sig")))
+    stacked = (signatures.select("id", F.explode(banded).alias("bb"))
+               .select("id", "bb.band_id", "bb.band_sig"))
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
