@@ -385,3 +385,23 @@ def a12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
                  .alias("price_per_qty"))
             .orderBy("l_returnflag"))
+
+
+@declared(
+    "a13_approx_percentile",
+    oracle=None,  # sketch-based (GK/KLL) — tolerance-checked in pytest,
+                  # rows-only here (SURVEY.md A4 policy for approx ops)
+    survey_ids=("A4", "A7"),
+)
+def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (percentile_approx) — the mergeable-summary path that replaces exact
+    percentile's full sort at 100 TB; accuracy bound set by the third
+    argument (10000 → ~0.01% rank error)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+                 .alias("price_quantiles"),
+                 F.approx_count_distinct("l_partkey", 0.02)
+                 .alias("approx_parts"))
+            .orderBy("l_returnflag"))

@@ -346,3 +346,20 @@ def test_csv_drop_malformed_rows(spark, tmp_workdir):
     out = batch.read_csv(spark, path, schema, ignore_parse_errors=True).collect()
     assert len(out) == 2
     assert sorted(r.type for r in out) == [0.0, 1.0]
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """Sketch quantiles must land within 1% of exact on the test data."""
+    from pravega_flink_ai_flow_spark.queries import load_all, tables
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r.price_quantiles
+              for r in reg["a13_approx_percentile"].fn(spark, sf).collect()}
+    (li,) = tables(spark, sf, "lineitem")
+    exact = {r.l_returnflag: r.q for r in
+             li.groupBy("l_returnflag")
+               .agg(F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"))
+               .collect()}
+    for flag, qs in exact.items():
+        for a, e in zip(approx[flag], qs):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
