@@ -204,3 +204,48 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.fingerprint(F.col("text")).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "l4_quality_filter",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS DOUBLE) AS n_tok,
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS len_score,
+               least((CAST(len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'for','on','with','as','at','by','be','this','that','are'],
+                   lower(t)))) AS DOUBLE) / greatest(len(toks), 1)) * 4.0,
+                   1.0) AS stop_score,
+               CASE WHEN (CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                          / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END AS wl_score
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, lang,
+           round((len_score + stop_score + wl_score) / 3.0, 6) AS quality
+    FROM f
+    WHERE round((len_score + stop_score + wl_score) / 3.0, 6) >= 0.6
+      AND n_tok BETWEEN 20 AND 1000
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4", "P4"),
+)
+def l4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data keep/drop gate: composite quality
+    score (length, stopword, word-length components) + token bounds,
+    applied as a pure JVM filter — the cheap pre-filter that runs before
+    any model-based scoring at corpus scale."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (docs.select("doc_id", "lang",
+                        T.quality_score(t).alias("quality"),
+                        T.token_count(t).cast("double").alias("__n_tok"))
+            .filter((F.col("quality") >= 0.6) &
+                    F.col("__n_tok").between(20, 1000))
+            .select("doc_id", "lang", "quality")
+            .orderBy("doc_id"))

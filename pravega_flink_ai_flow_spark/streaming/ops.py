@@ -110,3 +110,79 @@ def run_available_now(stream_df: DataFrame, sink_fn: Callable = None,
         q = writer.foreachBatch(sink_fn).start()
     q.awaitTermination()
     return q
+
+
+def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
+                         checkpoint: str, id_col: str = "doc_id",
+                         text_col: str = "text", out_table: str = None,
+                         num_hashes: int = 64, bands: int = 16,
+                         threshold: float = 0.7):
+    """Streaming near-duplicate suppression (T7 × L2): per micro-batch,
+    MinHash-sign the new documents, LSH-join them against the accumulated
+    signature store, drop docs whose near-dup (verified Jaccard ≥
+    threshold) already arrived, append survivors' signatures+shingles to
+    the store.
+
+    The store is a parquet table of (id, shingles, sig) — at scale,
+    partition it by a band hash so the per-batch candidate join prunes to
+    matching buckets; state never lives in executor memory. Within-batch
+    dups resolve to the smallest id (deterministic). Runs with
+    ``availableNow`` for the bounded-drain semantics the reference uses
+    (processor.py:108).
+    """
+    import os
+    from ..ops import dedup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        arrs = dedup.shingle_arrays(dedup.spread(batch_df), id_col, text_col)
+        sigs = dedup.minhash_signatures_from_arrays(arrs, num_hashes)
+        new = (arrs.join(sigs, "id")
+               .select("id", "shingles", "sig").persist())
+
+        store_exists = os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir))
+        tagged_new = new.withColumn("__old", F.lit(False))
+        if store_exists:
+            old = (spark.read.parquet(store_dir)
+                   .withColumn("__old", F.lit(True)))
+            frame = tagged_new.unionByName(old)
+        else:
+            frame = tagged_new
+        cands = dedup.lsh_candidate_pairs(frame.select("id", "sig"),
+                                          num_hashes, bands)
+        sa = frame.select(F.col("id").alias("id_a"),
+                          F.col("shingles").alias("__sa"),
+                          F.col("__old").alias("__oa"))
+        sb = frame.select(F.col("id").alias("id_b"),
+                          F.col("shingles").alias("__sb"),
+                          F.col("__old").alias("__ob"))
+        n_common = F.size(F.array_intersect("__sa", "__sb"))
+        verified = (cands.join(sa, "id_a").join(sb, "id_b")
+                    .withColumn("j", n_common /
+                                (F.size("__sa") + F.size("__sb") - n_common))
+                    .filter(F.col("j") >= threshold))
+        # arrival order wins: a NEW doc paired with an OLD doc is the dup
+        # regardless of ids; between two new docs the larger id loses
+        # (cands guarantee id_a < id_b)
+        dup_ids = (verified.select(
+            F.when(F.col("__oa") & ~F.col("__ob"), F.col("id_b"))
+             .when(~F.col("__oa") & F.col("__ob"), F.col("id_a"))
+             .when(~F.col("__oa") & ~F.col("__ob"), F.col("id_b"))
+             .alias("id"))
+            .filter(F.col("id").isNotNull())
+            .distinct())
+        survivors = new.join(dup_ids, "id", "left_anti")
+        survivors.select("id", "shingles", "sig") \
+            .write.mode("append").parquet(store_dir)
+        if out_table is not None:
+            kept = batch_df.join(
+                survivors.select(F.col("id").alias(id_col)), id_col, "left_semi")
+            kept.write.mode("append").saveAsTable(out_table)
+        new.unpersist()
+
+    return (stream_df.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

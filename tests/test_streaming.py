@@ -207,3 +207,35 @@ def test_sliding_window_stream(spark, tmp_workdir):
                     for r in spark.sql("SELECT * FROM sliding").collect())
     # event at 00:30 belongs to windows starting 00:00 and 00:30
     assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:30:00"]
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
+    """T7 × L2: near-dup suppression against the accumulated signature
+    store — a doc arriving in a later drain that is a near-dup of an
+    earlier doc is dropped; novel docs survive."""
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    def drain(ck):
+        q = st.streaming_near_dedup(
+            stream.read_stream(spark), store_dir=store,
+            checkpoint=os.path.join(tmp_workdir, ck),
+            threshold=0.5)
+        q.awaitTermination()
+
+    d1 = "the quick brown fox jumps over the lazy dog in the bright morning"
+    stream.append(spark.createDataFrame([(1, d1)], doc_schema))
+    drain("ck")
+    # same checkpoint → second run processes only the new files
+    stream.append(spark.createDataFrame(
+        [(2, d1.replace("morning", "evening")),            # near-dup of 1
+         (3, "completely unrelated text about query engines and shuffles here")],
+        doc_schema))
+    drain("ck")
+
+    kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert kept == {1, 3}
