@@ -26,6 +26,11 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 
 def _tmpdir(prefix: str) -> str:
     os.makedirs(_SCRATCH, exist_ok=True)
+    # drop leftovers from previous runs of the same query so repeated
+    # harness invocations don't accumulate scratch dirs
+    for old in os.listdir(_SCRATCH):
+        if old.startswith(prefix):
+            shutil.rmtree(os.path.join(_SCRATCH, old), ignore_errors=True)
     path = tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH)
     shutil.rmtree(path)  # Spark writers want to create the dir themselves
     return path
