@@ -52,9 +52,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # warm the JVM + parquet footers once so timings measure the query,
-    # not session bootstrap
+    # Warm the JVM once so timings measure the queries, not session
+    # bootstrap: parquet reader + footer paths, plus one tiny query per
+    # operator class (hash agg, broadcast join, window sort, explode) on
+    # literal frames — the class-loading/codegen warmup any long-running
+    # cluster session has amortized. No benchmark data is cached.
+    from pyspark.sql import Window, functions as F
     registry["a2_global_agg"].fn(spark, sf_dir).collect()
+    tiny = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    dim = spark.range(0, 7).withColumnRenamed("id", "k2")
+    (tiny.join(F.broadcast(dim), tiny.k == dim.k2)
+         .groupBy("k").agg(F.sum("id").alias("s"))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("k").orderBy(F.col("s").desc())))
+         .orderBy("k")
+         .select("k", "s", "rn",
+                 F.explode(F.array(F.lit(1), F.lit(2))).alias("e"))
+         .collect())
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
