@@ -35,7 +35,15 @@ def salted_join(left: DataFrame, right: DataFrame, *,
     multiplies the *matching opportunity*, each left row still matches
     its right rows exactly once). AQE's skew-join splitting does this
     adaptively; the explicit form is for engines/paths where AQE can't
-    see the skew (e.g. streaming state, pre-partitioned writes)."""
+    see the skew (e.g. streaming state, pre-partitioned writes).
+
+    Only inner/left shapes are valid: an unmatched right row would
+    surface ``salt`` times under right/full outer."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(f"salted_join cannot preserve '{how}' semantics: "
+                         "the replicated right side would emit unmatched "
+                         "right rows once per salt")
     src = (F.xxhash64(*[F.col(c) for c in left.columns])
            if salt_source is None else F.xxhash64(F.col(salt_source)))
     l = left.withColumn("__salt", F.pmod(src, F.lit(salt)).cast("int"))

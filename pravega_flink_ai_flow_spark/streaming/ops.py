@@ -126,9 +126,16 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     The store is a parquet table of (id, shingles, sig) — at scale,
     partition it by a band hash so the per-batch candidate join prunes to
     matching buckets; state never lives in executor memory. Within-batch
-    dups resolve to the smallest id (deterministic). Runs with
-    ``availableNow`` for the bounded-drain semantics the reference uses
-    (processor.py:108).
+    dups resolve to the smallest id (deterministic); a new doc paired
+    with a stored doc always loses regardless of id (arrival order
+    wins). Runs with ``availableNow`` for the bounded-drain semantics
+    the reference uses (processor.py:108).
+
+    Store writes are at-least-once: a batch retried after the parquet
+    append but before the checkpoint commit re-appends its survivors —
+    harmless for suppression (duplicate signatures only add candidates
+    that verify against themselves) but dedupe the store by id before
+    using it as an output corpus.
     """
     import os
     from ..ops import dedup
