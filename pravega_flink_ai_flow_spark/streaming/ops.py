@@ -193,3 +193,45 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def incremental_rollup(stream_df: DataFrame, *, out_dir: str,
+                       checkpoint: str, ts_col: str = "ts",
+                       bucket: str = "1 hour", keys: list[str] = None):
+    """Incremental materialized rollup (continuous-aggregate pattern):
+    each micro-batch appends PARTIAL aggregates — (bucket, keys) →
+    (count, sum) — to a parquet partial-store; readers merge partials
+    with a second aggregation (:func:`read_rollup`).
+
+    Mergeability is the scale property: refresh cost is O(batch), never
+    O(history); the store can be compacted by the same merge at any
+    time. This is the hypertable/materialized-view answer to "aggregate
+    100 TB of events continuously" — the final merge touches partial
+    rows (buckets × keys × batches), not events."""
+    keys = keys or []
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df
+         .groupBy(F.window(F.col(ts_col), bucket).alias("w"), *keys)
+         .agg(F.count("*").alias("partial_n"),
+              F.sum("value").alias("partial_sum"))
+         .select(F.col("w.start").alias("bucket_start"), *keys,
+                 "partial_n", "partial_sum")
+         .write.mode("append").parquet(out_dir))
+
+    return (stream_df.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_rollup(spark, out_dir: str, keys: list[str] = None) -> DataFrame:
+    """Merge the partial-store into final aggregates (sum of partial
+    counts/sums — the mergeable half of avg/count/sum)."""
+    keys = keys or []
+    return (spark.read.parquet(out_dir)
+            .groupBy("bucket_start", *keys)
+            .agg(F.sum("partial_n").alias("n"),
+                 F.sum("partial_sum").alias("total"),
+                 (F.sum("partial_sum") / F.sum("partial_n")).alias("mean")))

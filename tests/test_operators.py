@@ -363,3 +363,23 @@ def test_approx_percentile_within_tolerance(spark):
     for flag, qs in exact.items():
         for a, e in zip(approx[flag], qs):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_workdir):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune at planning time (PartitionFilters), reading only the
+    matching directories — the at-rest layout that makes time-range scans
+    over 100 TB touch one day, not the archive."""
+    import datetime as dt
+    path = os.path.join(tmp_workdir, "part_events")
+    rows = [(i, (dt.date(2024, 1, 1) + dt.timedelta(days=i % 3)).isoformat(),
+             float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, day string, value double")
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    assert q.count() == 100
+    # the filter lands in PartitionFilters (planning-time directory
+    # pruning), not as a post-scan row filter
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan and "2024-01-02" in plan, plan

@@ -239,3 +239,29 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
 
     kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert kept == {1, 3}
+
+
+def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
+    """Continuous-aggregate pattern: partial aggregates appended per
+    drain, merged at read — must equal a full batch recompute."""
+    stream = StreamDir(os.path.join(tmp_workdir, "ev"), SCHEMA)
+    out = os.path.join(tmp_workdir, "rollup")
+
+    def drain():
+        q = st.incremental_rollup(
+            stream.read_stream(spark), out_dir=out,
+            checkpoint=os.path.join(tmp_workdir, "ck"),
+            ts_col="ts", bucket="1 hour", keys=["user_id"])
+        q.awaitTermination()
+
+    b1 = [(1, 0, 1, 2.0), (2, 30, 1, 4.0), (3, 61, 2, 1.0)]
+    b2 = [(4, 45, 1, 6.0), (5, 62, 2, 3.0)]          # same buckets, new data
+    stream.append(_mk_events(spark, b1)); drain()
+    stream.append(_mk_events(spark, b2)); drain()
+
+    got = {(r.bucket_start.isoformat(), r.user_id): (r.n, r.total, r.mean)
+           for r in st.read_rollup(spark, out, keys=["user_id"]).collect()}
+    assert got == {
+        ("2024-01-01T00:00:00", 1): (3, 12.0, 4.0),
+        ("2024-01-01T01:00:00", 2): (2, 4.0, 2.0),
+    }
