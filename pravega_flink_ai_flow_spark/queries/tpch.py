@@ -208,3 +208,63 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@declared(
+    "tpch_q12",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items,
+           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("J3", "A1", "P5"),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape): conditional aggregation
+    — the two counts come out of ONE pass, no self-join."""
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    r = F.col("l_returnflag")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")) &
+            (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.when(r == "R", 1).otherwise(0)).alias("returned_items"),
+             F.sum(F.when(r != "R", 1).otherwise(0)).alias("kept_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "tpch_q14",
+    oracle="""
+    SELECT round(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    survey_ids=("J2", "A2", "P5"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-revenue ratio (TPC-H Q14 shape): conditional sum over a
+    broadcast part join, single global aggregate."""
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp")) &
+            (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+            / F.sum(rev), 6).alias("promo_revenue"))
+    )

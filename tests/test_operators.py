@@ -383,3 +383,16 @@ def test_partitioned_write_prunes_scan(spark, tmp_workdir):
     # pruning), not as a post-scan row filter
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan and "2024-01-02" in plan, plan
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ estimate must land within ~3×rsd of the exact count."""
+    from pravega_flink_ai_flow_spark.queries import load_all, tables
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    row = reg["a4_approx_count_distinct"].fn(spark, sf).collect()[0]
+    (li,) = tables(spark, sf, "lineitem")
+    exact = li.agg(F.countDistinct("l_orderkey"),
+                   F.countDistinct("l_partkey")).collect()[0]
+    assert abs(row.approx_orders - exact[0]) / exact[0] < 0.06
+    assert abs(row.approx_parts - exact[1]) / exact[1] < 0.06
