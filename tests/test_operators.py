@@ -396,3 +396,43 @@ def test_approx_count_distinct_within_rsd(spark):
                    F.countDistinct("l_partkey")).collect()[0]
     assert abs(row.approx_orders - exact[0]) / exact[0] < 0.06
     assert abs(row.approx_parts - exact[1]) / exact[1] < 0.06
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_workdir):
+    """Schema evolution: a column added by later writers must surface via
+    mergeSchema with nulls for old files — how a long-lived 100 TB table
+    absorbs new fields without rewrite."""
+    path = os.path.join(tmp_workdir, "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.mode("append").parquet(path)
+    got = {r.id: (r.v, r.score) for r in
+           spark.read.option("mergeSchema", "true").parquet(path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark, tmp_workdir):
+    """Clustering before write: sortWithinPartitions on the filter column
+    produces non-overlapping per-file min/max ranges, so a time-range
+    predicate skips whole files/row-groups at scan time."""
+    import pyarrow.parquet as pq
+    path = os.path.join(tmp_workdir, "clustered")
+    df = spark.range(0, 100000).withColumn("k", (F.col("id") * 7919) % 100000)
+    (df.repartitionByRange(4, "k").sortWithinPartitions("k")
+       .write.mode("overwrite").parquet(path))
+    ranges = []
+    for fname in os.listdir(path):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        cols = {md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)}
+        ki = cols["k"]
+        lo = min(md.row_group(g).column(ki).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ki).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next          # disjoint → file-level skipping works
