@@ -177,6 +177,45 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", *,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id), with
+    cluster_id = the smallest id in the component. The missing last step
+    of every dedup pipeline: pairs only say "these two match"; keeping
+    one doc per *cluster* needs the transitive closure.
+
+    Iterative min-label propagation as DataFrame ops: each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Label state is (node, label) — O(V) rows shuffled per round on the
+    node key, never edges² — with ``localCheckpoint`` every round to cut
+    the iterative lineage. Driver involvement is one convergence counter
+    per round, not data."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.src == labels.node)
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.min("label").alias("nmin")))
+        updated = (labels.join(neighbor_min, "node", "left")
+                   .select("node",
+                           F.least("label", F.coalesce("nmin", "label"))
+                           .alias("new_label"),
+                           "label"))
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = (updated.select("node", F.col("new_label").alias("label"))
+                  .localCheckpoint())
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3) -> DataFrame:
     """64-bit SimHash per doc: per-shingle xxhash64, sum ±1 per bit

@@ -193,3 +193,46 @@ def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b",
                     F.levenshtein("__ta", "__tb").alias("edit_dist"))
             .orderBy("id_a", "id_b"))
+
+
+@declared(
+    "l2_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    ORDER BY id
+    """,
+    survey_ids=("L2", "L1"),
+)
+def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over the MinHash-LSH pairs: connected
+    components labels every matched doc with its cluster's smallest id
+    (= the keeper). The oracle computes the same closure with a recursive
+    CTE over the brute-force pair set."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
+    return dedup.connected_components(pairs).orderBy("id")

@@ -436,3 +436,12 @@ def test_sorted_write_tightens_rowgroup_stats(spark, tmp_workdir):
     assert len(ranges) == 4
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next          # disjoint → file-level skipping works
+
+
+def test_connected_components_transitive(spark):
+    """a-b, b-c chain collapses into one cluster labeled min(id);
+    disjoint d-e keeps its own."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
