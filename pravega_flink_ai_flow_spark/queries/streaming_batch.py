@@ -131,3 +131,36 @@ def t7_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min_by("event_id", "event_id").alias("first_event_id"),
                  F.min_by("value", "event_id").alias("first_value"))
             .orderBy("user_id", "event_type"))
+
+
+@declared(
+    "t11_ohlc_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket,
+           arg_min(value, ts)  AS open,
+           MAX(value)          AS high,
+           MIN(value)          AS low,
+           arg_max(value, ts)  AS close,
+           COUNT(*)            AS n_events
+    FROM events
+    GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+    ORDER BY user_id, bucket
+    """,
+    survey_ids=("A6", "T3"),
+)
+def t11_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series rollup: first/last-by-event-time + extremes per
+    (user, hour) — min_by/max_by make it ONE partial+final hash
+    aggregate, no per-group sort. ((user_id, ts) is unique in the events
+    data, so arg-by-time is deterministic.)"""
+    (events,) = tables(spark, sf_dir, "events")
+    return (events
+            .groupBy("user_id",
+                     F.date_trunc("hour", F.col("ts")).alias("bucket"))
+            .agg(F.min_by("value", "ts").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "ts").alias("close"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id", "bucket"))

@@ -268,3 +268,75 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
             / F.sum(rev), 6).alias("promo_revenue"))
     )
+
+
+@declared(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    HAVING COUNT(DISTINCT l_suppkey) >= 4
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    survey_ids=("J1", "J6", "A3", "A8"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): NOT IN as a
+    null-safe anti join, distinct aggregation, post-agg HAVING."""
+    lineitem, part, supplier = tables(spark, sf_dir,
+                                      "lineitem", "part", "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.filter(
+            (F.col("p_brand") != "Brand#4") &
+            ~F.col("p_type").like("PROMO%"))),
+            F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .filter(F.col("supplier_cnt") >= 4)
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@declared(
+    "tpch_q22",
+    oracle="""
+    WITH wealthy AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*)                          AS numcust,
+           CAST(SUM(c_acctbal) AS DOUBLE)    AS totacctbal
+    FROM customer, wealthy
+    WHERE c_acctbal > wealthy.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 250000)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    survey_ids=("J6", "A2", "A1"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): scalar aggregate
+    subquery (broadcast 1-row cross join) + NOT EXISTS anti join —
+    above-average-balance customers with no large order."""
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    orders = orders.filter(F.col("o_totalprice") > 250000)
+    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.sum("c_acctbal").cast("double").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
