@@ -344,3 +344,27 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum("c_acctbal").cast("double").alias("sum_acctbal"))
             .orderBy("event_type"))
+
+
+@declared(
+    "j12_null_safe_join",
+    oracle="""
+    SELECT a.c_custkey, b.s_suppkey
+    FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp FROM customer WHERE c_custkey <= 50) a
+    JOIN (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS grp FROM supplier) b
+      ON a.grp IS NOT DISTINCT FROM b.grp
+    ORDER BY a.c_custkey, b.s_suppkey
+    """,
+    survey_ids=("J1", "P4"),
+)
+def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — still plans as a hash join
+    (null-safe equi keys stay shuffle-joinable, no nested loop)."""
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    a = (customer.filter(F.col("c_custkey") <= 50)
+         .select("c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("ga")))
+    b = supplier.select("s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("gb"))
+    return (a.join(b, a.ga.eqNullSafe(b.gb))
+            .select("c_custkey", "s_suppkey")
+            .orderBy("c_custkey", "s_suppkey"))

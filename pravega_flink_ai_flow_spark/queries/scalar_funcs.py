@@ -350,3 +350,34 @@ def f_vector_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot.alias("self_dot"),
         F.sqrt(dot).alias("norm"),
     ).orderBy("vec_id")
+
+
+@declared(
+    "f_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                   AS low_byte,
+           event_id | 4096                  AS with_flag,
+           xor(event_id, 1365)              AS xored,
+           event_id << 2                    AS shifted_l,
+           event_id >> 3                    AS shifted_r,
+           CAST(bit_count(event_id) AS INTEGER) AS n_bits
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+    survey_ids=(),
+)
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family — masks, flags, shifts, popcount."""
+    (events,) = tables(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return (events.filter(e < 100)
+            .select("event_id",
+                    e.bitwiseAND(F.lit(255)).alias("low_byte"),
+                    e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+                    e.bitwiseXOR(F.lit(1365)).alias("xored"),
+                    F.shiftleft(e, 2).alias("shifted_l"),
+                    F.shiftright(e, 3).alias("shifted_r"),
+                    F.bit_count(e).alias("n_bits"))
+            .orderBy("event_id"))

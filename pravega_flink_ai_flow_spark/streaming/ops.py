@@ -81,17 +81,24 @@ def interval_join(left: DataFrame, right: DataFrame, *, key: str,
                   left_ts: str = "l_ts", right_ts: str = "r_ts",
                   lookback: str = "5 minutes",
                   left_watermark: str = "10 minutes",
-                  right_watermark: str = "10 minutes") -> DataFrame:
+                  right_watermark: str = "10 minutes",
+                  how: str = "inner") -> DataFrame:
     """T10/J10: stream-stream interval join — right events within
     [left_ts − lookback, left_ts] for the same key. Watermarks on BOTH
     sides bound the join state (Spark evicts buffered rows older than the
-    watermark minus the interval width)."""
+    watermark minus the interval width).
+
+    ``how='left_outer'`` emits unmatched left rows with nulls — but only
+    once the watermark passes their match window (an unmatched row can't
+    be declared unmatched while a matching right row could still
+    arrive), so a drain emits them only if later data advanced the
+    watermark far enough."""
     l = left.withWatermark(left_ts, left_watermark)
     r = right.withWatermark(right_ts, right_watermark)
     cond = F.expr(
         f"l.{key} = r.{key} AND r.{right_ts} BETWEEN "
         f"l.{left_ts} - interval {lookback} AND l.{left_ts}")
-    return l.alias("l").join(r.alias("r"), cond)
+    return l.alias("l").join(r.alias("r"), cond, how)
 
 
 def run_available_now(stream_df: DataFrame, sink_fn: Callable = None,

@@ -265,3 +265,42 @@ def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
         ("2024-01-01T00:00:00", 1): (3, 12.0, 4.0),
         ("2024-01-01T01:00:00", 2): (2, 4.0, 2.0),
     }
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_workdir):
+    """Left-outer variant: an unattributed click surfaces with null
+    impression — but only after the watermark passes its match window,
+    so late watermark-advancing events are part of the scenario."""
+    imp_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("imp_id", T.LongType()),
+        T.StructField("imp_ts", T.TimestampType()),
+    ])
+    clk_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("clk_id", T.LongType()),
+        T.StructField("clk_ts", T.TimestampType()),
+    ])
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    imps = StreamDir(os.path.join(tmp_workdir, "imps"), imp_schema)
+    clks = StreamDir(os.path.join(tmp_workdir, "clks"), clk_schema)
+    imps.append(spark.createDataFrame(
+        [(1, 100, m(0)), (9, 900, m(240))], imp_schema))   # 900 advances wm
+    clks.append(spark.createDataFrame(
+        [(1, 200, m(3)),      # attributed to imp 100
+         (2, 201, m(5)),      # no impression at all → null
+         (9, 901, m(240))],   # wm-advancing pair, attributed
+        clk_schema))
+    joined = st.interval_join(
+        clks.read_stream(spark), imps.read_stream(spark),
+        key="user_id", left_ts="clk_ts", right_ts="imp_ts",
+        lookback="5 minutes", how="left_outer")
+    st.run_available_now(joined, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="attributed_outer")
+    got = sorted((r.clk_id, r.imp_id)
+                 for r in spark.sql("SELECT * FROM attributed_outer").collect()
+                 ) 
+    assert (200, 100) in got and (901, 900) in got
+    assert (201, None) in got          # unmatched click emitted with null
