@@ -125,19 +125,20 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
              .select(F.col(corpus_id).alias("cent_id"),
                      F.col(corpus_vec).alias("cent_vec")))
 
-    def nearest_cells(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
+    def nearest_cells(df: DataFrame, row_id: str, vec: str,
+                      n: int, out: str) -> DataFrame:
         scored = (df.join(F.broadcast(cents))
                   .withColumn("__sim", cosine(F.col(vec), F.col("cent_vec"))))
-        w = Window.partitionBy(*df.columns[:1]).orderBy(
+        w = Window.partitionBy(row_id).orderBy(
             F.col("__sim").desc(), F.col("cent_id").asc())
         return (scored.withColumn("__cr", F.row_number().over(w))
                 .filter(F.col("__cr") <= n)
                 .select(*df.columns, F.col("cent_id").alias(out)))
 
     # corpus side: each vector lives in exactly its nearest cell
-    assigned = nearest_cells(spread(corpus), corpus_vec, 1, "cell")
+    assigned = nearest_cells(spread(corpus), corpus_id, corpus_vec, 1, "cell")
     # query side: probe the nprobe nearest cells
-    probes = nearest_cells(queries, query_vec, nprobe, "cell")
+    probes = nearest_cells(queries, query_id, query_vec, nprobe, "cell")
     cands = (assigned.join(F.broadcast(probes), "cell")
              .dropDuplicates([query_id, corpus_id]))
     scored = cands.withColumn(
