@@ -165,3 +165,28 @@ def p7_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_custkey",
                     F.col("o_totalprice").cast("double").alias("o_totalprice"))
             .orderBy("o_orderkey"))
+
+
+@declared(
+    "p8_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn % 5 = 1
+    ORDER BY doc_id
+    """,
+    survey_ids=("P4", "W1"),
+)
+def p8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: every 5th row per language in
+    doc_id order — the reproducible per-stratum alternative to
+    ``sampleBy`` for pipelines whose samples must be replayable."""
+    from pyspark.sql import Window
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") % 5 == 1)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))

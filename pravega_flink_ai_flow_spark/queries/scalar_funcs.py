@@ -15,6 +15,8 @@ Oracle notes (DuckDB 1.0 parity, verified):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import declared, tables
@@ -381,3 +383,37 @@ def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.shiftright(e, 3).alias("shifted_r"),
                     F.bit_count(e).alias("n_bits"))
             .orderBy("event_id"))
+
+
+@declared(
+    "f_pandas_udf_normalize",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(text))[1:40] AS norm_prefix,
+           CAST(len(trim(text)) AS INTEGER) AS trimmed_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("F1", "F6"),
+)
+def f_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF in the oracle-checked corpus: vectorized
+    string normalization (the engine-standard replacement for the
+    reference's row-at-a-time ScalarFunction.eval, processor.py:246-250).
+    The UDF computes with pandas str ops; the oracle reproduces them in
+    SQL — so the Arrow transfer itself is under hash test."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm_prefix(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.slice(0, 40)
+
+    @pandas_udf("int")
+    def trimmed_len(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.len().astype("int32")
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        norm_prefix(F.col("text")).alias("norm_prefix"),
+                        trimmed_len(F.col("text")).alias("trimmed_len"))
+            .orderBy("doc_id"))
