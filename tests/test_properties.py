@@ -72,3 +72,42 @@ def test_semi_plus_anti_partition_left(spark, a, b):
     anti = da.join(db, "k", "left_anti")
     assert sorted(map(tuple, da.collect())) == \
         sorted(map(tuple, semi.unionAll(anti).collect()))
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_asof_merge_matches_pandas_merge_asof(spark, data):
+    """asof_merge vs pandas.merge_asof (backward, inclusive) as an
+    independent oracle. Right times are unique per key so tie-break
+    conventions can't differ between the implementations."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    keys = st.integers(0, 3)
+    left_rows = data.draw(st.lists(
+        st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=20))
+    # unique (key, time) on the right
+    right_raw = data.draw(st.lists(
+        st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=20,
+        unique_by=lambda t: (t[0], t[1])))
+
+    lp = pd.DataFrame({
+        "lid": range(len(left_rows)),
+        "k": [k for k, _ in left_rows],
+        "t": [base + dt.timedelta(minutes=m) for _, m in left_rows]})
+    rp = pd.DataFrame({
+        "rid": [1000 + i for i in range(len(right_raw))],
+        "k2": [k for k, _ in right_raw],
+        "t2": [base + dt.timedelta(minutes=m) for _, m in right_raw]})
+
+    want_df = pd.merge_asof(
+        lp.sort_values("t", kind="stable"), rp.sort_values("t2", kind="stable"),
+        left_on="t", right_on="t2", left_by="k", right_by="k2",
+        direction="backward", allow_exact_matches=True)
+    want = {(r.lid, r.rid) for r in want_df.itertuples() if pd.notna(r.rid)}
+
+    from pravega_flink_ai_flow_spark.ops import relational
+    got = {(r.lid, r.rid) for r in relational.asof_merge(
+        spark.createDataFrame(lp), spark.createDataFrame(rp),
+        left_on="k", right_on="k2", left_time="t", right_time="t2",
+        tie_breakers=["rid"]).collect()}
+    assert got == want
