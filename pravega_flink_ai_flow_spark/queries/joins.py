@@ -269,8 +269,12 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     |events|+|orders| rows, vs the join+reduce strategy whose fan-out is
     |events| × orders-per-customer."""
     events, orders = tables(spark, sf_dir, "events", "orders")
+    # prune to the carried columns BEFORE the merge: the union+window
+    # shuffles whole row structs, so projection here is shuffle volume
+    # saved (Catalyst can't prune through the carry struct itself)
     joined = asof_merge(
-        events, orders,
+        events.select("event_id", "user_id", "ts"),
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
         left_on="user_id", right_on="o_custkey",
         left_time="ts", right_time="o_orderdate",
         tie_breakers=["o_orderkey"],
