@@ -164,3 +164,69 @@ def t11_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max_by("value", "ts").alias("close"),
                  F.count("*").alias("n_events"))
             .orderBy("user_id", "bucket"))
+
+
+@declared(
+    "t12_funnel_analysis",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, event_type
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, day,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM e GROUP BY user_id, day
+        HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+    ),
+    c AS (
+        SELECT e.user_id, e.day, MIN(e.ts) AS t_click
+        FROM e JOIN v ON e.user_id = v.user_id AND e.day = v.day
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id, e.day
+    ),
+    p AS (
+        SELECT e.user_id, e.day, MIN(e.ts) AS t_purchase
+        FROM e JOIN c ON e.user_id = c.user_id AND e.day = c.day
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id, e.day
+    )
+    SELECT v.day,
+           COUNT(*)              AS n_view,
+           COUNT(c.t_click)      AS n_click_after_view,
+           COUNT(p.t_purchase)   AS n_purchase_after_click
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id AND v.day = c.day
+    LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+    GROUP BY v.day
+    ORDER BY v.day
+    """,
+    survey_ids=("A1", "J4", "W3"),
+)
+def t12_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel (view → click-after-view →
+    purchase-after-click) per user-day — the classic event-analytics
+    shape. Three staged aggregates, each a partial+final hash agg keyed
+    on (user, day); stage joins stay on the same key so AQE can keep
+    them co-partitioned — no per-user sort, no window state."""
+    (events,) = tables(spark, sf_dir, "events")
+    e = events.select("user_id", F.to_date("ts").alias("day"),
+                      "ts", "event_type")
+    v = (e.groupBy("user_id", "day")
+         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("t_view"))
+         .filter(F.col("t_view").isNotNull()))
+    c = (e.join(v, ["user_id", "day"])
+         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+         .groupBy("user_id", "day").agg(F.min("ts").alias("t_click")))
+    p = (e.join(c, ["user_id", "day"])
+         .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+         .groupBy("user_id", "day").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, ["user_id", "day"], "left")
+            .join(p, ["user_id", "day"], "left")
+            .groupBy("day")
+            .agg(F.count("*").alias("n_view"),
+                 F.count("t_click").alias("n_click_after_view"),
+                 F.count("t_purchase").alias("n_purchase_after_click"))
+            .orderBy("day"))
