@@ -230,3 +230,41 @@ def t12_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("t_click").alias("n_click_after_view"),
                  F.count("t_purchase").alias("n_purchase_after_click"))
             .orderBy("day"))
+
+
+@declared(
+    "t13_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
+           COUNT(DISTINCT a.user_id)             AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE a.day - c.cohort_day <= 7
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+    ORDER BY cohort_day, day_offset
+    """,
+    survey_ids=("A1", "A3", "J1"),
+)
+def t13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-active day, distinct
+    actives counted per day offset (first week). The cohort anchor is a
+    per-user aggregate joined back on user_id — co-partitioned with the
+    activity table, so the whole matrix is two hash aggregates and one
+    same-key join."""
+    (events,) = tables(spark, sf_dir, "events")
+    activity = (events.select("user_id", F.to_date("ts").alias("day"))
+                .distinct())
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (activity.join(cohorts, "user_id")
+            .withColumn("day_offset", F.datediff("day", "cohort_day"))
+            .filter(F.col("day_offset") <= 7)
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct("user_id").alias("n_active"))
+            .orderBy("cohort_day", "day_offset"))
