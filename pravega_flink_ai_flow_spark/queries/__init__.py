@@ -53,6 +53,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         scalar_funcs,
         streaming_batch,
         tpch,
+        tpch_full,
         llm_dedup,
         llm_similarity,
         llm_text,
