@@ -79,13 +79,25 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# (appId, sf_dir, table) -> DataFrame. A DataFrame is an immutable logical
+# plan, so reuse across queries is safe; what it saves is the per-read
+# driver-side work (file listing + parquet footer/schema resolution) that
+# otherwise repeats for every query in a bench/gate run. Keyed by
+# applicationId so a restarted SparkContext never sees stale plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Load driver test tables as DataFrames."""
+    """Load driver test tables as DataFrames (plan-cached per session)."""
+    app_id = spark.sparkContext.applicationId
     out = []
     for n in names:
-        path = f"{sf_dir}/{n}.parquet"
-        if n == "events":
-            out.append(_read_events(spark, path))
-        else:
-            out.append(spark.read.parquet(path))
+        key = (app_id, sf_dir, n)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            path = f"{sf_dir}/{n}.parquet"
+            df = (_read_events(spark, path) if n == "events"
+                  else spark.read.parquet(path))
+            _TABLE_CACHE[key] = df
+        out.append(df)
     return out

@@ -177,7 +177,8 @@ def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            MIN_BY(c_name, c_custkey)             AS first_customer,
            MAX_BY(c_name, c_custkey)             AS last_customer,
-           LIST(c_custkey ORDER BY c_custkey)    AS custkeys_sorted
+           array_to_string(LIST(c_custkey ORDER BY c_custkey), ',')
+                                                 AS custkeys_sorted
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -186,14 +187,17 @@ def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a6_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by/collect_list with explicit deterministic ordering
-    (tie-free: c_custkey is unique)."""
+    (tie-free: c_custkey is unique). The collected list is serialized to
+    a CSV string: the gate's canonicalizer only handles scalar columns."""
     (customer,) = tables(spark, sf_dir, "customer")
     return (
         customer.groupBy("c_nationkey")
         .agg(
             F.min_by("c_name", "c_custkey").alias("first_customer"),
             F.max_by("c_name", "c_custkey").alias("last_customer"),
-            F.sort_array(F.collect_list("c_custkey")).alias("custkeys_sorted"),
+            F.array_join(
+                F.sort_array(F.collect_list("c_custkey")).cast("array<string>"),
+                ",").alias("custkeys_sorted"),
         )
         .orderBy("c_nationkey")
     )
@@ -203,10 +207,10 @@ def a6_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_stats",
     oracle="""
     SELECT l_returnflag,
-           STDDEV_SAMP(l_extendedprice)       AS price_stddev,
-           VAR_SAMP(l_extendedprice)          AS price_var,
-           QUANTILE_CONT(l_extendedprice, 0.5)  AS price_median,
-           QUANTILE_CONT(l_extendedprice, 0.9)  AS price_p90
+           ROUND(STDDEV_SAMP(l_extendedprice), 2)      AS price_stddev,
+           ROUND(VAR_SAMP(l_extendedprice), 0)         AS price_var,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS price_median,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 2) AS price_p90
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -216,15 +220,19 @@ def a6_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (matches DuckDB quantile_cont);
     percentile_approx stays available for the 100 TB path but is not
-    hash-checkable."""
+    hash-checkable. Moments are rounded coarsely on BOTH sides:
+    var_samp is ~1e9 here, so the gate's 6-decimal rounding sits below
+    the summation-order noise floor — unrounded values hash-flake."""
     (li,) = tables(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.stddev_samp("l_extendedprice").alias("price_stddev"),
-            F.var_samp("l_extendedprice").alias("price_var"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("price_median"),
-            F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
+                .alias("price_median"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2)
+                .alias("price_p90"),
         )
         .orderBy("l_returnflag")
     )
@@ -399,9 +407,17 @@ def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile's full sort at 100 TB; accuracy bound set by the third
     argument (10000 → ~0.01% rank error)."""
     (li,) = tables(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-                 .alias("price_quantiles"),
-                 F.approx_count_distinct("l_partkey", 0.02)
-                 .alias("approx_parts"))
+    q = (li.groupBy("l_returnflag")
+         .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+              .alias("qs"),
+              F.approx_count_distinct("l_partkey", 0.02)
+              .alias("approx_parts")))
+    # scalar output columns only — the gate's canonicalizer can't sort
+    # array-typed cells (its crash even voids a rows-only check)
+    return (q.select(
+                "l_returnflag",
+                F.element_at("qs", 1).alias("price_p50"),
+                F.element_at("qs", 2).alias("price_p90"),
+                F.element_at("qs", 3).alias("price_p99"),
+                "approx_parts")
             .orderBy("l_returnflag"))

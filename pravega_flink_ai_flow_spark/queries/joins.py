@@ -181,15 +181,21 @@ def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2001-01-01')
     ORDER BY c_custkey
     """,
     survey_ids=("J6",),
 )
 def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders in 2001+. The date filter keeps the
+    result non-empty (every customer has SOME order in this data, so an
+    unfiltered anti-join verifies nothing)."""
     customer, orders = tables(spark, sf_dir, "customer", "orders")
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01")
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )

@@ -226,11 +226,11 @@ def f_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(toks) AS INTEGER)                             AS n_tokens,
            list_contains(toks, 'data')                            AS has_data,
            toks[1]                                                AS first_tok,
-           list_slice(toks, 1, 3)                                 AS first3,
-           list_sort(list_distinct(toks))                         AS vocab,
+           array_to_string(list_slice(toks, 1, 3), ',')           AS first3,
+           array_to_string(list_sort(list_distinct(toks)), ',')   AS vocab,
            CAST(len(list_distinct(toks)) AS INTEGER)              AS n_vocab,
-           list_sort(list_transform(list_distinct(toks), t -> upper(t))) AS vocab_upper,
-           list_sort(list_filter(list_distinct(toks), t -> len(t) > 4))  AS long_toks,
+           array_to_string(list_sort(list_transform(list_distinct(toks), t -> upper(t))), ',') AS vocab_upper,
+           array_to_string(list_sort(list_filter(list_distinct(toks), t -> len(t) > 4)), ',')  AS long_toks,
            CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)   AS total_chars
     FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
           FROM documents)
@@ -239,6 +239,9 @@ def f_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("§2.8-array",),
 )
 def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery. List-valued results are serialized to CSV
+    strings (array_join) — the gate's canonicalizer requires scalar
+    columns; the array ops themselves still run JVM-side."""
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
@@ -246,11 +249,11 @@ def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
         F.element_at(toks, 1).alias("first_tok"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias("vocab"),
         F.size(F.array_distinct(toks)).alias("n_vocab"),
-        F.sort_array(F.transform(F.array_distinct(toks), lambda t: F.upper(t))).alias("vocab_upper"),
-        F.sort_array(F.filter(F.array_distinct(toks), lambda t: F.length(t) > 4)).alias("long_toks"),
+        F.array_join(F.sort_array(F.transform(F.array_distinct(toks), lambda t: F.upper(t))), ",").alias("vocab_upper"),
+        F.array_join(F.sort_array(F.filter(F.array_distinct(toks), lambda t: F.length(t) > 4)), ",").alias("long_toks"),
         F.aggregate(toks, F.lit(0.0),
                     lambda acc, t: acc + F.length(t).cast("double")).alias("total_chars"),
     ).orderBy("doc_id")
@@ -282,7 +285,7 @@ def f_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_nationkey,
            map_extract(m, 'name')[1]                 AS m_name,
            map_extract(m, 'region')[1]               AS m_region,
-           list_sort(map_keys(m))                    AS keys_sorted
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
     FROM (SELECT n_nationkey,
                  map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
           FROM nation)
@@ -299,7 +302,7 @@ def f_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.element_at(m, "name").alias("m_name"),
         F.element_at(m, "region").alias("m_region"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
     ).orderBy("n_nationkey")
 
 

@@ -86,6 +86,20 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
+        # The driver's pandas-based canonicalizer crashes on array/map/
+        # struct-typed cells ("unhashable type: 'list'"), and that crash
+        # voids even a rows-only check (CORRECTNESS_r01). Mirror it: any
+        # complex-typed output column is a hard FAIL here too.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+        complex_cols = [f.name for f in sdf.schema.fields
+                        if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        if complex_cols:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: complex-typed output column(s) {complex_cols} "
+                  "would crash the driver's canonicalizer — serialize to "
+                  "string (to_json / array_join) or explode")
+            continue
         if q.oracle is None:
             n_rows_only += 1
             print(f"rows  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
