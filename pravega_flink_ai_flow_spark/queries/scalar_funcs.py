@@ -266,7 +266,6 @@ def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
           FROM documents)
     GROUP BY word
-    ORDER BY word
     """,
     survey_ids=("§2.8-array", "F6"),
 )
@@ -275,8 +274,7 @@ def f_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     return (docs
             .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
-            .groupBy("word").agg(F.count("*").alias("n"))
-            .orderBy("word"))
+            .groupBy("word").agg(F.count("*").alias("n")))
 
 
 @declared(

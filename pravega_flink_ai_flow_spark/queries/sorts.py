@@ -57,7 +57,6 @@ def o2_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
         FROM customer
     ) WHERE rn <= 5
-    ORDER BY c_mktsegment, rn
     """,
     survey_ids=("O3",),
 )
@@ -70,5 +69,4 @@ def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select("c_mktsegment", "c_custkey", "c_acctbal"),
         partition_by=["c_mktsegment"],
         order_by=[F.col("c_acctbal").desc(), F.col("c_custkey")],
-        k=5)
-        .orderBy("c_mktsegment", "rn"))
+        k=5))

@@ -93,7 +93,6 @@ def t4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts)                     AS session_end
     FROM sessions
     GROUP BY user_id, session_id
-    ORDER BY user_id, session_id
     """,
     survey_ids=("T5",),
 )
@@ -106,8 +105,7 @@ def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum("value").cast("double").alias("total_value"),
                  F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end"))
-            .orderBy("user_id", "session_id"))
+                 F.max("ts").alias("session_end")))
 
 
 @declared(

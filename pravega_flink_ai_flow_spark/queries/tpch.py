@@ -73,7 +73,6 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
-    ORDER BY revenue DESC, n_name
     """,
     survey_ids=("J1", "J2", "A1"),
 )
@@ -100,7 +99,6 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -197,11 +195,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum("l_quantity").alias("__sq"))
            .filter(F.col("__sq") > 250)
            .select("l_orderkey"))
+    # broadcast the AGGREGATED keys (tiny after the HAVING filter), not
+    # customer: customer is fact-scale at 100 TB — let AQE pick its join
     return (
-        lineitem.join(big.withColumnRenamed("l_orderkey", "__bk"),
+        lineitem.join(F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
                       F.col("l_orderkey") == F.col("__bk"), "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))

@@ -90,7 +90,6 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
     FROM events
-    ORDER BY event_id
     """,
     survey_ids=("W4",),
 )
@@ -102,7 +101,7 @@ def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         F.sum("value").over(w).cast("double").alias("running_total"),
         F.count("*").over(w).alias("running_count"),
-    ).orderBy("event_id"))
+    ))
 
 
 @declared(
