@@ -69,7 +69,7 @@ def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, *,
                     query_id: str = "q_id", corpus_id: str = "c_id",
                     query_vec: str = "q_vec", corpus_vec: str = "c_vec",
                     k: int = 10, n_tables: int = 8, n_planes: int = 3,
-                    dim: int = 64) -> DataFrame:
+                    dim: int = 64, exclude_self: bool = False) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH. A pair is a
     candidate if it collides in ANY of ``n_tables`` independent tables of
     ``n_planes`` sign bits (the standard OR-of-ANDs construction: per-table
@@ -97,6 +97,10 @@ def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, *,
     cands = (cb.join(F.broadcast(qb), ["lsh_table", "bucket"])
              .select(query_id, corpus_id, query_vec, corpus_vec)
              .dropDuplicates([query_id, corpus_id]))
+    if exclude_self:
+        # when queries are drawn from the corpus, the query trivially
+        # collides with itself (cosine 1.0) and would waste a top-k slot
+        cands = cands.filter(F.col(query_id) != F.col(corpus_id))
     scored = cands.withColumn(
         "cosine", cosine(F.col(query_vec), F.col(corpus_vec)))
     w = Window.partitionBy(query_id).orderBy(
@@ -110,7 +114,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
              query_id: str = "q_id", corpus_id: str = "c_id",
              query_vec: str = "q_vec", corpus_vec: str = "c_vec",
              k: int = 10, centroid_stride: int = 50,
-             nprobe: int = 4) -> DataFrame:
+             nprobe: int = 4, exclude_self: bool = False) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index, the other
     standard ANN layout next to LSH: partition the corpus into cells
     around centroids, probe only the ``nprobe`` nearest cells per query.
@@ -141,6 +145,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
     probes = nearest_cells(queries, query_id, query_vec, nprobe, "cell")
     cands = (assigned.join(F.broadcast(probes), "cell")
              .dropDuplicates([query_id, corpus_id]))
+    if exclude_self:
+        cands = cands.filter(F.col(query_id) != F.col(corpus_id))
     scored = cands.withColumn(
         "cosine", cosine(F.col(query_vec), F.col(corpus_vec)))
     w = Window.partitionBy(query_id).orderBy(

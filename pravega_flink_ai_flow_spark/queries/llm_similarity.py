@@ -76,7 +76,7 @@ def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.lsh_bucket_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, n_tables=8, n_planes=3, dim=64)
+        k=_TOP_K, n_tables=16, n_planes=3, dim=64, exclude_self=True)
     return out.orderBy("q_id", "rank")
 
 
@@ -98,7 +98,7 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, centroid_stride=50, nprobe=4)
+        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True)
     return out.orderBy("q_id", "rank")
 
 

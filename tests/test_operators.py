@@ -128,15 +128,17 @@ def test_brute_force_topk_exact(spark):
 
 
 def test_lsh_topk_recall_on_testdata(spark):
-    """The approximate path must recover most of the exact top-k
-    (identical-bucket criterion with 4 planes is conservative)."""
+    """SURVEY §2.12 tolerance bound: the approximate LSH path must
+    recover ≥0.9 of the exact top-k at the declared parameters
+    (16 tables × 3 planes, self-matches excluded). Deterministic:
+    fixed hyperplanes, fixed data → identical recall every run."""
     from pravega_flink_ai_flow_spark.queries import load_all
     reg = load_all()
-    sf = "/root/testdata/sf0.001"
-    exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
-    approx = {(r.q_id, r.c_id) for r in reg["l3_lsh_topk"].fn(spark, sf).collect()}
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, recall   # bucket pruning trades recall for speed
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
+        approx = {(r.q_id, r.c_id) for r in reg["l3_lsh_topk"].fn(spark, sf).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, (sf, recall)
 
 
 # -- text -------------------------------------------------------------------
@@ -206,15 +208,16 @@ def test_frame_sample_plan(spark):
 
 
 def test_ivf_topk_recall_on_testdata(spark):
-    """IVF cell-probing must recover most of the exact top-k (nprobe=4
-    of ~10 cells covers the near neighborhood for clustered data)."""
+    """SURVEY §2.12 tolerance bound: IVF cell-probing must recover ≥0.9
+    of the exact top-k at the declared parameters (nprobe=8,
+    self-matches excluded). Deterministic subsampled centroids."""
     from pravega_flink_ai_flow_spark.queries import load_all
     reg = load_all()
-    sf = "/root/testdata/sf0.001"
-    exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
-    approx = {(r.q_id, r.c_id) for r in reg["l3_ivf_topk"].fn(spark, sf).collect()}
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, recall
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
+        approx = {(r.q_id, r.c_id) for r in reg["l3_ivf_topk"].fn(spark, sf).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, (sf, recall)
 
 
 def test_rolling_hash_is_order_sensitive(spark):
@@ -353,7 +356,7 @@ def test_approx_percentile_within_tolerance(spark):
     from pravega_flink_ai_flow_spark.queries import load_all, tables
     reg = load_all()
     sf = "/root/testdata/sf0.01"
-    approx = {r.l_returnflag: r.price_quantiles
+    approx = {r.l_returnflag: (r.price_p50, r.price_p90, r.price_p99)
               for r in reg["a13_approx_percentile"].fn(spark, sf).collect()}
     (li,) = tables(spark, sf, "lineitem")
     exact = {r.l_returnflag: r.q for r in
