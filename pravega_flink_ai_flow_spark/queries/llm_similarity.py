@@ -48,7 +48,7 @@ def l3_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.brute_force_topk(
         queries, corpus.filter(F.lit(True)),
         query_id="q_id", corpus_id="c_id",
-        query_vec="q_vec", corpus_vec="c_vec", k=_TOP_K + 1)
+        query_vec="q_vec", corpus_vec="c_vec", k=_TOP_K + 1, dim=64)
     # exclude self-matches, then re-rank to 1..k
     out = (out.filter(F.col("q_id") != F.col("c_id")))
     from pyspark.sql import Window
@@ -98,7 +98,7 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True)
+        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True, dim=64)
     return out.orderBy("q_id", "rank")
 
 
@@ -124,5 +124,5 @@ def l3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-similar tail; no synthesized duplicates exist above 0.5)."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     return (similarity.cosine_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.45)
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45, dim=64)
         .orderBy("id_a", "id_b"))
