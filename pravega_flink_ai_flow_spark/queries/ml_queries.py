@@ -53,6 +53,51 @@ _KNN_CTE = f"""
 """
 
 
+def _knn_vote(nearest: DataFrame) -> DataFrame:
+    """Majority vote with deterministic tie-break (votes desc, label asc)
+    — shared by the fold and blocked formulations."""
+    votes = (nearest.groupBy("vec_id", "true_label",
+                             F.col("n_label").alias("pred_label"))
+             .agg(F.count("*").alias("n_votes")))
+    vw = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label"))
+    return (votes.withColumn("vr", F.row_number().over(vw))
+            .filter(F.col("vr") == 1)
+            .select("vec_id", "true_label", "pred_label"))
+
+
+def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path KNN: the test set (broadcast-small by construction,
+    mirroring the reference's in-memory predict input, processor.py:236)
+    rides in the scorer closure; the train side streams once through a
+    blocked-GEMM ``mapInPandas`` that emits per-batch top-k candidates;
+    a window merge + majority vote finishes. One train pass, no pair
+    materialization — the plan a 1000-executor cluster wants."""
+    from ..ops.similarity import knn_candidates_blocked
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    test_rows = [(r["vec_id"], r["embedding"], r["label"])
+                 for r in emb.filter(F.col("vec_id") < _SPLIT)
+                 .select("vec_id", "embedding", "label").collect()]
+    # no spread(): one GEMM per input partition is the efficient shape —
+    # BLAS parallelism inside the batch, not task fan-out (the fold path
+    # needs spread because its per-row cost is interpreter-bound)
+    train = (emb.filter(F.col("vec_id") >= _SPLIT)
+             .select(F.col("vec_id").alias("n_id"),
+                     F.col("label").alias("n_label"),
+                     F.col("embedding").alias("nv")))
+    cands = knn_candidates_blocked(train, test_rows, k=_K)
+    w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
+    nearest = (cands.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= _K))
+    true_lab = spark.createDataFrame(
+        [(tid, lab) for tid, _, lab in test_rows],
+        "vec_id long, true_label int")
+    return _knn_vote(
+        nearest.drop("dist2", "rn")
+        .join(F.broadcast(true_lab), "vec_id"))
+
+
 def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label",
@@ -83,14 +128,9 @@ def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + F.col("__nn")))
     w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
     nearest = (dists.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") <= _K))
-    votes = (nearest.groupBy("vec_id", "true_label", F.col("n_label").alias("pred_label"))
-             .agg(F.count("*").alias("n_votes")))
-    vw = Window.partitionBy("vec_id").orderBy(
-        F.col("n_votes").desc(), F.col("pred_label"))
-    return (votes.withColumn("vr", F.row_number().over(vw))
-            .filter(F.col("vr") == 1)
-            .select("vec_id", "true_label", "pred_label"))
+               .filter(F.col("rn") <= _K)
+               .select("vec_id", "true_label", "n_label"))
+    return _knn_vote(nearest)
 
 
 @declared(
@@ -102,11 +142,12 @@ def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("M2", "F1", "J7", "O3"),
 )
 def m2_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KNN (k=5, euclidean, majority vote with deterministic tie-breaks)
-    as a pure DataFrame plan: broadcast test set → one corpus pass →
-    per-test top-k window → vote. Mirrors the reference's predict job
-    (processor.py:236-258) without a Python UDF in the row path."""
-    return _spark_knn(spark, sf_dir)
+    """KNN (k=5, euclidean, majority vote with deterministic tie-breaks):
+    one train pass through the blocked-GEMM scorer → per-batch top-k
+    candidates → window merge → vote. Mirrors the reference's predict
+    job (processor.py:236-258); the all-JVM fold formulation
+    (:func:`_spark_knn`) is pytest-asserted to predict identically."""
+    return _spark_knn_blocked(spark, sf_dir)
 
 
 @declared(
@@ -123,7 +164,7 @@ def m2_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m3_model_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validate metric: mean accuracy ≡ knn.score (processor.py:180) —
     avg(pred == label) as a deterministic aggregate."""
-    pred = _spark_knn(spark, sf_dir)
+    pred = _spark_knn_blocked(spark, sf_dir)
     return pred.agg(
         (F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
          .cast("double") / F.count("*")).alias("accuracy"),

@@ -368,6 +368,19 @@ def test_approx_percentile_within_tolerance(spark):
             assert abs(a - e) / e < 0.01, (flag, a, e)
 
 
+def test_knn_blocked_matches_fold(spark):
+    """The blocked-GEMM KNN scorer (declared m2 path) must predict
+    identically to the all-JVM fold formulation — same distances up to
+    last-ulp GEMM-vs-fold summation, same (dist2, n_id) tie-breaks, so
+    prediction-level equality is exact."""
+    from pravega_flink_ai_flow_spark.queries import ml_queries as mq
+    sf = "/root/testdata/sf0.01"
+    fold = {tuple(r) for r in mq._spark_knn(spark, sf).collect()}
+    blocked = {tuple(r) for r in mq._spark_knn_blocked(spark, sf).collect()}
+    assert fold == blocked
+    assert len(fold) == 100
+
+
 def test_partitioned_write_prunes_scan(spark, tmp_workdir):
     """Hive-style partitioned layout: a filter on the partition column
     must prune at planning time (PartitionFilters), reading only the
