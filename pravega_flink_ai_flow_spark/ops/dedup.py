@@ -190,6 +190,35 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def contamination_report(train: DataFrame, bench: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         *, k: int = 5) -> DataFrame:
+    """Benchmark decontamination (the step every training-data pipeline
+    runs before release): flag training docs sharing any word ``k``-gram
+    with a benchmark/eval corpus, with the overlap ratio as evidence.
+
+    Scale shape: the benchmark gram set is distinct-ed and **broadcast**
+    — eval suites are small by construction, a few MB of n-grams even
+    for large benchmarks — so the 100 TB training side streams through
+    a map-side semi-probe and only the per-doc hit counts aggregate.
+    The training corpus is never shuffled by gram. (If the benchmark
+    side ever outgrew broadcast, the same plan degrades gracefully to a
+    shuffled semi-join on the gram key.)
+
+    Output: one row per contaminated training doc —
+    (id, n_hit_grams, n_grams, contamination = hits/grams)."""
+    tg = shingle_table(train, id_col, text_col, k)
+    sizes = tg.groupBy("id").agg(F.count("*").alias("n_grams"))
+    bg = shingle_table(bench, id_col, text_col, k) \
+        .select("shingle").distinct()
+    hits = (tg.join(F.broadcast(bg), "shingle")
+            .groupBy("id").agg(F.count("*").alias("n_hit_grams")))
+    return (hits.join(sizes, "id")
+            .select(F.col("id").alias(id_col), "n_hit_grams", "n_grams",
+                    (F.col("n_hit_grams") / F.col("n_grams"))
+                    .alias("contamination")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", *,
                          max_iter: int = 25) -> DataFrame:

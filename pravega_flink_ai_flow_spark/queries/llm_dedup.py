@@ -233,3 +233,98 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
     return dedup.connected_components(pairs).orderBy("id")
+
+
+@declared(
+    "l2_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    losers AS (
+        SELECT node FROM reach GROUP BY node HAVING node <> MIN(label)
+    )
+    SELECT doc_id, n_chars FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
+    """,
+    survey_ids=("L2", "L1"),
+)
+def l2_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the corpus AFTER near-dup
+    removal — every doc that is not a non-keeper member of a dedup
+    cluster (keeper = smallest id, transitively). Pairs → components →
+    anti-join; the corpus is filtered in place, never shuffled (the
+    anti-join's right side is the loser id list, which is at most the
+    near-dup count)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
+    losers = (dedup.connected_components(pairs)
+              .filter(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias("doc_id")))
+    return (docs.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "n_chars"))
+
+
+# Word-5-gram variant of the shingle CTE for decontamination (5-grams
+# are discriminative on this corpus: random word-soup docs share k=3
+# grams by chance, near-identical docs share most k=5 grams).
+_GRAMS5_CTE = """
+    grams5 AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                                     i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)
+    )
+"""
+
+
+@declared(
+    "l6_benchmark_decontam",
+    oracle=f"""
+    WITH {_GRAMS5_CTE},
+    bench AS (SELECT DISTINCT shingle FROM grams5 WHERE id % 10 = 0),
+    train AS (SELECT * FROM grams5 WHERE id % 10 <> 0),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM train GROUP BY id),
+    hits AS (
+        SELECT t.id, COUNT(*) AS n_hit_grams
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY t.id
+    )
+    SELECT h.id AS doc_id, h.n_hit_grams, s.n_grams,
+           CAST(h.n_hit_grams AS DOUBLE) / s.n_grams AS contamination
+    FROM hits h JOIN sizes s ON s.id = h.id
+    """,
+    survey_ids=("L4", "L2"),
+)
+def l6_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 ≠ 0 — the
+    held-in corpus) sharing any word-5-gram with the benchmark split
+    (doc_id % 10 = 0), with overlap ratio. The benchmark gram set is
+    broadcast — eval suites are broadcast-small by construction — so the
+    training side streams map-side at any scale."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.contamination_report(train, bench, "doc_id", "text", k=5)

@@ -368,6 +368,26 @@ def test_approx_percentile_within_tolerance(spark):
             assert abs(a - e) / e < 0.01, (flag, a, e)
 
 
+def test_contamination_report_planted_overlap(spark):
+    """A train doc sharing an exact 6-word span with a benchmark doc
+    must be flagged with the right gram counts; disjoint docs must not
+    appear."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta unrelated tail words")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+         (2, "completely different content with no shared span at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.contamination_report(
+        train, bench, "doc_id", "text", k=5).collect()}
+    assert set(out) == {1}
+    # 9-word doc → 5 distinct 5-grams; the shared 6-word span yields 2 hits
+    assert out[1].n_grams == 5
+    assert out[1].n_hit_grams == 2
+    assert abs(out[1].contamination - 0.4) < 1e-12
+
+
 def test_knn_blocked_matches_fold(spark):
     """The blocked-GEMM KNN scorer (declared m2 path) must predict
     identically to the all-JVM fold formulation — same distances up to
