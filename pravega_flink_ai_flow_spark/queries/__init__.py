@@ -55,6 +55,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         tpch,
         tpch_full,
         llm_dedup,
+        llm_export,
         llm_similarity,
         llm_text,
         ml_queries,

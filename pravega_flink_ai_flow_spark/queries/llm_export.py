@@ -1,0 +1,80 @@
+"""Training-data export queries (SURVEY.md L4 adjacency): the last
+stage of a data pipeline — mixture re-weighting and deterministic
+shard assignment before the corpus is written for training.
+
+The reference's pipeline hands processed data straight to the training
+job (processor.py feeds the Flink job's sink); at 100 TB the handoff is
+a sharded, mixture-weighted export, which is what these queries model.
+Everything is integer arithmetic on both engines — deterministic,
+replayable, ANSI-overflow-safe (coefficients < 2^31, ids < 2^31 at
+declared scales ⇒ products < 2^62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import declared, tables
+
+# Universal-hash constants (distinct per use so derived streams don't
+# correlate); modulus = Mersenne prime 2^31-1 as in ops.dedup.
+_P = (1 << 31) - 1
+_SAMPLE_A, _SAMPLE_B = 1000003, 12345
+_SHARD_A, _SHARD_B = 999983, 777
+_N_SHARDS = 8
+
+
+@declared(
+    "l6_mixture_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               (doc_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 AS pct,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) * 25 AS rate_pct
+        FROM documents
+    ) WHERE pct < rate_pct
+    """,
+    survey_ids=("L4", "P4"),
+)
+def l6_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: downsample each source to a configured
+    rate (here a rule on the source index — 25/50/75/100% cycling) with
+    a deterministic per-row universal-hash accept test. The accept
+    predicate is a pure row expression — map-side, pushed to the scan,
+    zero shuffle at any corpus size — and replayable: the same doc
+    survives every rerun, so downstream incremental stages stay stable."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    pct = F.pmod(F.pmod(F.col("doc_id") * _SAMPLE_A + _SAMPLE_B, F.lit(_P)),
+                 F.lit(100))
+    rate = (F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1) * 25
+    return (docs.filter(pct < rate).select("doc_id", "source"))
+
+
+@declared(
+    "l6_shard_assign",
+    oracle=f"""
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM (
+        SELECT doc_id,
+               (doc_id * {_SHARD_A} + {_SHARD_B}) % {_P} AS h,
+               (doc_id * {_SHARD_A} + {_SHARD_B}) % {_P} % {_N_SHARDS} AS shard
+        FROM documents
+    )
+    """,
+    survey_ids=("L4", "O1", "W1"),
+)
+def l6_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: shard = universal hash mod N (decorrelates adjacent ids —
+    the 'global shuffle' training wants), pos = rank within the shard
+    by (hash, id). The plan is exactly the sharded-write shape: one
+    hash-partition shuffle, an in-partition sort, no global sort — at
+    100 TB each shard sorts independently and streams to its file."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * _SHARD_A + _SHARD_B, F.lit(_P))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select("doc_id", h.alias("h"),
+                        F.pmod(h, F.lit(_N_SHARDS)).alias("shard"))
+            .withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "shard", "pos"))
