@@ -247,3 +247,41 @@ def l4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("__n_tok").between(20, 1000))
             .select("doc_id", "lang", "quality")
             .orderBy("doc_id"))
+
+
+@declared(
+    "l6_heavy_hitter_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t != '')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT term, COUNT(*) AS n_occurrences,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM toks GROUP BY term
+    HAVING COUNT(*) > (SELECT n FROM tot) * 0.01
+    """,
+    survey_ids=("L4", "A2", "A8"),
+)
+def l6_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: terms above 1% of total corpus tokens — the exact
+    two-aggregation formulation (map-side partial counts; the 1-row
+    total broadcasts into the HAVING). This is the oracle twin of the
+    count-min sketch path (ops.sketch — bounded state when the term
+    universe itself can't be shuffled); pytest bounds the sketch's
+    estimates against these exact counts."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    ).alias("term"))
+    # fraction-of-total as a 1-row broadcast (the tpch_q11 pattern), not
+    # a driver-side count
+    tot = toks.agg(F.count("*").alias("__total"))
+    return (toks.groupBy("term")
+            .agg(F.count("*").alias("n_occurrences"))
+            .join(F.broadcast(tot))
+            .filter(F.col("n_occurrences") > F.col("__total") * 0.01)
+            .select("term", "n_occurrences",
+                    (F.col("n_occurrences") / F.col("__total")).alias("share")))

@@ -77,6 +77,21 @@ def stateful_running_agg(df: DataFrame, key_col: str, value_col: str,
                                     "update", state_timeout))
 
 
+def enrich_with_static(stream_df: DataFrame, static_dim: DataFrame,
+                       on, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join (the dimension-lookup pattern every
+    event pipeline needs): the static side is re-resolved per micro-batch
+    and broadcast — no streaming state, no watermark, unmatched stream
+    rows pass through with nulls under ``how='left'``.
+
+    At scale the static side is a dimension table (small by definition);
+    if it outgrows broadcast the same plan degrades to a per-batch
+    shuffle join, still stateless. Re-resolution per batch means a
+    dimension refresh (new parquet snapshot) is picked up mid-stream
+    without restarting the query."""
+    return stream_df.join(F.broadcast(static_dim), on, how)
+
+
 def interval_join(left: DataFrame, right: DataFrame, *, key: str,
                   left_ts: str = "l_ts", right_ts: str = "r_ts",
                   lookback: str = "5 minutes",

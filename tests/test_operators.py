@@ -368,6 +368,38 @@ def test_approx_percentile_within_tolerance(spark):
             assert abs(a - e) / e < 0.01, (flag, a, e)
 
 
+def test_count_min_sketch_bounds(spark):
+    """Count-min guarantees: estimate ≥ true count always (counters only
+    ever over-count), and ≤ true + (e/width)·N for the standard width
+    bound — checked for every heavy-hitter term at sf0.01. Also checks
+    mergeability is real: the sketch table never exceeds depth·width
+    rows however the input is partitioned."""
+    import math
+    from pravega_flink_ai_flow_spark.ops import sketch
+    from pravega_flink_ai_flow_spark.ops.partitioning import spread
+    from pravega_flink_ai_flow_spark.queries import tables
+
+    sf = "/root/testdata/sf0.01"
+    width, depth = 2048, 4
+    (docs,) = tables(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    exact = {r.t: r.n for r in
+             toks.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+
+    sk = sketch.count_min_build(spread(docs), "text",
+                                width=width, depth=depth)
+    assert sk.count() <= width * depth
+    terms = sorted(exact, key=exact.get, reverse=True)[:30]
+    est = {r.term: r.est for r in
+           sketch.count_min_estimate(sk, terms, width=width,
+                                     depth=depth).collect()}
+    eps_n = math.e / width * n_total
+    for t in terms:
+        assert est[t] >= exact[t], (t, est[t], exact[t])
+        assert est[t] <= exact[t] + eps_n, (t, est[t], exact[t], eps_n)
+
+
 def test_contamination_report_planted_overlap(spark):
     """A train doc sharing an exact 6-word span with a benchmark doc
     must be flagged with the right gram counts; disjoint docs must not

@@ -45,6 +45,24 @@ def test_available_now_drains_stream_dir(spark, tmp_workdir):
     assert sorted(r.event_id for r in got) == [1, 2, 3]
 
 
+def test_stream_static_enrichment_join(spark, tmp_workdir):
+    """Stream-static broadcast enrichment: every streamed event picks up
+    its user's dimension attributes; users missing from the dim pass
+    through with nulls (left join, stateless)."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 5, 2, 2.0),
+                                     (3, 9, 99, 3.0)]))  # user 99 not in dim
+    dim = spark.createDataFrame(
+        [Row(user_id=1, tier="gold"), Row(user_id=2, tier="basic")],
+        "user_id long, tier string")
+    enriched = st.enrich_with_static(stream.read_stream(spark), dim,
+                                     on="user_id", how="left")
+    st.run_available_now(enriched, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="enriched")
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "gold", 2: "basic", 3: None}
+
+
 def test_tumbling_window_with_watermark(spark, tmp_workdir):
     stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
     stream.append(_mk_events(spark, [
