@@ -88,6 +88,20 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = ALL_TABLES) -> None:
+    """Register the test tables as temp views so raw ``spark.sql(...)``
+    works as a first-class entry point (events gets the nanos-safe
+    reader) — the SQL face of the same engine; every declared query is
+    equally expressible this way."""
+    for n in names:
+        tables(spark, sf_dir, n)[0].createOrReplaceTempView(n)
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load driver test tables as DataFrames (plan-cached per session)."""
     app_id = spark.sparkContext.applicationId

@@ -368,6 +368,25 @@ def test_approx_percentile_within_tolerance(spark):
             assert abs(a - e) / e < 0.01, (flag, a, e)
 
 
+def test_register_views_sql_entry_point(spark):
+    """Raw spark.sql over the registered views — including events, whose
+    nanos timestamp needs the safe reader — must agree with the
+    DataFrame path."""
+    from pravega_flink_ai_flow_spark.queries import register_views, tables
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    got = spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """).collect()
+    (o, li) = tables(spark, sf, "orders", "lineitem")
+    want = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert spark.sql("SELECT MAX(ts) FROM events").collect()[0][0] is not None
+
+
 def test_count_min_sketch_bounds(spark):
     """Count-min guarantees: estimate ≥ true count always (counters only
     ever over-count), and ≤ true + (e/width)·N for the standard width

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Streaming throughput bench — the reference is a *stream processor*
+(BASELINE.json category), so batch query wall-clock alone doesn't cover
+"matches-or-beats its single-node throughput". This drives the sf0.1
+events table (100 k rows) through the Pravega-sim stream-dir transport
+and three availableNow pipelines, reporting drained rows/sec each:
+
+- passthrough: source → foreachBatch sink (transport ceiling)
+- tumbling:    watermark + 1 h tumbling agg by event_type
+- dedup_enrich: exactly-once-per-key dedup + stream-static dim join
+
+Micro-batching is real (maxFilesPerTrigger splits the drain into ~4
+batches), so per-batch planning/state costs are included — this is the
+steady-state micro-batch rate, not a single-batch best case.
+
+Usage: python tools/bench_streaming.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.io.pravega_sim import StreamDir
+    from pravega_flink_ai_flow_spark.queries import tables
+    from pravega_flink_ai_flow_spark.streaming import ops as st
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    (events,) = tables(spark, sf_dir, "events")
+    n_rows = events.count()
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        # setup (untimed): land the events in the stream-dir transport
+        # as 8 segment files, the shape a connector would deliver
+        stream = StreamDir(os.path.join(work, "events-stream"),
+                           events.schema)
+        stream.append(events.repartition(8))
+
+        dim = (events.select("user_id").distinct()
+               .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold")
+                                    .otherwise("basic")))
+
+        def drain(label, build):
+            ck = os.path.join(work, f"ck_{label}")
+            sdf = stream.read_stream(spark, max_files_per_trigger=2)
+            out = build(sdf)
+            sink_rows = []
+            t0 = time.perf_counter()
+            q = (out.writeStream
+                 .outputMode("update" if label == "tumbling" else "append")
+                 .trigger(availableNow=True)
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(lambda b, i: sink_rows.append(b.count()))
+                 .start())
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            return round(n_rows / wall, 1), wall
+
+        # codegen/stream-machinery warmup (untimed): tiny drain
+        drain("warmup", lambda s: s)
+
+        rates = {}
+        rates["passthrough"], _ = drain("passthrough", lambda s: s)
+        rates["tumbling"], _ = drain(
+            "tumbling",
+            lambda s: st.tumbling_window_agg(
+                st.with_watermark(s, "ts", "10 minutes"),
+                F.count("*").alias("n"), F.sum("value").alias("total"),
+                ts_col="ts", size="1 hour", keys=(F.col("event_type"),)))
+        rates["dedup_enrich"], _ = drain(
+            "dedup_enrich",
+            lambda s: st.enrich_with_static(
+                st.stream_dedup(s, ["event_id"], "ts", "10 minutes"),
+                dim, on="user_id", how="left"))
+
+        print(json.dumps({
+            "metric": "streaming_drain_rows_per_sec",
+            "value": rates["passthrough"],
+            "unit": "rows/sec",
+            "pipelines": rates,
+            "n_rows": n_rows,
+            "sf_dir": sf_dir,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
