@@ -45,6 +45,36 @@ def test_available_now_drains_stream_dir(spark, tmp_workdir):
     assert sorted(r.event_id for r in got) == [1, 2, 3]
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_workdir):
+    """Exactly-once across restarts: a second availableNow drain with
+    the SAME checkpoint must process only files appended since the first
+    drain — the file-source offset log is the resume point, so no event
+    is duplicated and none is lost."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    ck = os.path.join(tmp_workdir, "ck")
+    batches = []
+
+    def drain():
+        q = (stream.read_stream(spark).writeStream
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ck)
+             .foreachBatch(lambda b, i: batches.append(
+                 sorted(r.event_id for r in b.collect())))
+             .start())
+        q.awaitTermination()
+
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 5, 1, 2.0)]))
+    drain()
+    stream.append(_mk_events(spark, [(3, 10, 2, 3.0)]))
+    drain()
+
+    seen = [e for b in batches if b for e in b]
+    assert sorted(seen) == [1, 2, 3]          # nothing lost...
+    assert len(seen) == len(set(seen))        # ...nothing duplicated
+    assert [e for b in batches[-1:] or [[]] for e in b] != [1, 2, 3], \
+        "second drain must not reprocess the first batch's files"
+
+
 def test_stream_static_enrichment_join(spark, tmp_workdir):
     """Stream-static broadcast enrichment: every streamed event picks up
     its user's dimension attributes; users missing from the dim pass
