@@ -207,8 +207,8 @@ def a6_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(STDDEV_SAMP(l_extendedprice), 2)      AS price_stddev,
            ROUND(VAR_SAMP(l_extendedprice), 0)         AS price_var,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS price_median,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 2) AS price_p90
+           ROUND(QUANTILE_CONT(l_extendedprice * 100, 0.5), 1) AS median_cents,
+           ROUND(QUANTILE_CONT(l_extendedprice * 100, 0.9), 1) AS p90_cents
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -220,17 +220,22 @@ def a7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx stays available for the 100 TB path but is not
     hash-checkable. Moments are rounded coarsely on BOTH sides:
     var_samp is ~1e9 here, so the gate's 6-decimal rounding sits below
-    the summation-order noise floor — unrounded values hash-flake."""
+    the summation-order noise floor — unrounded values hash-flake.
+    Percentiles are computed over CENTS (price*100): prices have 2
+    decimals, so interpolated quantiles of the raw column are exact
+    multiples of 0.005 — dead on the 2dp rounding boundary, where a
+    1-ulp Spark-vs-DuckDB interpolation difference flips the rounded
+    digit. In cents the interpolated values are multiples of 0.1,
+    never within 0.05-ε of a 1dp boundary, so the round is stable."""
     (li,) = tables(spark, sf_dir, "lineitem")
+    cents = F.col("l_extendedprice") * 100
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
             F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
-                .alias("price_median"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2)
-                .alias("price_p90"),
+            F.round(F.percentile(cents, F.lit(0.5)), 1).alias("median_cents"),
+            F.round(F.percentile(cents, F.lit(0.9)), 1).alias("p90_cents"),
         )
         .orderBy("l_returnflag")
     )

@@ -77,6 +77,50 @@ def stateful_running_agg(df: DataFrame, key_col: str, value_col: str,
                                     "update", state_timeout))
 
 
+def stateful_running_agg_ttl(df: DataFrame, key_col: str, value_col: str,
+                             *, ttl_ms: int = 60000,
+                             out_schema: str = None):
+    """T8 with real state eviction: per-key running (count, sum) whose
+    state is EVICTED after ``ttl_ms`` of key inactivity — the key is
+    emitted one final time with ``evicted=true`` and its state removed.
+    This is what bounds state when the key universe is unbounded
+    (user-ids over a 100 TB stream): live keys cost one row each, idle
+    keys cost nothing. ProcessingTimeTimeout survives checkpoints, so
+    eviction fires on the first micro-batch after the TTL even across
+    query restarts.
+
+    Run this with a processing-time trigger and an explicit ``stop()``:
+    with ProcessingTimeTimeout, ``FlatMapGroupsWithStateExec.
+    shouldRunAnotherBatch`` is always true, so a ``trigger(
+    availableNow=True)`` drain NEVER terminates — the engine keeps
+    scheduling empty micro-batches to fire future timers."""
+    import pandas as pd
+    out_schema = out_schema or (f"{key_col} long, n long, total double, "
+                                f"evicted boolean")
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame({key_col: [key[0]], "n": [n],
+                                "total": [total], "evicted": [True]})
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({key_col: [key[0]], "n": [n],
+                            "total": [total], "evicted": [False]})
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema,
+                                    "n long, total double",
+                                    "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def enrich_with_static(stream_df: DataFrame, static_dim: DataFrame,
                        on, how: str = "left") -> DataFrame:
     """Stream-static enrichment join (the dimension-lookup pattern every

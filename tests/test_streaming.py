@@ -45,6 +45,54 @@ def test_available_now_drains_stream_dir(spark, tmp_workdir):
     assert sorted(r.event_id for r in got) == [1, 2, 3]
 
 
+def test_stateful_ttl_evicts_idle_keys(spark, tmp_workdir):
+    """T8 eviction: a key idle past the TTL is emitted once with
+    evicted=true and its state removed; a key that keeps receiving data
+    keeps accumulating. One continuously-running query, stopped
+    explicitly — availableNow cannot be used here because
+    ProcessingTimeTimeout makes shouldRunAnotherBatch always true (the
+    drain would never terminate)."""
+    import time as _t
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 0, 2, 5.0)]))
+    out = []
+
+    agg = st.stateful_running_agg_ttl(
+        stream.read_stream(spark), "user_id", "value", ttl_ms=20000)
+    q = (agg.writeStream.outputMode("update")
+         .trigger(processingTime="300 milliseconds")
+         .option("checkpointLocation", os.path.join(tmp_workdir, "ck"))
+         .foreachBatch(lambda b, i: out.extend(
+             (r.user_id, r.n, r.total, r.evicted) for r in b.collect()))
+         .start())
+
+    def wait_for(pred, deadline_s=150):
+        t0 = _t.time()
+        while _t.time() - t0 < deadline_s:
+            if pred(list(out)):
+                return
+            _t.sleep(0.3)
+        q.stop()
+        raise AssertionError(f"condition not met within {deadline_s}s: {out}")
+
+    try:
+        wait_for(lambda o: (1, 1, 1.0, False) in o and (2, 1, 5.0, False) in o)
+
+        # key 1 stays active (second event before its TTL); key 2 goes idle
+        stream.append(_mk_events(spark, [(3, 10, 1, 2.0)]))
+        wait_for(lambda o: (1, 2, 3.0, False) in o)
+
+        # after >TTL of inactivity key 2 fires its timer: one final row
+        # with evicted=true, then its state is gone
+        wait_for(lambda o: (2, 1, 5.0, True) in o)
+    finally:
+        q.stop()
+
+    # the eviction row carried key 2's final pre-eviction totals, and no
+    # non-evicted key-2 row beyond n=1 ever appeared (state truly gone)
+    assert all(not (u == 2 and n > 1) for (u, n, _, _) in out)
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_workdir):
     """Exactly-once across restarts: a second availableNow drain with
     the SAME checkpoint must process only files appended since the first
