@@ -188,23 +188,26 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customer (TPC-H Q18 shape): HAVING subquery as a
     left-semi join against the aggregated keys (threshold 250 fits the
-    driver data's quantity distribution — p99 ≈ 262 at sf0.01)."""
+    driver data's quantity distribution — p99 ≈ 262 at sf0.01).
+
+    Single lineitem pass: the per-order aggregate that evaluates the
+    HAVING filter already IS sum_qty (o_orderkey is unique in orders, so
+    the oracle's re-group over customer/order attributes is the identity
+    on per-order rows). The filtered aggregate is provably small at any
+    scale — broadcast it to orders, and broadcast the orders⋈agg result
+    to customer (customer is fact-scale at 100 TB; the HAVING-filtered
+    side is the one that stays small)."""
     customer, orders, lineitem = tables(spark, sf_dir,
                                         "customer", "orders", "lineitem")
     big = (lineitem.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("__sq"))
-           .filter(F.col("__sq") > 250)
-           .select("l_orderkey"))
-    # broadcast the AGGREGATED keys (tiny after the HAVING filter), not
-    # customer: customer is fact-scale at 100 TB — let AQE pick its join
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    hot = orders.join(F.broadcast(big),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
     return (
-        lineitem.join(F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
-                      F.col("l_orderkey") == F.col("__bk"), "left_semi")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        customer.join(F.broadcast(hot), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
