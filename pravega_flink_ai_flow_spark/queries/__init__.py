@@ -15,6 +15,7 @@ Conventions (see FIXTURES.md canonicalization rules):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -69,11 +70,29 @@ _EVENTS_NANOS_SCHEMA = ("event_id long, ts long, user_id long, "
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright. Read it as raw int64 nanos via an
-    explicit schema (works on a vanilla session — no legacy conf needed)
-    and convert to a microsecond timestamp JVM-side."""
+    """events.parquet has stored ``ts`` as TIMESTAMP(NANOS) in some data
+    generations (which Spark's parquet reader rejects outright) and plain
+    TIMESTAMP(MICROS) in others. Sniff the physical unit from the parquet
+    footer (driver-side, one footer read) and branch: micros reads
+    natively; nanos reads as raw int64 via an explicit schema and converts
+    to a microsecond timestamp JVM-side. Never assume the unit — the
+    wrong divisor silently lands every event in 1970."""
     from pyspark.sql import functions as F
+
+    unit = None
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+            if os.path.isdir(path) else [path]
+        t = pq.read_schema(files[0]).field("ts").type
+        unit = getattr(t, "unit", None)
+    except Exception:
+        unit = None
+    if unit in ("us", "ms", "s"):
+        return spark.read.parquet(path)
+    # nanos (or unknown → safest is the raw-int64 path that round 1 needed)
     raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
     # integer `div`, not `/`: double division of int64 nanos loses ~200ns
     # of precision, enough to flip a truncated microsecond
