@@ -79,24 +79,39 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     wrong divisor silently lands every event in 1970."""
     from pyspark.sql import functions as F
 
-    unit = None
+    units: set[str | None] = set()
     try:
         import glob
 
         import pyarrow.parquet as pq
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
             if os.path.isdir(path) else [path]
-        t = pq.read_schema(files[0]).field("ts").type
-        unit = getattr(t, "unit", None)
+        # sniff EVERY footer (cheap, driver-side): a mixed-unit dataset
+        # read with one unit would silently corrupt the other parts
+        for f in files:
+            t = pq.read_schema(f).field("ts").type
+            units.add(getattr(t, "unit", None))
     except Exception:
-        unit = None
-    if unit in ("us", "ms", "s"):
-        return spark.read.parquet(path)
-    # nanos (or unknown → safest is the raw-int64 path that round 1 needed)
-    raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
-    # integer `div`, not `/`: double division of int64 nanos loses ~200ns
-    # of precision, enough to flip a truncated microsecond
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        units = set()
+    if len(units) > 1:
+        raise ValueError(
+            f"events parquet at {path} has mixed ts units {units}; "
+            "refusing to guess — regenerate the dataset with one unit")
+    unit = next(iter(units)) if units else None
+    if unit == "ns":
+        # Spark's parquet reader rejects TIMESTAMP(NANOS) outright; read the
+        # physical int64 and convert JVM-side. Integer `div`, not `/`:
+        # double division of int64 nanos loses ~200ns of precision, enough
+        # to flip a truncated microsecond.
+        raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # micros/millis/seconds, or sniff failure (native read is the safe
+    # default — it raises loudly on nanos instead of silently dividing).
+    # Normalize to session-TZ TIMESTAMP: Spark 4 infers TIMESTAMP_NTZ for
+    # tz-naive parquet, which forbids numeric casts that downstream
+    # range-frame/session-window consumers rely on.
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # (appId, sf_dir, table) -> DataFrame. A DataFrame is an immutable logical
