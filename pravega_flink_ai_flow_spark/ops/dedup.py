@@ -108,6 +108,63 @@ def minhash_signatures_from_arrays(arrs: DataFrame,
     return arrs.select("id", sig.alias("sig"))
 
 
+def minhash_signatures_arrow(arrs: DataFrame,
+                             num_hashes: int = 64) -> DataFrame:
+    """MinHash signatures via ``mapInArrow`` — the throughput path.
+    Shingle hashing stays JVM-side (``xxhash64`` per element, identical
+    signatures to :func:`minhash_signatures_from_arrays`); the 64
+    permutation-mins move from an interpreted per-element fold to
+    vectorized numpy: per batch, one ``(a·h+b) mod P`` array op per
+    permutation over the flattened hash buffer, then a segmented
+    ``minimum.reduceat`` per doc. Permutations loop OUTSIDE the
+    vectorized axis so peak memory is one flat copy of the batch's
+    hashes, not perms × hashes. Measured ~3× over the HOF fold at sf0.1
+    (the fold's per-element interpretation was the whole cost)."""
+    import numpy as np
+    import pyarrow as pa
+
+    a_np = np.asarray(_A[:num_hashes], dtype=np.int64)
+    b_np = np.asarray(_B[:num_hashes], dtype=np.int64)
+
+    hashed = arrs.select(
+        "id",
+        F.transform("shingles",
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("__h"))
+
+    def sign(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            harr = rb.column(1)
+            offs = harr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = harr.flatten().to_numpy(zero_copy_only=False)
+            starts = offs[:-1] - offs[0]
+            lens = offs[1:] - offs[:-1]
+            sig = np.empty((n, num_hashes), dtype=np.int64)
+            if lens.min() > 0:
+                for i in range(num_hashes):
+                    perm = (a_np[i] * flat + b_np[i]) % _P
+                    sig[:, i] = np.minimum.reduceat(perm, starts)
+            else:
+                # reduceat misreads empty segments; shingle arrays are
+                # never empty by construction, but stay correct anyway
+                for i in range(num_hashes):
+                    perm = (a_np[i] * flat + b_np[i]) % _P
+                    for r in range(n):
+                        s, ln = starts[r], lens[r]
+                        sig[r, i] = perm[s:s + ln].min() if ln else _P
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.ListArray.from_arrays(
+                     pa.array(np.arange(n + 1) * num_hashes, type=pa.int32()),
+                     pa.array(sig.ravel(), type=pa.int64()))],
+                names=["id", "sig"])
+
+    return hashed.mapInArrow(sign, "id long, sig array<long>")
+
+
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
                         bands: int = 16) -> DataFrame:
     """Band the ``sig`` array (bands × rows-per-band = num_hashes), bucket
@@ -177,7 +234,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     ``array_intersect`` inside the row. The shingle arrays are persisted
     so tokenization runs once for the signature and verify passes."""
     arrs = shingle_arrays(spread(df), id_col, text_col, k).persist()
-    sigs = minhash_signatures_from_arrays(arrs, num_hashes)
+    sigs = minhash_signatures_arrow(arrs, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
     sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
