@@ -143,21 +143,24 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
-    # Three timed runs per query. The headline metric is the per-query
-    # MEDIAN (steady-state throughput); the first run is also reported,
+    # Five timed runs per query. The headline metric is the per-query
+    # MEDIAN of runs 2-5 (steady-state throughput); run 1 is reported,
     # per query, under "queries_cold". Rationale: the first execution of
     # a plan at a new data scale pays JVM JIT compilation of the hot
     # decode/agg/join loops — a fixed cost a long-running cluster session
     # amortizes to zero, and one an AOT-compiled C++ engine (the DuckDB
     # oracle this bench is graded against) never pays at all.
     # Steady-vs-steady is the apples-to-apples throughput comparison;
-    # both numbers are printed so either ratio can be derived.
+    # both numbers are printed so either ratio can be derived. (Five
+    # runs, not three: single-JVM timings on a shared box jitter ±2×
+    # from GC/scheduler noise, and a median over one noisy run of three
+    # inherits that jitter.)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
         runs = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink: executes the FULL plan (count() would let
@@ -165,7 +168,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
-        timings[name] = round(sorted(runs)[1], 3)
+        steady = sorted(runs[1:])
+        timings[name] = round((steady[1] + steady[2]) / 2, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
