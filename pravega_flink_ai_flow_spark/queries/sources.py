@@ -163,6 +163,50 @@ def s9_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "s11_ddl_connector_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+    survey_ids=("S1", "S3", "S4"),
+)
+def s11_ddl_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-DDL entry point: the reference's exact table lifecycle —
+    ``execute_sql(CREATE TABLE ... WITH ('connector'='pravega', ...))``
+    for a JSON sink (processor.py:73-90), ``add_insert`` (processor.py:89),
+    then a second DDL with ``'scan.execution.type'='batch'``
+    (processor.py:95-114) and a plain ``spark.sql`` read through the
+    registered view. Values must survive DDL-declared schemas + JSON."""
+    from ..engine.ddl import FlinkDdlEnv
+
+    (nation,) = tables(spark, sf_dir, "nation")
+    env = FlinkDdlEnv(spark, stream_root=_tmpdir("s11_ddl_"))
+    env.execute_sql("""
+        create table nation_sink (
+            n_nationkey INT, n_name STRING, n_regionkey INT
+        ) with (
+            'connector' = 'pravega',
+            'controller-uri' = 'tcp://localhost:9090',
+            'scope' = 'scope',
+            'sink.stream' = 'nation-stream',
+            'format' = 'json'
+        )""")
+    env.add_insert("nation_sink", nation)
+    env.execute_sql("""
+        create table nation_ddl_source (
+            n_nationkey INT, n_name STRING, n_regionkey INT
+        ) with (
+            'connector' = 'pravega',
+            'controller-uri' = 'tcp://localhost:9090',
+            'scope' = 'scope',
+            'scan.execution.type' = 'batch',
+            'scan.streams' = 'nation-stream',
+            'format' = 'json'
+        )""")
+    return spark.sql("SELECT n_nationkey, n_name, n_regionkey "
+                     "FROM nation_ddl_source ORDER BY n_nationkey")
+
+
+@declared(
     "s10_orc_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation
