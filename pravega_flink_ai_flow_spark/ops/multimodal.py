@@ -59,13 +59,148 @@ def content_hash(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
 
 
-def decode_image(content: bytes) -> "object":
-    """STUB — real implementation needs an image library (PIL/opencv),
-    not present in this container. The engine treats decode as a
-    black-box bytes→tensor function behind this seam."""
+# -- real codecs (pure python/stdlib — no media libraries needed) ----------
+#
+# PNG: full 8-bit-depth decoder (all five scanline filters, grey/RGB/
+# alpha color types, multi-IDAT) and a filter-0 encoder, on zlib+struct.
+# WAV: PCM16 via the stdlib ``wave`` module. Formats that genuinely need
+# external libraries (JPEG's DCT, MP3, video containers) stay behind the
+# NotImplementedError seam below.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # color type → samples/pixel
+
+
+def encode_png(pixels) -> bytes:
+    """uint8 array (h×w or h×w×channels) → PNG bytes (8-bit, filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(content: bytes):
+    """PNG bytes → (width, height, channels, uint8 array h×w×channels).
+
+    Implements the spec's scanline reconstruction (filters 0-4: None,
+    Sub, Up, Average, Paeth) for 8-bit depth, non-interlaced images —
+    the deterministic decode path behind the L5 seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(content):
+        ln, tag = struct.unpack(">I4s", content[pos:pos + 8])
+        pos += 8
+        data = content[pos:pos + ln]
+        pos += ln + 4  # payload + CRC
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG is supported here")
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        p += 1
+        cur = np.frombuffer(raw, np.uint8, count=stride, offset=p).copy()
+        p += stride
+        if ft == 1:    # Sub: + left
+            for i in range(c, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - c])) & 0xFF
+        elif ft == 2:  # Up: + above (uint8 wraps = mod 256)
+            cur += prev
+        elif ft == 3:  # Average: + floor((left+above)/2)
+            for i in range(stride):
+                left = int(cur[i - c]) if i >= c else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth predictor
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                pp = a + b - cc
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = out[y]
+    return w, h, c, out.reshape(h, w, c)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """int16 sample array (mono) → PCM16 WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes):
+    """WAV bytes → (sample_rate, n_channels, int16 sample array)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV is supported here")
+        rate, nch = wf.getframerate(), wf.getnchannels()
+        frames = wf.readframes(wf.getnframes())
+    return rate, nch, np.frombuffer(frames, dtype="<i2")
+
+
+def decode_image(content: bytes):
+    """Image decode seam. PNG decodes for real (pure python, above);
+    formats needing external codec libraries (JPEG/WebP/...) raise —
+    swap in PIL.Image.open(io.BytesIO(content)) where it's available."""
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "container; swap this stub for PIL.Image.open(io.BytesIO(content))")
+        "non-PNG image decode requires an image library not present in "
+        "this container; swap this seam for PIL.Image.open(...)")
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:

@@ -2,11 +2,21 @@
 metadata, exercised over ``documents`` (text bytes stand in for media
 bytes; the plumbing — BinaryType payloads, hash-dedup keys, frame-sample
 plan expansion — is byte-for-byte what an image/audio pipeline uses).
-The decode seam itself is stubbed in ``ops.multimodal`` and covered by
-pytest, not the SQL oracle.
+
+The decode path is REAL for PNG and PCM16 WAV (pure-python codecs in
+``ops.multimodal``): ``l5_image_decode`` / ``l5_audio_decode`` synthesize
+deterministic media per row, run it through encode→decode inside
+``mapInPandas``, and emit properties the DuckDB oracle recomputes
+directly from the generating formula — so a bug anywhere in the zlib/
+filter/RIFF handling breaks the value hash. Only codecs that genuinely
+need external libraries (JPEG, video) remain a NotImplementedError seam.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -34,6 +44,121 @@ def l5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("content_sha256"),
         F.octet_length(payload).alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "l5_image_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 7 + 2 AS INTEGER) AS width,
+               CAST(doc_id % 5 + 2 AS INTEGER)  AS height
+        FROM documents
+    )
+    SELECT m.doc_id, m.width, m.height,
+           (SELECT AVG(CAST((m.doc_id * 31 + x.r * 7 + y.r * 13) % 256 AS DOUBLE))
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS mean_px,
+           (SELECT CAST(SUM(((m.doc_id * 31 + x.r * 7 + y.r * 13) % 256)
+                            * (y.r * m.width + x.r)) AS BIGINT)
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS px_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5",),
+)
+def l5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: per doc, synthesize a grayscale PNG whose pixel
+    (x,y) = (doc_id·31 + x·7 + y·13) mod 256, run it through the pure-
+    python PNG encoder AND decoder (zlib inflate + scanline filters)
+    inside Arrow-batched ``mapInPandas``, and report width/height/mean/
+    position-weighted checksum FROM THE DECODED PIXELS. The oracle
+    recomputes all four from the generating formula, so any codec bug —
+    wrong stride, filter reconstruction, chunk parsing — flips the hash."""
+    from ..ops.multimodal import decode_png, encode_png
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_px": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 7 + 2
+                h = int(doc_id) % 5 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((int(doc_id) * 31 + x * 7 + y * 13) % 256).astype(np.uint8)
+                dw, dh, _c, arr = decode_png(encode_png(px))
+                flat = arr.reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["mean_px"].append(float(flat.mean()))
+                out["px_checksum"].append(
+                    int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, width int, height int, mean_px double, "
+             "px_checksum long")
+        .orderBy("doc_id"))
+
+
+@declared(
+    "l5_audio_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 50 + 10 AS INTEGER)        AS n_samples,
+               CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate
+        FROM documents
+    )
+    SELECT m.doc_id, m.n_samples, m.sample_rate,
+           (SELECT AVG(CAST((m.doc_id * 7 + i.r * 11) % 512 - 256 AS DOUBLE))
+            FROM unnest(generate_series(0, m.n_samples - 1)) i(r)) AS mean_sample,
+           (SELECT CAST(SUM(((m.doc_id * 7 + i.r * 11) % 512 - 256) * i.r)
+                        AS BIGINT)
+            FROM unnest(generate_series(0, m.n_samples - 1)) i(r)) AS sample_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5",),
+)
+def l5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: per doc, synthesize PCM16 mono WAV with sample
+    i = (doc_id·7 + i·11) mod 512 − 256, encode→decode through the RIFF
+    codec inside ``mapInPandas``, report rate/length/mean/position-
+    weighted checksum FROM THE DECODED SAMPLES; oracle recomputes from
+    the formula."""
+    from ..ops.multimodal import decode_wav, encode_wav
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "mean_sample": [], "sample_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 50 + 10
+                rate = 8000 + (int(doc_id) % 4) * 4000
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(doc_id) * 7 + i * 11) % 512 - 256).astype("<i2")
+                drate, _nch, dec = decode_wav(encode_wav(samples, rate))
+                d = dec.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(d.size))
+                out["sample_rate"].append(int(drate))
+                out["mean_sample"].append(float(d.mean()))
+                out["sample_checksum"].append(int((d * np.arange(d.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, n_samples int, sample_rate int, "
+             "mean_sample double, sample_checksum long")
+        .orderBy("doc_id"))
 
 
 @declared(
