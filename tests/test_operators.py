@@ -522,6 +522,22 @@ def test_knn_blocked_matches_fold(spark):
     assert len(fold) == 100
 
 
+def test_knn_collect_guard_falls_back_to_distributed(spark, monkeypatch):
+    """An oversized test split must NOT be collected to the driver: the
+    guard returns None and m2 degrades to the distributed all-JVM fold,
+    producing identical predictions."""
+    from pravega_flink_ai_flow_spark.queries import ml_queries as mq
+
+    sf = "/root/testdata/sf0.001"
+    expected = {tuple(r) for r in mq._spark_knn(spark, sf).collect()}
+    monkeypatch.setattr(mq, "_MAX_TEST_ROWS", 3)   # force the guard to trip
+    mq._TEST_SPLIT_CACHE.clear()
+    assert mq._test_rows(spark, sf) is None
+    got = {tuple(r) for r in mq.m2_knn_predict(spark, sf).collect()}
+    assert got == expected
+    mq._TEST_SPLIT_CACHE.clear()                   # don't poison other tests
+
+
 def test_partitioned_write_prunes_scan(spark, tmp_workdir):
     """Hive-style partitioned layout: a filter on the partition column
     must prune at planning time (PartitionFilters), reading only the

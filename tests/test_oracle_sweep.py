@@ -1,0 +1,34 @@
+"""Full oracle sweep (``pytest -m oracle``) — replicates the driver's
+DuckDB comparison for EVERY declared query, not just the 50 the driver's
+correctness window records per round. Window rotation can therefore
+never hide a regression: this sweep is the repo-side superset of the
+gate (VERDICT.md r3, next-round item 8).
+
+Uses the same canonicalization as tools/check_correctness.py (which is
+itself kept in lockstep with FIXTURES.md); queries with no oracle get a
+rows-only execution check (must run, must not produce complex-typed
+output that would crash the driver's canonicalizer).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SF = os.environ.get("ORACLE_SWEEP_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.mark.oracle
+def test_every_declared_query_matches_its_oracle():
+    """Run the full sweep in a subprocess (its SparkSession config and
+    lifecycle are owned by the checker, not the shared pytest session)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), SF],
+        capture_output=True, text=True, timeout=1800)
+    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    assert proc.returncode == 0, (
+        f"oracle sweep failed (rc={proc.returncode}):\n{tail}\n{proc.stderr[-2000:]}")
+    assert " 0 FAILED" in proc.stdout, tail
