@@ -54,12 +54,32 @@ class Workflow:
     def __init__(self, spark, registry=None):
         self.spark = spark
         self.registry = registry
+        self.config = None                 # WorkflowConfig, optional
         self._jobs: dict[str, _Job] = {}
         self._triggers: list[_Trigger] = []
         self._queue: deque[str] = deque()
         self._events_log: list[tuple[str, str, str]] = []
+        self._stop = False
         if registry is not None:
             registry.subscribe(self._on_model_event)
+
+    # -- configuration / cancellation ---------------------------------------
+
+    def apply_config(self, config) -> None:
+        """Attach a per-job WorkflowConfig (job_type, run_mode, ...). The
+        runner validates it at execution time: a job declared
+        ``job_type: python`` is a driver-side step and must not return a
+        DataFrame plan (those belong to engine jobs)."""
+        self.config = config
+
+    def request_stop(self) -> None:
+        """Cooperative cancel (``stop_all_workflow_executions``): the
+        in-flight job finishes, queued jobs never start."""
+        self._stop = True
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop
 
     # -- graph construction (the af.* DSL equivalents) ----------------------
 
@@ -98,7 +118,7 @@ class Workflow:
             triggered = {t.job_name for t in self._triggers}
             start_jobs = [n for n in self._jobs if n not in triggered]
         self._queue.extend(start_jobs)
-        while self._queue:
+        while self._queue and not self._stop:
             name = self._queue.popleft()
             job = self._jobs[name]
             if job.status != JobStatus.PENDING:
@@ -106,12 +126,24 @@ class Workflow:
             job.status = JobStatus.RUNNING
             try:
                 job.result = job.fn(self)
+                self._check_job_type(name, job.result)
             except Exception:
                 job.status = JobStatus.FAILED
                 self._publish("job_status", name, JobStatus.FAILED)
                 raise
             job.status = JobStatus.FINISHED
             self._publish("job_status", name, JobStatus.FINISHED)
+
+    def _check_job_type(self, name: str, result) -> None:
+        if self.config is None:
+            return
+        from pyspark.sql import DataFrame
+        if (self.config.job(name).job_type == "python"
+                and isinstance(result, DataFrame)):
+            raise TypeError(
+                f"job {name!r} is configured job_type: python (a driver-"
+                "side step) but returned a DataFrame plan — declare it "
+                "spark/flink in the workflow YAML")
 
     # -- event bus ----------------------------------------------------------
 
