@@ -136,6 +136,58 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# PII patterns: deliberately lookaround-free so the same regex runs
+# identically under Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """PII scrub for training-data release: emails → <EMAIL>, IPv4
+    addresses → <IP>. Pure row expression (regexp_replace chains) —
+    map-side at any corpus size. Real deployments extend the pattern
+    table; the plan shape doesn't change."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_ipv4) found in the text — the audit metric emitted
+    alongside redaction."""
+    return (F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))),
+            F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), F.lit(0))))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization (the step before exact dedup /
+    fingerprinting): lowercase, strip everything but [a-z0-9 ],
+    collapse whitespace runs, trim. In-row, zero shuffle."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, r" +", " "))
+
+
+def sentences(text: Column) -> Column:
+    """Non-empty trimmed sentence segments (split on .!?).
+
+    The transform lambda must take exactly one arg: passing ``F.trim``
+    directly would receive (element, index) and silently hit the
+    two-parameter TRIM overload — trimming index digits off segments."""
+    segs = F.split(text, r"[.!?]")
+    return F.filter(F.transform(segs, lambda s: F.trim(s)), lambda s: s != "")
+
+
+def dup_sentence_ratio(text: Column) -> Column:
+    """Repetition signal: fraction of sentences that are duplicates of
+    an earlier sentence in the SAME document (1 − distinct/total).
+    High values mark boilerplate/spam for quality filtering. Array ops
+    in-row — no explode, no shuffle."""
+    segs = sentences(text)
+    n = F.size(segs)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(segs)) / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set to a documents frame."""
     t = F.col(text_col)

@@ -50,6 +50,54 @@ def l6_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.filter(pct < rate).select("doc_id", "source"))
 
 
+_PACK_BUDGET = 2048   # tokens per packed training sequence
+
+
+@declared(
+    "l6_sequence_packing",
+    oracle=f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum - n_tokens AS BIGINT)                    AS tok_offset,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        t -> t != '')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+    )
+    ORDER BY lang, doc_id
+    """,
+    survey_ids=("L4", "W4", "O1"),
+)
+def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training export: contiguous offset-based
+    assignment of documents to fixed token-budget packs. Each doc gets
+    its cumulative token offset within its shard (here: language) and
+    ``pack_id = offset // budget`` — the deterministic, parallel
+    formulation of packing (true first-fit is inherently sequential;
+    offset-chunking is what large-scale packers actually run because it
+    needs ONE window cumsum per shard, no cross-shard coordination, and
+    re-runs reproducibly). At 100 TB the shard key keeps every window
+    partition independent — no global sort."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from ..ops.text import token_count
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = docs.select("doc_id", "lang",
+                       token_count(F.col("text")).cast("long").alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return (base
+            .withColumn("tok_offset", (cum - F.col("n_tokens")).cast("long"))
+            .withColumn("pack_id",
+                        F.floor(F.col("tok_offset") / _PACK_BUDGET).cast("long"))
+            .orderBy("lang", "doc_id"))
+
+
 @declared(
     "l6_shard_assign",
     oracle=f"""

