@@ -36,10 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Fixed: the export dicts are built sorted by EXPORT key, so `a0_`-
 # prefixed names genuinely enter the window. `_PROMOTED` holds exactly
 # 50 of the 77 never-recorded queries (all 21 TPC-H, w1-w8, u1-u5 incl.
-# ALL variants, o1-o3, t3/t4/t5/t7, m2/m3, p1-p5); the remaining 27
-# (p6-p8, s*, t11-t13, l3_lsh, l4_*, l5_*, l6_*) rotate into round 5.
-# Canonical names are unchanged in the package registry, bench.py and
-# tests; only the exported keys rotate.
+# ALL variants, o1-o3, t3/t4/t5/t7, m2/m3, p1-p5). ROUND 5: promote the
+# remaining never-recorded set — p6-p8, s1/s3_s4/s7-s11, t11-t13,
+# l3_lsh, all l4_*, l5_* (incl. the round-4 l5_image_decode /
+# l5_audio_decode), l6_* (incl. round-4 l6_pii_redaction /
+# l6_sequence_packing), l4_text_normalize, l4_repetition_ratio — ~34
+# names, padded to 50 with the oldest-recorded queries. Canonical names
+# are unchanged in the package registry, bench.py and tests; only the
+# exported keys rotate.
 _PROMOTED = frozenset({
     # TPC-H (all 21 declared shapes; q1 is a1_pricing_summary, green r1)
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
