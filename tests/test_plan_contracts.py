@@ -1,0 +1,78 @@
+"""Plan contracts — regression guards for the physical-plan properties
+the 100 TB story depends on (PERFORMANCE.md). These assert on
+``explain("formatted")`` output, not on timings, so they are stable on
+shared hardware:
+
+- NO declared query may plan a row-at-a-time Python UDF
+  (``BatchEvalPython``) or an unintended ``CartesianProduct``;
+- dimension joins stay broadcast (tpch_q5's five dims);
+- filter pushdown + column pruning reach the parquet scan (s7);
+- the GEMM scorers stay Arrow-native (``MapInArrow``), never fall back
+  to interpreted higher-order folds.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    from pravega_flink_ai_flow_spark.queries import load_all
+    df = load_all()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_row_python_udf_or_cartesian_in_any_declared_query(spark):
+    from pravega_flink_ai_flow_spark.queries import load_all
+    flagged = {}
+    for name, q in sorted(load_all().items()):
+        df = q.fn(spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        smells = [s for s in ("BatchEvalPython", "CartesianProduct")
+                  if s in plan]
+        if smells:
+            flagged[name] = smells
+    assert not flagged, f"scale smells in plans: {flagged}"
+
+
+def test_q5_broadcasts_every_dimension(spark):
+    plan = _plan(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j2_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "j2_broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_s7_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "s7_parquet_pruned_scan")
+    assert "PushedFilters" in plan and "o_totalprice" in \
+        plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema     # pruned
+
+def test_a1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "a1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in \
+        plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+
+@pytest.mark.parametrize("name", ["l3_brute_force_topk", "m2_knn_predict"])
+def test_gemm_scorers_stay_arrow_native(spark, name):
+    plan = _plan(spark, name)
+    assert "MapInArrow" in plan, "blocked-GEMM scorer regressed off Arrow"
+    assert "BatchEvalPython" not in plan
