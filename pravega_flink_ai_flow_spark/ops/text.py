@@ -61,7 +61,14 @@ def quality_score(text: Column) -> Column:
     stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
     wl = mean_word_length(text)
     wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
-    return F.round((len_score + stop_score + wl_score) / 3.0, 6)
+    # raw double, deliberately NOT rounded: every term is exact integer
+    # arithmetic + single IEEE divisions in fixed order, so Spark and the
+    # DuckDB oracle produce bit-identical doubles — while round() itself
+    # DISAGREES between engines at shortest-repr half boundaries (Spark
+    # HALF_UPs the decimal string, DuckDB rounds the binary value; bit
+    # w8 at sf0.1). Rounding here would also make the >= 0.6 quality
+    # gate flip row membership at such boundaries.
+    return (len_score + stop_score + wl_score) / 3.0
 
 
 # Per-language marker-token profiles for the language-ID heuristic.

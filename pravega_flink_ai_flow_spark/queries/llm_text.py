@@ -18,8 +18,8 @@ from ..ops import text as T
     SELECT doc_id,
            CAST(len(toks) AS INTEGER)  AS n_tokens,
            CAST(n_chars AS BIGINT)     AS n_chars,
-           round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-                 / greatest(len(toks), 1), 6) AS mean_word_len
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS mean_word_len
     FROM (SELECT doc_id, n_chars,
                  list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
           FROM documents)
@@ -30,11 +30,14 @@ from ..ops import text as T
 def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     t = F.col("text")
+    # mean_word_len not rounded: exact-int sum + one division → bit-
+    # identical doubles on both engines; round() itself can disagree at
+    # shortest-repr half boundaries (see w8)
     return docs.select(
         "doc_id",
         T.token_count(t).alias("n_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.round(T.mean_word_length(t), 6).alias("mean_word_len"),
+        T.mean_word_length(t).alias("mean_word_len"),
     ).orderBy("doc_id")
 
 
@@ -42,12 +45,12 @@ def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l4_quality_features",
     oracle="""
     SELECT doc_id,
-           round(CAST(len(list_filter(toks, t -> list_contains(
+           CAST(len(list_filter(toks, t -> list_contains(
                  ['the','a','an','and','or','of','to','in','is','it',
                   'for','on','with','as','at','by','be','this','that','are'],
-                 lower(t)))) AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
-           round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS DOUBLE)
-                 / greatest(len(text), 1), 6) AS punct_ratio
+                 lower(t)))) AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+           CAST(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS DOUBLE)
+                 / greatest(len(text), 1) AS punct_ratio
     FROM (SELECT doc_id, text,
                  list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
           FROM documents)
@@ -58,10 +61,12 @@ def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     t = F.col("text")
+    # ratios not rounded: single int/int IEEE divisions → bit-identical
+    # on both engines (round() disagrees at half boundaries, see w8)
     return docs.select(
         "doc_id",
-        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.punct_ratio(t).alias("punct_ratio"),
     ).orderBy("doc_id")
 
 
@@ -225,9 +230,9 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
     )
     SELECT doc_id, lang,
-           round((len_score + stop_score + wl_score) / 3.0, 6) AS quality
+           (len_score + stop_score + wl_score) / 3.0 AS quality
     FROM f
-    WHERE round((len_score + stop_score + wl_score) / 3.0, 6) >= 0.6
+    WHERE (len_score + stop_score + wl_score) / 3.0 >= 0.6
       AND n_tok BETWEEN 20 AND 1000
     ORDER BY doc_id
     """,
@@ -286,9 +291,9 @@ def l4_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(segs) AS INTEGER)                 AS n_sentences,
            CAST(len(list_distinct(segs)) AS INTEGER)  AS n_distinct,
-           round(CASE WHEN len(segs) > 0
-                 THEN 1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
-                 ELSE 0.0 END, 6) AS dup_ratio
+           CASE WHEN len(segs) > 0
+                THEN 1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
+                ELSE 0.0 END AS dup_ratio
     FROM (
         SELECT doc_id,
                list_filter(list_transform(string_split_regex(text, '[.!?]'),
@@ -311,7 +316,7 @@ def l4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(segs).alias("n_sentences"),
         F.size(F.array_distinct(segs)).alias("n_distinct"),
-        F.round(T.dup_sentence_ratio(t), 6).alias("dup_ratio"),
+        T.dup_sentence_ratio(t).alias("dup_ratio"),
     ).orderBy("doc_id")
 
 

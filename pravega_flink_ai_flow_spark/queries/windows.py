@@ -176,8 +176,8 @@ def w7_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w8_percent_rank_cume_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     ORDER BY c_custkey
@@ -186,12 +186,18 @@ def w7_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w8_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-position analytics: percent_rank + cume_dist per nation by
-    account balance (ties broken by key for determinism)."""
+    account balance (ties broken by key for determinism).
+
+    Deliberately NOT rounded on either side: both engines compute the
+    same single IEEE division, so the raw doubles are bit-identical —
+    while round() itself disagrees at shortest-repr half boundaries
+    (Spark HALF_UPs the decimal string "0.0640625"; DuckDB rounds the
+    binary value just below it — observed at sf0.1, c_custkey 12794)."""
     (customer,) = tables(spark, sf_dir, "customer")
     w = (Window.partitionBy("c_nationkey")
          .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
     return (customer.select(
         "c_custkey", "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
         .orderBy("c_custkey"))
