@@ -111,3 +111,37 @@ def test_asof_merge_matches_pandas_merge_asof(spark, data):
         left_on="k", right_on="k2", left_time="t", right_time="t2",
         tie_breakers=["rid"]).collect()}
     assert got == want
+
+
+# -- codec properties (no Spark needed: pure-python PNG/WAV) ----------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 16),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, c, seed):
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        decode_png, encode_png)
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    dw, dh, dc, out = decode_png(encode_png(arr))
+    assert (dw, dh, dc) == (w, h, c)
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        decode_wav, encode_wav)
+    arr = np.asarray(samples, dtype="<i2")
+    drate, nch, out = decode_wav(encode_wav(arr, rate))
+    assert (drate, nch) == (rate, 1)
+    assert np.array_equal(out, arr)
