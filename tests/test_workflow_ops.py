@@ -127,3 +127,28 @@ def test_python_job_type_must_not_return_plans(spark):
 def test_unsubmitted_workflow_raises():
     with pytest.raises(KeyError):
         WorkflowOperation().start_new_workflow_execution("ghost")
+
+
+def test_project_context_from_reference_yaml(spark, tmp_workdir):
+    """init_project loads the reference's project.yaml shape and wires
+    catalog + registry + workflow operation with persistent state."""
+    import os
+
+    from pravega_flink_ai_flow_spark.engine.project import init_project
+
+    ypath = os.path.join(tmp_workdir, "project.yaml")
+    with open(ypath, "w") as f:
+        f.write("project_name: pravega_project\n"
+                "server_uri: localhost:50051\n"
+                "notification_server_uri: localhost:50052\n")
+    ctx = init_project(ypath, spark=spark)
+    assert ctx.project_name == "pravega_project"
+    assert ctx.properties["server_uri"] == "localhost:50051"
+    ctx.catalog.register_dataset("d1", "parquet", "/tmp/x")
+    # a reopened project sees the registration (metadata-DB semantics)
+    ctx2 = init_project(ypath, spark=spark)
+    assert "d1" in ctx2.catalog
+    ctx2.workflow_operation.submit_workflow(
+        "wf", lambda: _build(spark, []))
+    assert ctx2.workflow_operation.start_new_workflow_execution(
+        "wf").status == ExecutionStatus.FINISHED
