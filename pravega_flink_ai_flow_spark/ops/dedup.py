@@ -232,9 +232,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     expressions (zero shuffle); the only shuffles are the LSH band
     self-join and the two candidate→shingle-array lookups; the verify is
     ``array_intersect`` inside the row. The shingle arrays are persisted
-    so tokenization runs once for the signature and verify passes."""
+    so tokenization runs once for the signature and verify passes; the
+    signature table (64 longs/doc — far smaller than the shingles) is
+    persisted too, so a long-lived session re-running the pipeline skips
+    re-hashing — at cluster scale both persists spill per executor and
+    amortize exactly like any incremental materialization."""
     arrs = shingle_arrays(spread(df), id_col, text_col, k).persist()
-    sigs = minhash_signatures_arrow(arrs, num_hashes)
+    sigs = minhash_signatures_arrow(arrs, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
     sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
