@@ -652,3 +652,50 @@ def test_connected_components_transitive(spark):
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_events_reader_units(spark, tmp_workdir):
+    """The events reader sniffs every parquet footer: micros reads
+    natively (normalized to session-TZ TIMESTAMP, so numeric casts
+    work), nanos takes the raw-int64 path, and a mixed-unit dataset
+    raises instead of silently corrupting one part."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pravega_flink_ai_flow_spark.queries import _read_events
+
+    base = 1_600_000_000_000_000                      # micros since epoch
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+
+    def write(path, unit, scale):
+        tbl = pa.table({**cols, "ts": pa.array(
+            [base * scale, (base + 5) * scale], pa.timestamp(unit))})
+        pq.write_table(tbl, path)
+
+    import os
+    us_dir = os.path.join(tmp_workdir, "us_events")
+    ns_dir = os.path.join(tmp_workdir, "ns_events")
+    mixed = os.path.join(tmp_workdir, "mixed_events")
+    for d in (us_dir, ns_dir, mixed):
+        os.makedirs(d)
+    write(os.path.join(us_dir, "p0.parquet"), "us", 1)
+    write(os.path.join(ns_dir, "p0.parquet"), "ns", 1000)
+    write(os.path.join(mixed, "p0.parquet"), "us", 1)
+    write(os.path.join(mixed, "p1.parquet"), "ns", 1000)
+
+    us_df, ns_df = _read_events(spark, us_dir), _read_events(spark, ns_dir)
+    # both branches agree on values AND allow numeric casts (no NTZ)
+    get = lambda df: sorted(
+        (r[0], r[1]) for r in
+        df.selectExpr("event_id", "CAST(ts AS DOUBLE) AS t").collect())
+    assert get(us_df) == get(ns_df)
+    assert get(us_df)[0][1] == base / 1e6
+
+    with pytest.raises(ValueError, match="mixed ts units"):
+        _read_events(spark, mixed)
