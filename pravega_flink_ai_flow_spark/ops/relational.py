@@ -167,3 +167,36 @@ def session_windows(df: DataFrame, *, key: str, ts: str,
                         F.sum("__new_session").over(
                             w.rowsBetween(Window.unboundedPreceding, 0)))
             .drop("__new_session"))
+
+
+def resample_ffill(df: DataFrame, *, key: str, ts: str, value: str,
+                   step_seconds: int) -> DataFrame:
+    """Time-series resampling with gap fill (the hypertable/time-bucket
+    rollup every metrics pipeline needs): bucket events onto a fixed
+    grid per key, aggregate within each bucket (max — deterministic and
+    accumulation-order-free, unlike sum/avg), then fill empty buckets by
+    carrying the previous bucket's value forward.
+
+    Plan shape at 100 TB: one groupBy (key, bucket) with map-side
+    partial aggregation; the per-key grid comes from a per-key min/max +
+    ``sequence``/``explode`` — no driver collect, no global grid
+    materialization; the forward fill is one window per key
+    (``last(ignorenulls)``). Output rows = keys × their own bucket
+    span, never the cross product of all keys × all time.
+
+    Bucketing uses INTEGER division of epoch micros — a double division
+    rounds epsilon-below-integer at exact bucket boundaries and floors
+    into the wrong bucket."""
+    step_us = step_seconds * 1_000_000
+    bucket = F.expr(f"unix_micros({ts}) div {step_us}")
+    per = (df.groupBy(F.col(key), bucket.alias("bucket"))
+           .agg(F.max(value).alias("__v")))
+    rng = per.groupBy(key).agg(F.min("bucket").alias("__b0"),
+                               F.max("bucket").alias("__b1"))
+    grid = rng.select(key, F.explode(F.sequence("__b0", "__b1")).alias("bucket"))
+    w = (Window.partitionBy(key).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(per, [key, "bucket"], "left")
+            .select(key, "bucket",
+                    F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+                    F.col("__v").isNull().alias("was_gap")))

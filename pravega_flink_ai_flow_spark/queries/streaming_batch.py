@@ -266,3 +266,43 @@ def t13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_day", "day_offset")
             .agg(F.countDistinct("user_id").alias("n_active"))
             .orderBy("cohort_day", "day_offset"))
+
+
+@declared(
+    "t14_resample_ffill",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+               max(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM per GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(p.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket) AS value_filled,
+           p.v IS NULL AS was_gap
+    FROM grid g LEFT JOIN per p
+      ON g.user_id = p.user_id AND g.bucket = p.bucket
+    ORDER BY g.user_id, g.bucket
+    """,
+    survey_ids=("T3", "W4", "A1"),
+)
+def t14_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (hypertable/time-bucket rollup):
+    per-user daily grid, max-per-bucket, empty buckets forward-filled
+    from the previous bucket — per-key sequence/explode grid (no driver
+    collect), one groupBy + one window per key. Bucket boundaries use
+    integer epoch-micros division on both engines (a double division
+    floors into the wrong bucket at exact midnights)."""
+    from ..ops.relational import resample_ffill
+
+    (events,) = tables(spark, sf_dir, "events")
+    return (resample_ffill(events, key="user_id", ts="ts", value="value",
+                           step_seconds=86400)
+            .orderBy("user_id", "bucket"))

@@ -699,3 +699,21 @@ def test_events_reader_units(spark, tmp_workdir):
 
     with pytest.raises(ValueError, match="mixed ts units"):
         _read_events(spark, mixed)
+
+
+def test_resample_ffill_gap_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(1), 99.0),       # bucket 0: max = 99
+         (1, ts(4 * 60), 7.0),                     # bucket 4 (hour grid)
+         (2, ts(0), 1.0)],
+        "k long, t timestamp, v double")
+    out = relational.resample_ffill(df, key="k", ts="t", value="v",
+                                    step_seconds=3600).collect()
+    got = {(r.k, r.bucket % 100000): (r.value_filled, r.was_gap) for r in out}
+    by_key = sorted((k, b) for k, b in got)
+    # key 1 spans buckets b..b+4: 99 at b, filled 99 through the gap,
+    # then 7; key 2 has a single bucket
+    k1 = [got[kb] for kb in by_key if kb[0] == 1]
+    assert [v for v, _ in k1] == [99.0, 99.0, 99.0, 99.0, 7.0]
+    assert [g for _, g in k1] == [False, True, True, True, False]
+    assert len([kb for kb in by_key if kb[0] == 2]) == 1
