@@ -105,10 +105,15 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               left_time: str, right_time: str,
               left_id: str | Sequence[str] | None = None,
               tie_breakers: Sequence[str] = (),
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_seconds: float | None = None) -> DataFrame:
     """As-of join (SURVEY.md J9): for each left row, the single right row
     with the latest ``right_time`` ≤ ``left_time`` (direction='backward')
     or earliest ≥ (direction='forward') within the same key.
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity)
+    additionally bounds the match to |left_time − right_time| ≤
+    tolerance — and doubles as a join-planning win: the band predicate
+    caps the per-key fan-out the aggregate must reduce.
 
     Plan shape: equi-join on the key (shuffle both sides on the key — the
     scalable part), inequality filter on time, then per-left-row top-1 via
@@ -125,6 +130,10 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     lt, rt = F.col(left_time), F.col(right_time)
     cond = (F.col(left_on) == F.col(right_on)) & (
         (rt <= lt) if direction == "backward" else (rt >= lt))
+    if tolerance_seconds is not None:
+        # integer-micros band, not double-seconds: exact at boundaries
+        gap = F.abs(F.unix_micros(lt) - F.unix_micros(rt))
+        cond = cond & (gap <= int(tolerance_seconds * 1_000_000))
     joined = left.join(right, cond)
 
     if left_id is None:
@@ -200,3 +209,39 @@ def resample_ffill(df: DataFrame, *, key: str, ts: str, value: str,
             .select(key, "bucket",
                     F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
                     F.col("__v").isNull().alias("was_gap")))
+
+
+def resample_interpolate(df: DataFrame, *, key: str, ts: str, value: str,
+                         step_seconds: int) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation across gaps
+    (:func:`resample_ffill`'s smooth sibling): same per-key grid, but an
+    empty bucket takes prev + (next − prev) · elapsed-fraction between
+    its known neighbors; leading/trailing gaps fall back to the single
+    available neighbor. Two windows per key (forward-carry and
+    backward-carry, both ignorenulls) — still one shuffle."""
+    step_us = step_seconds * 1_000_000
+    bucket = F.expr(f"unix_micros({ts}) div {step_us}")
+    per = (df.groupBy(F.col(key), bucket.alias("bucket"))
+           .agg(F.max(value).alias("__v")))
+    rng = per.groupBy(key).agg(F.min("bucket").alias("__b0"),
+                               F.max("bucket").alias("__b1"))
+    grid = rng.select(key, F.explode(F.sequence("__b0", "__b1")).alias("bucket"))
+    fwd = (Window.partitionBy(key).orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bwd = (Window.partitionBy(key).orderBy("bucket")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    known_b = F.when(F.col("__v").isNotNull(), F.col("bucket"))
+    joined = (grid.join(per, [key, "bucket"], "left")
+              .withColumn("__pv", F.last("__v", ignorenulls=True).over(fwd))
+              .withColumn("__pb", F.last(known_b, ignorenulls=True).over(fwd))
+              .withColumn("__nv", F.first("__v", ignorenulls=True).over(bwd))
+              .withColumn("__nb", F.first(known_b, ignorenulls=True).over(bwd)))
+    frac = ((F.col("bucket") - F.col("__pb")).cast("double")
+            / (F.col("__nb") - F.col("__pb")).cast("double"))
+    interp = (F.when(F.col("__pb").isNull(), F.col("__nv"))
+              .when(F.col("__nb").isNull(), F.col("__pv"))
+              .when(F.col("__nb") == F.col("__pb"), F.col("__pv"))
+              .otherwise(F.col("__pv")
+                         + (F.col("__nv") - F.col("__pv")) * frac))
+    return joined.select(key, "bucket", interp.alias("value_interp"),
+                         F.col("__v").isNull().alias("was_gap"))

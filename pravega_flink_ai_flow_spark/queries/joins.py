@@ -288,6 +288,48 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "j13_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           o_totalprice AS last_totalprice
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+             <= 604800000000
+    ) WHERE rn = 1
+    """,
+    survey_ids=("J9",),
+)
+def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof
+    (tolerance=...)`` parity): latest order at-or-before each event,
+    but only within 7 days — events whose nearest prior order is older
+    drop out. The band predicate is also the at-scale win: it caps the
+    per-key fan-out the top-1 aggregate reduces."""
+    from ..ops.relational import asof_join
+
+    events, orders = tables(spark, sf_dir, "events", "orders")
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders.select("o_custkey",
+                      F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+                      "o_orderkey", "o_totalprice"),
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_ts",
+        left_id="event_id", tie_breakers=["o_orderkey"],
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select("event_id", "user_id",
+                      F.col("o_orderkey").alias("last_orderkey"),
+                      F.col("o_totalprice").alias("last_totalprice"))
+
+
+@declared(
     "j10_interval_join_batch",
     oracle="""
     SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -306,3 +306,60 @@ def t14_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (resample_ffill(events, key="user_id", ts="ts", value="value",
                            step_seconds=86400)
             .orderBy("user_id", "bucket"))
+
+
+@declared(
+    "t15_resample_interpolate",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+               max(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM per GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng
+    ),
+    n AS (
+        SELECT g.user_id, g.bucket, p.v,
+               last_value(p.v IGNORE NULLS) OVER w_fwd AS pv,
+               last_value(CASE WHEN p.v IS NOT NULL THEN g.bucket END
+                          IGNORE NULLS) OVER w_fwd AS pb,
+               first_value(p.v IGNORE NULLS) OVER w_bwd AS nv,
+               first_value(CASE WHEN p.v IS NOT NULL THEN g.bucket END
+                           IGNORE NULLS) OVER w_bwd AS nb
+        FROM grid g LEFT JOIN per p
+          ON g.user_id = p.user_id AND g.bucket = p.bucket
+        WINDOW
+          w_fwd AS (PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS UNBOUNDED PRECEDING),
+          w_bwd AS (PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           CASE WHEN pb IS NULL THEN nv
+                WHEN nb IS NULL THEN pv
+                WHEN nb = pb THEN pv
+                ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+                                       / CAST(nb - pb AS DOUBLE))
+           END AS value_interp,
+           v IS NULL AS was_gap
+    FROM n
+    ORDER BY user_id, bucket
+    """,
+    survey_ids=("T3", "W4", "W7"),
+)
+def t15_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across resampled gaps: empty buckets take
+    prev + (next − prev) · elapsed-fraction between known neighbors
+    (single-neighbor fallback at the edges). Identical IEEE expression
+    on both engines — no rounding needed."""
+    from ..ops.relational import resample_interpolate
+
+    (events,) = tables(spark, sf_dir, "events")
+    return (resample_interpolate(events, key="user_id", ts="ts",
+                                 value="value", step_seconds=86400)
+            .orderBy("user_id", "bucket"))

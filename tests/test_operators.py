@@ -717,3 +717,29 @@ def test_resample_ffill_gap_semantics(spark):
     assert [v for v, _ in k1] == [99.0, 99.0, 99.0, 99.0, 7.0]
     assert [g for _, g in k1] == [False, True, True, True, False]
     assert len([kb for kb in by_key if kb[0] == 2]) == 1
+
+
+def test_resample_interpolate_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(3 * 60), 40.0)],   # buckets b and b+3
+        "k long, t timestamp, v double")
+    out = sorted(relational.resample_interpolate(
+        df, key="k", ts="t", value="v", step_seconds=3600).collect(),
+        key=lambda r: r.bucket)
+    assert [r.value_interp for r in out] == [10.0, 20.0, 30.0, 40.0]
+    assert [r.was_gap for r in out] == [False, True, True, False]
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts(60)), (2, 10, ts(300))], "id long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, ts(0)), (101, 10, ts(50))], "rid long, rk long, rt timestamp")
+    out = relational.asof_join(
+        left, right, left_on="k", right_on="rk",
+        left_time="t", right_time="rt", left_id="id",
+        tie_breakers=["rid"], tolerance_seconds=30 * 60).collect()
+    got = {r.id: r.rid for r in out}
+    # id=1: latest within 30min is 101; id=2: nearest prior is 250min
+    # stale -> dropped by the tolerance band
+    assert got == {1: 101}
