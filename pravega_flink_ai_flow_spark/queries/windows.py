@@ -201,3 +201,43 @@ def w8_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"))
         .orderBy("c_custkey"))
+
+
+@declared(
+    "w9_running_count_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               (ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id)) = 1 AS is_first
+        FROM events
+    )
+    SELECT event_id, user_id,
+           SUM(CASE WHEN is_first THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS n_distinct_types
+    FROM flagged
+    ORDER BY event_id
+    """,
+    survey_ids=("W1", "W4", "A3"),
+)
+def w9_running_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not natively expressible
+    in Spark window functions; the scalable formulation flags each
+    value's first occurrence per key (row_number over (key, value)) and
+    running-sums the flags. Two window passes, both on the same key
+    partitioning, no per-row set state — at 100 TB the state a naive
+    collect_set-over-window would carry per row is the whole distinct
+    set, this carries one bit."""
+    (events,) = tables(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = events.withColumn(
+        "__is_first", F.row_number().over(w_first) == 1)
+    return (flagged.select(
+        "event_id", "user_id",
+        F.sum(F.when(F.col("__is_first"), 1).otherwise(0)).over(w_run)
+         .alias("n_distinct_types"))
+        .orderBy("event_id"))
