@@ -74,15 +74,69 @@ def l3_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "c_id", "cosine", "rank"))
 
 
+def _lsh_oracle(n_tables: int = 16, n_planes: int = 3, dim: int = 64,
+                k: int = _TOP_K) -> str:
+    """The LSH pipeline is DETERMINISTIC (fixed hyperplane sign matrix,
+    a plan constant) — so "approximate" does not mean "uncheckable":
+    this generates the exact same bucketing in SQL, with the 48 sign
+    vectors embedded as literals, upgrading the driver's check from
+    rows-only to a full value hash."""
+    from ..ops.similarity import _plane_signs
+
+    def bucket_expr(vcol: str, t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            signs = ", ".join(str(s) for s in _plane_signs(t * n_planes + p, dim))
+            bits.append(
+                f"CAST(CAST(list_dot_product({vcol}, [{signs}]) >= 0 "
+                f"AS INTEGER) AS VARCHAR)")
+        return " || ".join(bits)
+
+    def table_rows(src: str, idc: str, vcol: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT {idc}, v, {t} AS t, {bucket_expr('v', t)} AS bucket "
+            f"FROM {src}" for t in range(n_tables))
+        return arms
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, v FROM e),
+    qb AS ({table_rows('q', 'q_id', 'v')}),
+    cb AS ({table_rows('c', 'c_id', 'v')}),
+    cands AS (
+        SELECT DISTINCT qb.q_id, cb.c_id, qb.v AS qv, cb.v AS cv
+        FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        WHERE qb.q_id != cb.c_id
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cosine
+        FROM cands
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY q_id, rank
+    """
+
+
 @declared(
     "l3_lsh_topk",
-    oracle=None,  # approximate (bucket pruning) — rows-only check
+    oracle=_lsh_oracle(),
     survey_ids=("L3",),
 )
 def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant: random-hyperplane LSH buckets prune candidates
-    before the exact rerank — the 100 TB path. pytest asserts recall vs
-    the brute-force result; the driver records rows-only."""
+    before the exact rerank — the 100 TB path. The bucketing is
+    deterministic (constant sign matrix), so the oracle replicates it
+    exactly in SQL — a full value-hash check, not rows-only; pytest
+    additionally asserts recall ≥ 0.9 vs brute force."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
                .select(F.col("vec_id").alias("q_id"),
@@ -96,15 +150,68 @@ def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("q_id", "rank")
 
 
+_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 50 = 0
+    ),
+    csim AS (
+        SELECT e.vec_id, e.v, cents.cent_id,
+               list_dot_product(e.v, cents.cent_vec)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(cents.cent_vec, cents.cent_vec)))
+                 AS sim
+        FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+        SELECT vec_id AS c_id, v AS cv, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM csim
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM csim WHERE vec_id < {_N_QUERIES}
+        ) WHERE rn <= 8
+    ),
+    cands AS (
+        SELECT DISTINCT p.q_id, a.c_id, p.qv, a.cv
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE p.q_id != a.c_id
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cosine
+        FROM cands
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """
+
+
 @declared(
     "l3_ivf_topk",
-    oracle=None,  # approximate (cell pruning) — rows-only check
+    oracle=_IVF_ORACLE,
     survey_ids=("L3",),
 )
 def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate top-k (the ANN layout next to LSH):
     deterministic centroid subsample → cell assignment → nprobe-cell
-    probe → exact rerank. pytest asserts recall vs brute force."""
+    probe → exact rerank. The index is deterministic, so the oracle
+    replicates cell assignment + probing exactly in SQL (full value
+    hash, not rows-only); pytest asserts recall vs brute force."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
                .select(F.col("vec_id").alias("q_id"),
