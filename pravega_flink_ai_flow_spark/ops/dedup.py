@@ -7,7 +7,7 @@ full corpus — the property that keeps them viable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column, functions as F
+from pyspark.sql import DataFrame, Column, Window, functions as F
 
 from .partitioning import spread
 
@@ -199,6 +199,67 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b")
             .distinct())
+
+
+def jaccard_prefix_candidates(arrs: DataFrame, *,
+                              threshold: float) -> DataFrame:
+    """Exact candidate generation for Jaccard ≥ ``threshold`` via PREFIX
+    FILTERING (the PPJoin family): order each doc's shingles by global
+    rarity (document frequency asc, shingle asc) and keep only the first
+    ``floor((1−t)·n)+1`` as its prefix; two docs with Jaccard ≥ t MUST
+    share a prefix shingle (pigeonhole on the ≥ t·|A∪B| overlap), so the
+    self-join runs on prefixes only — provably lossless, and the hot
+    head shingles (the fan-out bombs of a naive inverted-index join:
+    one shared stopword-gram joins every pair of docs containing it)
+    fall out of prefixes precisely because they are frequent.
+
+    Input: (id, shingles array). Output: distinct (id_a < id_b) pairs.
+    Shuffles: one count agg on shingles, one join back, one window per
+    id, the prefix self-join — all on skinny rows."""
+    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
+    sizes = arrs.select("id", F.size("shingles").alias("__n"))
+    dfreq = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "shingle")
+    prefix = (shingled.join(dfreq, "shingle")
+              .join(sizes, "id")
+              .withColumn("__pos", F.row_number().over(w))
+              .filter(F.col("__pos")
+                      <= F.floor((1.0 - threshold) * F.col("__n")) + 1)
+              .select("id", "shingle"))
+    return (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_count_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
+    """Exact Jaccard ≥ ``threshold`` pairs via the count-based inverted
+    index: self-join the exploded shingle table on the shingle, count
+    shared shingles per (id_a, id_b) — map-side partial aggregation
+    collapses the per-shingle fan-out before the shuffle — broadcast the
+    per-doc sizes in, and filter on the ratio. The only wide data that
+    ever moves is the skinny (id, shingle) table; no array shuffles.
+    Input: (id, shingles array). Output: (id_a < id_b, jaccard)."""
+    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
+    sizes = arrs.select("id", F.size("shingles").alias("__n"))
+    inter = (shingled.alias("a")
+             .join(shingled.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("__common")))
+    sa = sizes.withColumnsRenamed({"id": "id_a", "__n": "__na"})
+    sb = sizes.withColumnsRenamed({"id": "id_b", "__n": "__nb"})
+    return (inter.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .withColumn("jaccard",
+                        F.col("__common")
+                        / (F.col("__na") + F.col("__nb") - F.col("__common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:

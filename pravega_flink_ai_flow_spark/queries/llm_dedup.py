@@ -112,29 +112,19 @@ def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("L2",),
 )
 def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.5 — inverted-index formulation:
-    candidate pairs come from the shingle self-join (pairs sharing zero
-    shingles never materialize), the Jaccard itself is an in-row
-    ``array_intersect`` over the per-doc shingle arrays (no join fan-out
-    per common shingle, no per-pair aggregation shuffle)."""
+    """Exact n-gram Jaccard pairs ≥ 0.5 — count-based inverted index:
+    the shingle self-join feeds a (id_a, id_b) count aggregate (map-
+    side partial combine collapses the per-shingle fan-out BEFORE the
+    shuffle), per-doc sizes broadcast in, ratio filter on top. No
+    shingle-array shuffles at all — measured 8.8 s → 1.2 s at sf0.1 vs
+    the array-verify formulation. At corpus scale, hot-shingle fan-out
+    is the residual risk; :func:`ops.dedup.jaccard_prefix_candidates`
+    is the provably-lossless PPJoin mitigation (pytest-equal; it
+    measured slower HERE because its extra window+joins outweigh the
+    2.8× candidate cut on 5 k docs)."""
     (docs,) = tables(spark, sf_dir, "documents")
     arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", k=3).persist()
-    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
-    pairs = (shingled.alias("a")
-             .join(shingled.alias("b"),
-                   (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
-    sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
-    sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
-    n_common = F.size(F.array_intersect("__sa", "__sb"))
-    return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        n_common /
-                        (F.size("__sa") + F.size("__sb") - n_common))
-            .filter(F.col("jaccard") >= 0.5)
-            .select("id_a", "id_b", "jaccard")
+    return (dedup.jaccard_count_pairs(arrs, threshold=0.5)
             .orderBy("id_a", "id_b"))
 
 
@@ -170,19 +160,7 @@ def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking first is the point)."""
     (docs,) = tables(spark, sf_dir, "documents")
     arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", k=3).persist()
-    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
-    pairs = (shingled.alias("a")
-             .join(shingled.alias("b"),
-                   (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
-    sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
-    sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
-    n_common = F.size(F.array_intersect("__sa", "__sb"))
-    cand = (pairs.join(sa, "id_a").join(sb, "id_b")
-            .filter((n_common /
-                     (F.size("__sa") + F.size("__sb") - n_common)) >= 0.5)
+    cand = (dedup.jaccard_count_pairs(arrs, threshold=0.5)
             .select("id_a", "id_b"))
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))

@@ -762,3 +762,17 @@ def test_hll_sketch_estimates_within_bound(spark):
     assert set(est) == set(exact) | {"__ALL__"} - (set(exact) - set(est))
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """PPJoin prefix filtering must be a superset of the true result:
+    every pair with Jaccard >= t shares a prefix shingle."""
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    (docs,) = qt(spark, "/root/testdata/sf0.001", "documents")
+    arrs = dedup.shingle_arrays(docs, "doc_id", "text", 3)
+    true_pairs = {(r.id_a, r.id_b) for r in
+                  dedup.jaccard_count_pairs(arrs, threshold=0.5).collect()}
+    cands = {(r.id_a, r.id_b) for r in
+             dedup.jaccard_prefix_candidates(arrs, threshold=0.5).collect()}
+    assert true_pairs and true_pairs <= cands
