@@ -382,24 +382,50 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3) -> DataFrame:
-    """64-bit SimHash per doc: per-shingle xxhash64, sum ±1 per bit
-    position, sign → bit. Computed per-row over the shingle array (the
-    ±1 sum at bit i is ``2·|{h: bit_i(h)=1}| > n``) — pure JVM
-    expressions, ZERO shuffle."""
+    """64-bit SimHash per doc: per-shingle xxhash64 (JVM — keeps
+    signatures identical to the previous all-JVM form), then the 64
+    majority votes vectorized in one ``mapInArrow`` pass: unpack the
+    batch's flat hash buffer to a bit matrix, segmented-sum per doc,
+    majority rule ``2·ones > n``, pack back to int64. The previous
+    per-bit ``size(filter(...))`` chain evaluated 64 interpreted passes
+    over every row's hash array (3.2 s steady at sf0.1 → ~1 s)."""
+    import numpy as np
+    import pyarrow as pa
+
     hashed = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(text_col), k),
                     lambda s: F.xxhash64(s)).alias("__h"))
-    n = F.size("__h")
-    sig = None
-    for i in range(64):
-        ones = F.size(F.filter(
-            "__h", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
-        # shiftleft instead of a 1<<i literal: 1<<63 does not fit a long
-        bit = F.when(2 * ones > n,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return hashed.select("id", sig.alias("simhash"))
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def sign(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            harr = rb.column(1)
+            offs = harr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = (harr.flatten().to_numpy(zero_copy_only=False)
+                    .view(np.uint64))
+            starts = offs[:-1] - offs[0]
+            lens = (offs[1:] - offs[:-1]).astype(np.int64)
+            bits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
+            if lens.min() > 0:
+                ones = np.add.reduceat(bits, starts, axis=0)
+            else:  # reduceat misreads empty segments; arrays never are
+                ones = np.zeros((n, 64), dtype=np.int64)
+                for r in range(n):
+                    if lens[r]:
+                        ones[r] = bits[starts[r]:starts[r] + lens[r]].sum(0)
+            maj = (2 * ones > lens[:, None]).astype(np.uint64)
+            sig = (maj << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig, type=pa.int64())],
+                names=["id", "simhash"])
+
+    return hashed.mapInArrow(sign, "id long, simhash long")
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
