@@ -61,10 +61,19 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from pravega_flink_ai_flow_spark.engine.session import get_spark
     from pravega_flink_ai_flow_spark.queries import load_all
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("VANILLA"):
+        # replicate the DRIVER'S session exactly: vanilla builder, no
+        # engine configs — ANSI stays ON (Spark 4 default), timezone is
+        # the JVM default. Queries must be correct here, not just under
+        # the engine session's lenient settings.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("correctness-check-vanilla").getOrCreate())
+    else:
+        from pravega_flink_ai_flow_spark.engine.session import get_spark
+        spark = get_spark("correctness-check")
     registry = load_all()
 
     con = duckdb.connect()
