@@ -179,9 +179,10 @@ class FlinkDdlEnv:
     def from_path(self, name: str) -> DataFrame:
         t = self.tables[name]
         if t.connector == "filesystem":
-            return self._read_filesystem(t)
+            return self._refresh_view(t, self._read_filesystem(t))
         if t.connector == "pravega":
-            return self._read_pravega(t)
+            df = self._read_pravega(t)
+            return df if df.isStreaming else self._refresh_view(t, df)
         if t.connector == "datagen":
             n = int(t.options.get("number-of-rows", 1000))
             df = self.spark.range(n)
@@ -192,6 +193,14 @@ class FlinkDdlEnv:
                 exprs.append(col.alias(f_.name))
             return df.select(*exprs)
         raise ValueError(f"unsupported connector {t.connector!r}")
+
+    def _refresh_view(self, t: ConnectorTable, df: DataFrame) -> DataFrame:
+        # re-register on every read: a DataFrame pins its file listing at
+        # load() time, while Flink's bounded scan snapshots at job
+        # EXECUTION time — so a view registered at DDL time would read
+        # stale (or zero, if the path appeared later) segments forever
+        df.createOrReplaceTempView(t.name)
+        return df
 
     # -- sink --------------------------------------------------------------
 
@@ -220,10 +229,15 @@ class FlinkDdlEnv:
         fmt = t.options.get("format", "csv")
         reader = self.spark.read.schema(t.schema)
         if fmt == "csv":
-            # Flink csv.ignore-parse-errors nulls out bad fields;
-            # Spark's PERMISSIVE mode is the same contract
+            # Flink csv.ignore-parse-errors nulls out bad fields —
+            # Spark's PERMISSIVE mode. Without the option Flink FAILS
+            # the job on a parse error, so the default here must be
+            # FAILFAST (PERMISSIVE is Spark's default and would
+            # silently null where the reference errors loudly).
             if t.options.get("csv.ignore-parse-errors") == "true":
                 reader = reader.option("mode", "PERMISSIVE")
+            else:
+                reader = reader.option("mode", "FAILFAST")
             for k, v in t.options.items():
                 if k == "csv.field-delimiter":
                     reader = reader.option("sep", v)

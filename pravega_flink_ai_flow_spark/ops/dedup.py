@@ -242,19 +242,22 @@ def jaccard_count_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
     per-doc sizes in, and filter on the ratio. The only wide data that
     ever moves is the skinny (id, shingle) table; no array shuffles.
     Input: (id, shingles array). Output: (id_a < id_b, jaccard)."""
-    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
-    sizes = arrs.select("id", F.size("shingles").alias("__n"))
+    # each exploded row carries its doc's size (+8 bytes/row of shuffle
+    # width), so per-doc sizes ride THROUGH the pair aggregate as
+    # first() — no post-aggregation join against a per-doc table, which
+    # would need either a corpus-sized broadcast or two more shuffles
+    shingled = arrs.select("id", F.size("shingles").alias("__n"),
+                           F.explode("shingles").alias("shingle"))
     inter = (shingled.alias("a")
              .join(shingled.alias("b"),
                    (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
-             .agg(F.count("*").alias("__common")))
-    sa = sizes.withColumnsRenamed({"id": "id_a", "__n": "__na"})
-    sb = sizes.withColumnsRenamed({"id": "id_b", "__n": "__nb"})
-    return (inter.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
+             .agg(F.count("*").alias("__common"),
+                  F.first(F.col("a.__n")).alias("__na"),
+                  F.first(F.col("b.__n")).alias("__nb")))
+    return (inter
             .withColumn("jaccard",
                         F.col("__common")
                         / (F.col("__na") + F.col("__nb") - F.col("__common")))
@@ -411,14 +414,21 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                     .view(np.uint64))
             starts = offs[:-1] - offs[0]
             lens = (offs[1:] - offs[:-1]).astype(np.int64)
-            bits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
+            # loop bit positions OUTSIDE the vectorized axis (the repo's
+            # mapInArrow memory rule): a full T×64 int64 bit matrix is
+            # 512 B per hash — GBs per task on long docs; per-bit the
+            # transient is one int64 copy of the flat buffer
+            ones = np.empty((n, 64), dtype=np.int64)
             if lens.min() > 0:
-                ones = np.add.reduceat(bits, starts, axis=0)
+                for i in range(64):
+                    ones[:, i] = np.add.reduceat(
+                        ((flat >> shifts[i]) & 1).view(np.int64), starts)
             else:  # reduceat misreads empty segments; arrays never are
-                ones = np.zeros((n, 64), dtype=np.int64)
                 for r in range(n):
-                    if lens[r]:
-                        ones[r] = bits[starts[r]:starts[r] + lens[r]].sum(0)
+                    seg = flat[starts[r]:starts[r] + lens[r]]
+                    for i in range(64):
+                        ones[r, i] = int(((seg >> shifts[i]) & 1).sum()) \
+                            if lens[r] else 0
             maj = (2 * ones > lens[:, None]).astype(np.uint64)
             sig = (maj << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
             yield pa.RecordBatch.from_arrays(

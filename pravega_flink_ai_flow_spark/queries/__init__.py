@@ -65,8 +65,10 @@ def load_all() -> dict[str, DeclaredQuery]:
     return REGISTRY
 
 
-_EVENTS_NANOS_SCHEMA = ("event_id long, ts long, user_id long, "
-                        "event_type string, value double, props string")
+# explicit raw-int64 ts schema — parquet hands back the physical stored
+# integer for any timestamp unit, letting the reader convert exactly
+_EVENTS_RAW_SCHEMA = ("event_id long, ts long, user_id long, "
+                      "event_type string, value double, props string")
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -98,20 +100,26 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
             f"events parquet at {path} has mixed ts units {units}; "
             "refusing to guess — regenerate the dataset with one unit")
     unit = next(iter(units)) if units else None
-    if unit == "ns":
-        # Spark's parquet reader rejects TIMESTAMP(NANOS) outright; read the
-        # physical int64 and convert JVM-side. Integer `div`, not `/`:
-        # double division of int64 nanos loses ~200ns of precision, enough
-        # to flip a truncated microsecond.
-        raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # micros/millis/seconds, or sniff failure (native read is the safe
-    # default — it raises loudly on nanos instead of silently dividing).
-    # Normalize to session-TZ TIMESTAMP: Spark 4 infers TIMESTAMP_NTZ for
-    # tz-naive parquet, which forbids numeric casts that downstream
-    # range-frame/session-window consumers rely on.
-    df = spark.read.parquet(path)
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if unit is None:
+        # sniff failure: native read is the safe default — it raises
+        # loudly on nanos instead of silently dividing, and a cast
+        # normalizes Spark 4's inferred TIMESTAMP_NTZ (which forbids the
+        # numeric casts downstream consumers rely on)
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Known unit → read the PHYSICAL int64 and convert with
+    # timestamp_micros: preserves the stored instant independent of the
+    # session/JVM timezone (an NTZ→TIMESTAMP cast would reinterpret
+    # wall-clock in the session zone — off-UTC hosts shift vs the
+    # DuckDB oracle's raw read). Integer `div`, not `/`: double division
+    # of int64 nanos loses ~200ns, enough to flip a truncated micro.
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    divisor = {"ns": 1000, "us": 1, "ms": None, "s": None}[unit]
+    if divisor is None:
+        factor = 1000 if unit == "ms" else 1_000_000
+        return raw.withColumn("ts", F.timestamp_micros(F.col("ts") * factor))
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr(f"ts div {divisor}")))
 
 
 # (appId, sf_dir, table) -> DataFrame. A DataFrame is an immutable logical

@@ -87,11 +87,17 @@ def _mini_yaml(text: str) -> dict:
     """Fallback parser for the simple two-level mapping shape the job
     config uses (keys, nested keys, scalar values, '#' comments) — keeps
     the engine dependency-free if PyYAML is absent."""
+    import re
+
     root: dict = {}
     stack: list[tuple[int, dict]] = [(-1, root)]
     for raw in text.splitlines():
-        line = raw.split("#", 1)[0].rstrip() if not raw.lstrip().startswith("#") \
-            else ""
+        if raw.lstrip().startswith("#"):
+            continue
+        # YAML comment rule: '#' starts a comment only at line start or
+        # after whitespace — a bare '#' inside a value (file#1, #frag)
+        # is part of the value
+        line = re.split(r"\s#", raw, 1)[0].rstrip()
         if not line.strip():
             continue
         indent = len(line) - len(line.lstrip())

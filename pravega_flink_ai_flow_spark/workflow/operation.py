@@ -95,30 +95,38 @@ class WorkflowOperation:
         try:
             wf.run(start_jobs)
         except Exception:
-            ex.status = ExecutionStatus.FAILED
+            with self._lock:
+                ex.status = ExecutionStatus.FAILED
             raise
-        ex.status = (ExecutionStatus.STOPPED if wf.stop_requested
-                     else ExecutionStatus.FINISHED)
+        with self._lock:
+            ex.status = (ExecutionStatus.STOPPED if wf.stop_requested
+                         else ExecutionStatus.FINISHED)
         return ex
 
     def stop_all_workflow_executions(self, name: str) -> int:
         """Request cooperative stop of every live execution of ``name``;
         returns how many were signalled. Finished/failed executions are
         untouched (matching the reference's idempotent pre-submit
-        cleanup call)."""
+        cleanup call). Lock-guarded: RUNNING is only observable from
+        another thread, so traversal must not race the starting
+        thread's append/status writes."""
         n = 0
-        for ex in self._executions:
-            if ex.workflow_name == name and ex.status == ExecutionStatus.RUNNING:
-                ex.workflow.request_stop()
-                ex.status = ExecutionStatus.STOPPED
-                n += 1
+        with self._lock:
+            for ex in list(self._executions):
+                if (ex.workflow_name == name
+                        and ex.status == ExecutionStatus.RUNNING):
+                    ex.workflow.request_stop()
+                    ex.status = ExecutionStatus.STOPPED
+                    n += 1
         return n
 
     def list_workflow_executions(self, name: str) -> list[WorkflowExecution]:
-        return [e for e in self._executions if e.workflow_name == name]
+        with self._lock:
+            return [e for e in self._executions if e.workflow_name == name]
 
     def get_workflow_execution(self, execution_id: int) -> WorkflowExecution:
-        for e in self._executions:
-            if e.execution_id == execution_id:
-                return e
+        with self._lock:
+            for e in self._executions:
+                if e.execution_id == execution_id:
+                    return e
         raise KeyError(f"no execution {execution_id}")

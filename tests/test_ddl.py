@@ -123,3 +123,42 @@ def test_bad_ddl_raises(spark):
         env.execute_sql("SELECT 1")
     with pytest.raises(ValueError):
         env.execute_sql("create table t (a INT) with ('format'='csv')")
+
+
+def test_csv_without_ignore_option_fails_fast(spark, tmp_workdir):
+    """Flink's default is to FAIL on parse errors; absent
+    csv.ignore-parse-errors the engine must error loudly too, not
+    silently null the field (Spark's PERMISSIVE default)."""
+    csv_dir = os.path.join(tmp_workdir, "strict_csv")
+    os.makedirs(csv_dir)
+    with open(os.path.join(csv_dir, "p.csv"), "w") as f:
+        f.write("1.0,2.0\nbad,3.0\n")
+    env = FlinkDdlEnv(spark, stream_root=tmp_workdir)
+    env.execute_sql("""
+        create table strict (a FLOAT, b FLOAT) with (
+            'connector' = 'filesystem', 'path' = '%s', 'format' = 'csv'
+        )""" % csv_dir)
+    with pytest.raises(Exception):
+        env.from_path("strict").collect()
+
+
+def test_bounded_scan_sees_data_appended_after_ddl(spark, tmp_workdir):
+    """Flink's bounded scan snapshots at job EXECUTION time, not DDL
+    time: data appended between DDL and read must be visible, and a
+    source declared before any data exists must work once data arrives."""
+    env = FlinkDdlEnv(spark, stream_root=os.path.join(tmp_workdir, "s"))
+    ddl = """
+        create table late_src (x FLOAT) with (
+            'connector' = 'pravega', 'scope' = 'scope',
+            'scan.execution.type' = 'batch',
+            'scan.streams' = 'late-stream', 'format' = 'json'
+        )"""
+    env.execute_sql(ddl.replace("late_src", "late_sink")
+                    .replace("'scan.execution.type' = 'batch',", "")
+                    .replace("'scan.streams'", "'sink.stream'"))
+    env.execute_sql(ddl)   # declared while the stream dir is still empty
+    env.add_insert("late_sink", spark.createDataFrame([(1.0,)], "x float"))
+    assert env.from_path("late_src").count() == 1
+    env.add_insert("late_sink", spark.createDataFrame([(2.0,)], "x float"))
+    assert env.from_path("late_src").count() == 2     # re-snapshot
+    assert spark.sql("SELECT COUNT(*) AS n FROM late_src").first()["n"] == 2

@@ -152,3 +152,10 @@ def test_project_context_from_reference_yaml(spark, tmp_workdir):
         "wf", lambda: _build(spark, []))
     assert ctx2.workflow_operation.start_new_workflow_execution(
         "wf").status == ExecutionStatus.FINISHED
+
+
+def test_mini_yaml_keeps_hash_inside_values():
+    from pravega_flink_ai_flow_spark.workflow.config import _mini_yaml
+    got = _mini_yaml("j:\n  properties:\n"
+                     "    path: /data/file#1  # trailing comment\n")
+    assert got == {"j": {"properties": {"path": "/data/file#1"}}}
