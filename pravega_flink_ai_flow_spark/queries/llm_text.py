@@ -402,3 +402,65 @@ def l6_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_occurrences") > F.col("__total") * 0.01)
             .select("term", "n_occurrences",
                     (F.col("n_occurrences") / F.col("__total")).alias("share")))
+
+
+_CHUNK, _STRIDE = 64, 48   # tokens per chunk, stride (16-token overlap)
+
+
+@declared(
+    "l4_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= {_CHUNK} THEN 0
+                    ELSE (len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+               END AS last_chunk
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(i.r AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, i.r * {_STRIDE} + 1,
+                               i.r * {_STRIDE} + {_CHUNK})) AS INTEGER)
+               AS n_chunk_tokens,
+           sha256(array_to_string(list_slice(toks, i.r * {_STRIDE} + 1,
+                                             i.r * {_STRIDE} + {_CHUNK}), ' '))
+               AS chunk_sha256
+    FROM m, unnest(generate_series(0, m.last_chunk)) i(r)
+    ORDER BY doc_id, chunk_idx
+    """,
+    survey_ids=("L4", "P3"),
+)
+def l4_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window preprocessing: fixed
+    64-token chunks at stride 48 (16-token overlap), one output row per
+    chunk with its token count and the sha256 of the space-joined chunk
+    — so the hash verifies every chunk's exact content and boundaries.
+    Pure sequence/explode/slice expressions, map-side at any corpus
+    size; the chunk count derives from integer arithmetic identical on
+    both engines."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    base = (docs.select("doc_id", toks.alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .filter(F.col("n") > 0)
+            .withColumn("last_chunk",
+                        F.when(F.col("n") <= _CHUNK, F.lit(0))
+                        .otherwise(F.expr(
+                            f"(n - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}"))))
+    chunk = F.slice("toks", F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return (base.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("last_chunk")))
+         .alias("chunk_idx"))
+        .select("doc_id",
+                F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                F.size(chunk).alias("n_chunk_tokens"),
+                F.sha2(F.concat_ws(" ", chunk).cast("binary"), 256)
+                 .alias("chunk_sha256"))
+        .orderBy("doc_id", "chunk_idx"))
