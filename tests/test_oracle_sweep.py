@@ -21,14 +21,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = os.environ.get("ORACLE_SWEEP_SF_DIR", "/root/testdata/sf0.01")
 
 
-@pytest.mark.oracle
-def test_every_declared_query_matches_its_oracle():
-    """Run the full sweep in a subprocess (its SparkSession config and
-    lifecycle are owned by the checker, not the shared pytest session)."""
+def _run_sweep(extra_env: dict) -> None:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), SF],
-        capture_output=True, text=True, timeout=1800)
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, **extra_env})
     tail = "\n".join(proc.stdout.splitlines()[-25:])
     assert proc.returncode == 0, (
         f"oracle sweep failed (rc={proc.returncode}):\n{tail}\n{proc.stderr[-2000:]}")
     assert " 0 FAILED" in proc.stdout, tail
+
+
+@pytest.mark.oracle
+def test_every_declared_query_matches_its_oracle():
+    """Full sweep under the engine session (ANSI off, UTC, Arrow)."""
+    _run_sweep({})
+
+
+@pytest.mark.oracle
+def test_every_declared_query_matches_under_vanilla_session():
+    """Full sweep under the DRIVER-identical vanilla session — ANSI ON
+    (Spark 4 default), JVM-default timezone, no engine configs. This is
+    the session the external gate actually uses."""
+    _run_sweep({"VANILLA": "1"})
