@@ -452,3 +452,40 @@ def a14_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("__sk"))
          .alias("est_distinct_users"))
     return per_type.unionByName(total).orderBy("event_type")
+
+
+@declared(
+    "a15_filtered_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                        AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000)   AS n_large,
+           CAST(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+                AS DOUBLE)                                 AS sum_f,
+           CAST(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+                AS DOUBLE)                                 AS avg_o
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A1", "A8", "P5"),
+)
+def a15_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation matrix via the SQL FILTER clause (one
+    pass, one shuffle — the pivot-free way to compute per-predicate
+    aggregates side by side). Declared through the raw spark.sql face to
+    exercise the FILTER syntax end-to-end."""
+    from . import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*)                                      AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+               CAST(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+                    AS DOUBLE)                               AS sum_f,
+               CAST(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+                    AS DOUBLE)                               AS avg_o
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)

@@ -70,3 +70,30 @@ def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["c_mktsegment"],
         order_by=[F.col("c_acctbal").desc(), F.col("c_custkey")],
         k=5))
+
+
+@declared(
+    "o4_nulls_ordering",
+    oracle="""
+    SELECT event_id, user_id, v
+    FROM (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    ORDER BY v ASC NULLS FIRST, event_id DESC
+    LIMIT 500
+    """,
+    survey_ids=("O1", "O2"),
+)
+def o4_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST placement with a descending tiebreak and a
+    LIMIT — the null-ordering semantics every SQL port gets wrong once.
+    A synthetic NULL every 7th row guarantees the ordering is actually
+    exercised. Spark plans TakeOrderedAndProject (top-k without a full
+    sort) — the at-scale shape for ORDER BY + LIMIT."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    return (events.select("event_id", "user_id", v.alias("v"))
+            .orderBy(F.col("v").asc_nulls_first(), F.col("event_id").desc())
+            .limit(500))

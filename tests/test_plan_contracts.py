@@ -76,3 +76,25 @@ def test_gemm_scorers_stay_arrow_native(spark, name):
     plan = _plan(spark, name)
     assert "MapInArrow" in plan, "blocked-GEMM scorer regressed off Arrow"
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name,max_exchanges", [
+    ("a1_pricing_summary", 1),    # partial→final agg: one shuffle
+    ("l1_exact_dedup", 1),        # hash-groupBy: one shuffle
+    ("j9_asof_join", 2),          # union sort-merge: one key shuffle (+sort)
+    ("w4_running_sum", 1),        # one window partitioning
+])
+def test_shuffle_count_upper_bounds(spark, name, max_exchanges):
+    """Exchange-count budgets for the single-shuffle plans PERFORMANCE.md
+    claims — a regression here is a silent extra shuffle at 100 TB.
+    Count the detail-section node headers ("(4) Exchange"), since the
+    formatted explain also repeats each node in the tree view."""
+    import re
+    plan = _plan(spark, name)
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
+
+
+def test_o4_plans_topk_not_global_sort(spark):
+    plan = _plan(spark, "o4_nulls_ordering")
+    assert "TakeOrderedAndProject" in plan   # LIMIT+ORDER BY without full sort
