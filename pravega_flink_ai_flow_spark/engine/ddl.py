@@ -127,6 +127,12 @@ class ConnectorTable:
         return self.options.get("connector", "")
 
 
+def _default_stream_root() -> str:
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch", "streams")
+
+
 @dataclass
 class FlinkDdlEnv:
     """Spark-backed stand-in for the reference's ``TableEnvironment`` +
@@ -134,7 +140,7 @@ class FlinkDdlEnv:
     read), ``add_insert`` (sink write)."""
 
     spark: SparkSession
-    stream_root: str = "/tmp/pravega_sim"
+    stream_root: str = field(default_factory=_default_stream_root)
     tables: dict[str, ConnectorTable] = field(default_factory=dict)
 
     # -- DDL ---------------------------------------------------------------
