@@ -198,3 +198,36 @@ def m3_model_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double") / F.count("*")).alias("accuracy"),
         F.count("*").alias("n_test"),
     )
+
+
+@declared(
+    "m4_ridge_predict",
+    oracle=None,   # closed-form solve of a distributed Gram system —
+                   # not SQL-expressible; pytest proves the distributed
+                   # statistics match a driver-side lstsq fit
+    survey_ids=("M1", "M2", "F6"),
+)
+def m4_ridge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second model family, trained DISTRIBUTED: ridge regression of the
+    label on the embedding via sufficient statistics — one mapInArrow
+    pass emits per-batch partial Gram matrices (d² doubles, never the
+    data), the driver solves the 65×65 system (ml/linear.py). Unlike
+    the reference's collect-and-fit sklearn path this holds at 100 TB:
+    zero shuffles, statistics reduce like any partial aggregate.
+    Predictions for the held-out split come from the coefficient vector
+    embedded as a plan literal."""
+    from ..ml.linear import fit_ridge_distributed
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    train = (emb.filter(F.col("vec_id") >= _SPLIT)
+             .select("embedding", F.col("label").cast("double").alias("y")))
+    model = fit_ridge_distributed(train, vec_col="embedding", label_col="y")
+    coef = F.array(*[F.lit(float(c)) for c in model.coef])
+    pred = F.aggregate(
+        F.zip_with(F.col("embedding"), coef,
+                   lambda v, c: v.cast("double") * c),
+        F.lit(float(model.intercept)), lambda acc, x: acc + x)
+    return (emb.filter(F.col("vec_id") < _SPLIT)
+            .select("vec_id", F.col("label").alias("true_label"),
+                    pred.alias("pred"))
+            .orderBy("vec_id"))

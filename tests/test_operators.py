@@ -776,3 +776,29 @@ def test_jaccard_prefix_filter_is_lossless(spark):
     cands = {(r.id_a, r.id_b) for r in
              dedup.jaccard_prefix_candidates(arrs, threshold=0.5).collect()}
     assert true_pairs and true_pairs <= cands
+
+
+def test_ridge_distributed_matches_driver_lstsq(spark):
+    """The distributed sufficient-statistics fit must equal a driver-side
+    exact solve on the same data, and actually carry signal."""
+    import numpy as np
+
+    from pravega_flink_ai_flow_spark.ml.linear import fit_ridge_distributed
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    sf = "/root/testdata/sf0.01"
+    (emb,) = qt(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 100).select(
+        "embedding", F.col("label").cast("double").alias("y"))
+    model = fit_ridge_distributed(train, vec_col="embedding", label_col="y",
+                                  lam=1e-3)
+    rows = train.collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    y = np.asarray([r["y"] for r in rows])
+    Xa = np.hstack([X, np.ones((len(y), 1))])
+    reg = 1e-3 * np.eye(Xa.shape[1]); reg[-1, -1] = 0.0
+    w = np.linalg.solve(Xa.T @ Xa + reg, Xa.T @ y)
+    assert np.allclose(model.coef, w[:-1], atol=1e-8)
+    assert abs(model.intercept - w[-1]) < 1e-8
+    # in-sample R^2 must beat the mean predictor by a real margin
+    assert model.score(X, y) > 0.05
