@@ -87,6 +87,26 @@ def main() -> None:
             lambda s: st.enrich_with_static(
                 st.stream_dedup(s, ["event_id"], "ts", "10 minutes"),
                 dim, on="user_id", how="left"))
+        rates["session_window"], _ = drain(
+            "session_window",
+            lambda s: st.session_window_agg(
+                st.with_watermark(s, "ts", "10 minutes"),
+                F.count("*").alias("n"), F.sum("value").alias("total"),
+                ts_col="ts", gap="30 minutes", keys=(F.col("user_id"),)))
+        # stream-stream interval self-join: each event joined to same-user
+        # events in its trailing 5 minutes (watermarks bound both buffers)
+        b_stream = stream.read_stream(spark, max_files_per_trigger=2)
+        rates["interval_join"], _ = drain(
+            "interval_join",
+            lambda s: st.interval_join(
+                s.select(F.col("user_id"), F.col("ts").alias("l_ts"),
+                         F.col("event_type").alias("type_a")),
+                b_stream.select(F.col("user_id").alias("r_user"),
+                                F.col("ts").alias("r_ts"),
+                                F.col("event_type").alias("type_b"))
+                        .withColumnRenamed("r_user", "user_id"),
+                key="user_id", left_ts="l_ts", right_ts="r_ts",
+                lookback="5 minutes"))
 
         print(json.dumps({
             "metric": "streaming_drain_rows_per_sec",
