@@ -145,3 +145,33 @@ def test_wav_roundtrip_property(samples, rate):
     drate, nch, out = decode_wav(encode_wav(arr, rate))
     assert (drate, nch) == (rate, 1)
     assert np.array_equal(out, arr)
+
+
+@settings(max_examples=12, deadline=None)
+@given(a=rows_strategy)
+def test_window_functions_match_duckdb(spark, a):
+    """row_number / lag / running sum over a (k, v) frame with a
+    deterministic (v, rowid) ordering must agree with DuckDB exactly."""
+    rows = [(k, v, i) for i, (k, v) in enumerate(a)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, v long, rid long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy("v", "rid")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = sorted(tuple(r) for r in df.select(
+        "k", "v", "rid",
+        F.row_number().over(w).alias("rn"),
+        F.lag("v").over(w).alias("prev_v"),
+        F.sum("v").over(wr).alias("run")).collect())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "v", "rid"]))
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT k, v, rid,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(v) OVER w AS prev_v,
+               SUM(v) OVER (PARTITION BY k ORDER BY v, rid
+                            ROWS UNBOUNDED PRECEDING) AS run
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v, rid)
+    """).fetchall())
+    assert got == want
