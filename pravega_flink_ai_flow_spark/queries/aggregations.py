@@ -489,3 +489,37 @@ def a15_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+@declared(
+    "a5_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER)  AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status, g_priority,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey_ids=("A5",),
+)
+def a5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over grouping sets — the only way to
+    distinguish a real NULL group key from a rollup subtotal row, which
+    every report built on grouping sets needs."""
+    from . import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
