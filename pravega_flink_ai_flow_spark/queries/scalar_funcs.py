@@ -418,3 +418,34 @@ def f_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         norm_prefix(F.col("text")).alias("norm_prefix"),
                         trimmed_len(F.col("text")).alias("trimmed_len"))
             .orderBy("doc_id"))
+
+
+@declared(
+    "f_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[A-Za-z]{6,}', 0)          AS first_long_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_runs,
+           regexp_matches(text, '(?i)\\bthe\\b')            AS has_the,
+           sha256(regexp_replace(text, '[aeiou]', '_', 'g')) AS devoweled_sha
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("F-str",),
+)
+def f_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family — extract / extract_all / match-test /
+    global replace (patterns restricted to the syntax Java regex and
+    RE2 interpret identically; the replace output is sha256'd so every
+    byte of the rewrite is hash-checked)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, r"[A-Za-z]{6,}", 0).alias("first_long_word"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), F.lit(0)))
+         .alias("n_number_runs"),
+        t.rlike(r"(?i)\bthe\b").alias("has_the"),
+        F.sha2(F.regexp_replace(t, r"[aeiou]", "_").cast("binary"), 256)
+         .alias("devoweled_sha"),
+    ).orderBy("doc_id")
