@@ -464,3 +464,82 @@ def l4_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sha2(F.concat_ws(" ", chunk).cast("binary"), 256)
                  .alias("chunk_sha256"))
         .orderBy("doc_id", "chunk_idx"))
+
+
+_BP_RATIO = 0.25   # a sentence in >25% of its source's docs is boilerplate
+
+
+@declared(
+    "l6_boilerplate_removal",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, source,
+               u.s.seg AS seg, CAST(u.s.pos AS INTEGER) AS pos
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(
+                       list_transform(string_split_regex(text, '[.!?]'),
+                           (x, i) -> struct_pack(seg := trim(x), pos := i)),
+                       s -> s.seg != '') AS lst
+            FROM documents
+        ) t, unnest(t.lst) AS u(s)
+    ),
+    src_sizes AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    freq AS (
+        SELECT source, seg, COUNT(DISTINCT doc_id) AS n_with
+        FROM segs GROUP BY source, seg
+    ),
+    tagged AS (
+        SELECT g.doc_id, g.seg, g.pos,
+               CAST(f.n_with AS DOUBLE) / z.n_docs > {_BP_RATIO} AS is_bp
+        FROM segs g
+        JOIN freq f ON f.source = g.source AND f.seg = g.seg
+        JOIN src_sizes z ON z.source = g.source
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE NOT is_bp) AS INTEGER) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE is_bp) AS INTEGER)     AS n_dropped,
+           sha256(COALESCE(string_agg(seg, '. ' ORDER BY pos)
+                           FILTER (WHERE NOT is_bp), ''))     AS cleaned_sha
+    FROM tagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ids=("L4", "L2"),
+)
+def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4-style cleanup):
+    sentences appearing in >25% of their source's documents are
+    boilerplate; each document is reconstructed from its remaining
+    sentences in original order, and the sha256 of the cleaned text is
+    hash-compared byte-for-byte. Plan shape: one (source, sentence)
+    frequency aggregate joined back to the exploded segments (the
+    frequency table is corpus-bounded and skinny), then one per-doc
+    regroup — no driver involvement at any size."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    segs = (docs.select(
+        "doc_id", "source",
+        F.posexplode(T.sentences(F.col("text"))).alias("pos", "seg")))
+    src_sizes = (docs.groupBy("source")
+                 .agg(F.countDistinct("doc_id").alias("n_docs")))
+    freq = (segs.groupBy("source", "seg")
+            .agg(F.countDistinct("doc_id").alias("n_with")))
+    tagged = (segs.join(freq, ["source", "seg"])
+              .join(F.broadcast(src_sizes), "source")
+              .withColumn("is_bp",
+                          F.col("n_with") / F.col("n_docs") > _BP_RATIO))
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(~F.col("is_bp"), F.struct("pos", "seg")))),
+        lambda x: x["seg"])
+    return (tagged.groupBy("doc_id")
+            .agg(F.sum(F.when(~F.col("is_bp"), 1).otherwise(0))
+                  .cast("int").alias("n_kept"),
+                 F.sum(F.when(F.col("is_bp"), 1).otherwise(0))
+                  .cast("int").alias("n_dropped"),
+                 F.sha2(F.array_join(kept_sorted, ". ").cast("binary"), 256)
+                  .alias("cleaned_sha"))
+            .orderBy("doc_id"))
