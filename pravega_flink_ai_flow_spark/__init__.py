@@ -18,3 +18,31 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level facade: the handful of objects a reference user touches
+# (session, project context, catalog, registry, workflow, DDL env) import
+# from the package root without dragging pyspark-heavy modules in at
+# import time.
+_FACADE = {
+    "get_spark": ("pravega_flink_ai_flow_spark.engine.session", "get_spark"),
+    "init_project": ("pravega_flink_ai_flow_spark.engine.project", "init_project"),
+    "Catalog": ("pravega_flink_ai_flow_spark.engine.catalog", "Catalog"),
+    "FlinkDdlEnv": ("pravega_flink_ai_flow_spark.engine.ddl", "FlinkDdlEnv"),
+    "ModelRegistry": ("pravega_flink_ai_flow_spark.ml.registry", "ModelRegistry"),
+    "Workflow": ("pravega_flink_ai_flow_spark.workflow", "Workflow"),
+    "WorkflowConfig": ("pravega_flink_ai_flow_spark.workflow", "WorkflowConfig"),
+    "WorkflowOperation": ("pravega_flink_ai_flow_spark.workflow", "WorkflowOperation"),
+    "register_views": ("pravega_flink_ai_flow_spark.queries", "register_views"),
+}
+
+
+def __getattr__(name):
+    if name in _FACADE:
+        import importlib
+        mod, attr = _FACADE[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_FACADE))

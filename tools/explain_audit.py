@@ -19,7 +19,8 @@ sys.path.insert(0, REPO)
 DEFAULT = [
     "a1_pricing_summary", "j2_broadcast_dim_join", "j3_large_large_join",
     "tpch_q3", "tpch_q5", "tpch_q17", "j9_asof_join", "o3_topk_per_group",
-    "l1_exact_dedup", "l3_brute_force_topk",
+    "l1_exact_dedup", "l3_brute_force_topk", "l2_minhash_lsh_pairs",
+    "m2_knn_predict", "t14_resample_ffill", "l6_boilerplate_removal",
 ]
 
 SMELLS = {
