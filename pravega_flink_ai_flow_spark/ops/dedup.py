@@ -265,25 +265,6 @@ def jaccard_count_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
             .select("id_a", "id_b", "jaccard"))
 
 
-def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Exact word-shingle Jaccard for given (id_a, id_b) pairs: intersect
-    via shingle join, union by |A|+|B|−|∩|. Cost is bounded by the
-    candidate set, so LSH recall drives total work, not corpus size²."""
-    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    sa = shingled.select(F.col("id").alias("id_a"), "shingle")
-    sb = shingled.select(F.col("id").alias("id_b"), "shingle")
-    inter = (pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
-    return (pairs
-            .join(inter, ["id_a", "id_b"], "left")
-            .na.fill({"n_common": 0})
-            .join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
-            .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
-            .withColumn("jaccard",
-                        F.col("n_common") /
-                        (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
-
-
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 3,
                         num_hashes: int = 64, bands: int = 16,
