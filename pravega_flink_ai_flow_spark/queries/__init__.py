@@ -36,6 +36,9 @@ REGISTRY: dict[str, DeclaredQuery] = {}
 def declared(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
     """Register a declared query. ``oracle=None`` → rows-only check."""
     def deco(fn):
+        if name in REGISTRY and REGISTRY[name].fn is not fn:
+            # a silent overwrite would shadow a query out of the gate
+            raise ValueError(f"duplicate declared query name {name!r}")
         REGISTRY[name] = DeclaredQuery(name, fn, oracle, survey_ids)
         return fn
     return deco
