@@ -129,8 +129,15 @@ class ConnectorTable:
 
 def _default_stream_root() -> str:
     import os
-    return os.path.join(os.path.dirname(os.path.dirname(
+    import tempfile
+    root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".scratch", "streams")
+    try:
+        os.makedirs(root, exist_ok=True)
+        return root
+    except OSError:
+        # installed into read-only site-packages: fall back to tmp
+        return os.path.join(tempfile.gettempdir(), "pravega_sim_streams")
 
 
 @dataclass

@@ -36,8 +36,12 @@ REGISTRY: dict[str, DeclaredQuery] = {}
 def declared(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
     """Register a declared query. ``oracle=None`` → rows-only check."""
     def deco(fn):
-        if name in REGISTRY and REGISTRY[name].fn is not fn:
-            # a silent overwrite would shadow a query out of the gate
+        prev = REGISTRY.get(name)
+        # a silent overwrite would shadow a query out of the gate; compare
+        # by origin rather than identity so importlib.reload of a query
+        # module (new function objects, same definitions) stays legal
+        if prev is not None and (prev.fn.__module__, prev.fn.__qualname__) \
+                != (fn.__module__, fn.__qualname__):
             raise ValueError(f"duplicate declared query name {name!r}")
         REGISTRY[name] = DeclaredQuery(name, fn, oracle, survey_ids)
         return fn

@@ -19,9 +19,6 @@ driver file almost line-for-line.
 
 import os
 
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
 from pravega_flink_ai_flow_spark.engine.ddl import FlinkDdlEnv
 from pravega_flink_ai_flow_spark.engine.project import init_project
 from pravega_flink_ai_flow_spark.ml import (
@@ -31,8 +28,6 @@ from pravega_flink_ai_flow_spark.workflow import (
 
 from conftest import DATA
 
-IRIS_SCHEMA = T.StructType([
-    T.StructField(c, T.DoubleType()) for c in ["sl", "sw", "pl", "pw", "type"]])
 FEATURES = ["sl", "sw", "pl", "pw"]
 
 IRIS_DDL_COLS = "sl FLOAT, sw FLOAT, pl FLOAT, pw FLOAT, type FLOAT"

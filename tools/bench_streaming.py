@@ -101,10 +101,9 @@ def main() -> None:
             lambda s: st.interval_join(
                 s.select(F.col("user_id"), F.col("ts").alias("l_ts"),
                          F.col("event_type").alias("type_a")),
-                b_stream.select(F.col("user_id").alias("r_user"),
+                b_stream.select(F.col("user_id"),
                                 F.col("ts").alias("r_ts"),
-                                F.col("event_type").alias("type_b"))
-                        .withColumnRenamed("r_user", "user_id"),
+                                F.col("event_type").alias("type_b")),
                 key="user_id", left_ts="l_ts", right_ts="r_ts",
                 lookback="5 minutes"))
 
