@@ -543,3 +543,76 @@ def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sha2(F.array_join(kept_sorted, ". ").cast("binary"), 256)
                   .alias("cleaned_sha"))
             .orderBy("doc_id"))
+
+
+@declared(
+    "l4_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t != ''),
+                   t -> lower(t)) AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(ws, (w, i) ->
+                           struct_pack(w1 := w, w2 := ws[i + 1])),
+                       b -> b.w2 IS NOT NULL) AS bs
+            FROM toks WHERE len(ws) >= 2
+        ) t, unnest(t.bs) AS u(b)
+    ),
+    vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM bigrams),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           AVG(log2(CAST(c.c2 + 1 AS DOUBLE)
+                    / (n.c1 + (SELECT v FROM vocab)))) AS mean_log2p
+    FROM bigrams b
+    JOIN cnt2 c ON c.w1 = b.w1 AND c.w2 = b.w2
+    JOIN cnt1 n ON n.w1 = b.w1
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    survey_ids=("L4", "A1", "J1"),
+)
+def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter): a
+    bigram language model with add-one smoothing is trained ON the
+    corpus itself in one aggregate pass — bigram and context counts are
+    skinny tables — and every document is scored by its mean log2
+    bigram probability. At 100 TB the count tables are the only
+    shuffled state (vocab-bounded, not corpus-bounded) and the scoring
+    join runs on the bigram key. Low scores mark gibberish/boilerplate
+    for the quality gate."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    ws = F.transform(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t))
+    toks = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    # in-row bigram pairs: (w_i, w_{i+1}) via indexed transform + get
+    pairs = F.filter(
+        F.transform("ws", lambda w, i:
+                    F.struct(w.alias("w1"), F.get("ws", i + 1).alias("w2"))),
+        lambda b: b["w2"].isNotNull())
+    bigrams = (toks.select("doc_id", F.explode(pairs).alias("b"))
+               .select("doc_id", "b.w1", "b.w2"))
+    cnt2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = cnt2.select("w1").distinct().agg(F.count("*").alias("v"))
+    return (bigrams
+            .join(cnt2, ["w1", "w2"])
+            .join(cnt1, "w1")
+            .join(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.avg(F.log2((F.col("c2") + 1).cast("double")
+                              / (F.col("c1") + F.col("v"))))
+                  .alias("mean_log2p"))
+            .orderBy("doc_id"))
