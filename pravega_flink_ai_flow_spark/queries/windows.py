@@ -241,3 +241,29 @@ def w9_running_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__is_first"), 1).otherwise(0)).over(w_run)
          .alias("n_distinct_types"))
         .orderBy("event_id"))
+
+
+@declared(
+    "w10_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_median
+    FROM events
+    ORDER BY event_id
+    """,
+    survey_ids=("W5", "A7"),
+)
+def w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a 10-row trailing frame — the robust
+    moving-average companion (outlier-resistant smoothing). Exact
+    percentile per frame; both engines interpolate identically
+    (continuous quantile over the sorted frame)."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-9, Window.currentRow))
+    return (events.select(
+        "event_id", "user_id",
+        F.percentile("value", F.lit(0.5)).over(w).alias("rolling_median"))
+        .orderBy("event_id"))
