@@ -217,8 +217,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items,
-           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_items
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_items
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

@@ -213,9 +213,9 @@ def w8_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id, user_id,
-           SUM(CASE WHEN is_first THEN 1 ELSE 0 END) OVER (
+           CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS n_distinct_types
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
     FROM flagged
     ORDER BY event_id
     """,

@@ -44,3 +44,26 @@ def test_every_declared_query_matches_under_vanilla_session():
     (Spark 4 default), JVM-default timezone, no engine configs. This is
     the session the external gate actually uses."""
     _run_sweep({"VANILLA": "1"})
+
+
+def test_type_checker_flags_uncast_integer_sum(spark):
+    """The driver's pandas value hash is type-sensitive: DuckDB returns
+    HUGEINT for an uncast integer SUM (float64 after .df()) where Spark
+    returns LongType (int64) — rows and schema match but the hash does
+    not (CORRECTNESS_r04: tpch_q12, t5_session_window). The local
+    checker must flag that class BEFORE the gate does."""
+    import duckdb
+
+    from tools.check_correctness import type_mismatches
+
+    sdf = spark.sql("SELECT CAST(3 AS BIGINT) AS s, CAST(1.5 AS DOUBLE) AS d")
+    con = duckdb.connect()
+    base = "FROM (SELECT 1 AS x UNION ALL SELECT 2)"
+    uncast = con.sql(f"SELECT SUM(x) AS s, CAST(1.5 AS DOUBLE) AS d {base}")
+    assert type_mismatches(sdf, uncast) == [("s", "int", "float")]
+    cast = con.sql(
+        f"SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(1.5 AS DOUBLE) AS d {base}")
+    assert type_mismatches(sdf, cast) == []
+    # DECIMAL lands in float64 via .df() — compatible with Spark DOUBLE
+    dec = con.sql(f"SELECT CAST(3 AS BIGINT) AS s, CAST(1.5 AS DECIMAL(10,2)) AS d {base} LIMIT 1")
+    assert type_mismatches(sdf, dec) == []

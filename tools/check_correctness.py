@@ -48,6 +48,67 @@ def canon_value(v):
     return v
 
 
+# The driver's value hash runs over PANDAS frames, so it is sensitive to
+# the type FAMILY a column lands in after conversion: DuckDB HUGEINT (an
+# uncast integer SUM) and DECIMAL both surface as float64 in .df() while
+# Spark LongType stays int64 — `3` vs `3.0` hash-mismatches even though
+# canon_value collapses them (CORRECTNESS_r04: tpch_q12 /
+# t5_session_window). Width within a family (int32 vs int64, us vs ns)
+# does not change hashed values; DATE and TIMESTAMP both render as
+# datetime64. Nullability degrades int→float64 SYMMETRICALLY on both
+# engines (verified), so a schema-side mapping is exact and free.
+
+def _spark_family(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"  # Spark toPandas keeps Decimal objects
+    if s in ("date", "timestamp", "timestamp_ntz"):
+        return "datetime"
+    if s == "boolean":
+        return "bool"
+    if s == "string":
+        return "str"
+    if s == "binary":
+        return "bytes"
+    return s
+
+
+def _duck_family(t) -> str:
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT") \
+            or s.startswith("DECIMAL"):
+        return "float"  # all land in float64 via .df()
+    if s.startswith(("DATE", "TIMESTAMP")):
+        return "datetime"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "VARCHAR":
+        return "str"
+    if s == "BLOB":
+        return "bytes"
+    return s.lower()
+
+
+def type_mismatches(sdf, rel):
+    """[(col, spark_family, duck_family)] for driver-visible type diffs."""
+    duck = dict(zip(rel.columns, rel.types))
+    bad = []
+    for f in sdf.schema.fields:
+        if f.name not in duck:
+            continue
+        fs, fd = _spark_family(f.dataType), _duck_family(duck[f.name])
+        if fs != fd:
+            bad.append((f.name, fs, fd))
+    return bad
+
+
 def canon_rows(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
@@ -126,6 +187,14 @@ def main():
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        bad_types = type_mismatches(sdf, rel)
+        if bad_types:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: driver-visible TYPE mismatch "
+                  + "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in bad_types)
+                  + "  (uncast integer SUM? cast the oracle to BIGINT)")
             continue
         _, cs = canon_rows(s_cols, s_rows)
         _, cd = canon_rows(d_cols, d_rows)
