@@ -272,12 +272,26 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, orders = tables(spark, sf_dir, "events", "orders")
     # prune to the carried columns BEFORE the merge: the union+window
     # shuffles whole row structs, so projection here is shuffle volume
-    # saved (Catalyst can't prune through the carry struct itself)
+    # saved (Catalyst can't prune through the carry struct itself).
+    # o_orderdate → timestamp, branching on its actual type (it varies
+    # by data generation). DATE: UTC-midnight instant via unix_date, NOT
+    # .cast("timestamp") — the cast shifts by session timezone while
+    # DuckDB coerces DATE to naive midnight, so the cast form matches
+    # only on UTC hosts. TIMESTAMP_NTZ: plain cast IS timezone-safe
+    # here, because the events reader applies the identical NTZ→instant
+    # cast to `ts`, so both comparison sides shift by the same session
+    # offset (per-date DST drift ≤2h can't reorder dates ≥1 day apart).
+    if dict(orders.dtypes)["o_orderdate"] == "date":
+        o_ts = F.timestamp_micros(
+            F.unix_date(F.col("o_orderdate")).cast("bigint") * 86_400_000_000)
+    else:
+        o_ts = F.col("o_orderdate").cast("timestamp")
     joined = asof_merge(
         events.select("event_id", "user_id", "ts"),
-        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        orders.select("o_custkey", o_ts.alias("o_ts"),
+                      "o_orderkey", "o_totalprice"),
         left_on="user_id", right_on="o_custkey",
-        left_time="ts", right_time="o_orderdate",
+        left_time="ts", right_time="o_ts",
         tie_breakers=["o_orderkey"],
     )
     return (
@@ -290,43 +304,54 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "j13_asof_tolerance",
     oracle="""
-    SELECT event_id, user_id, o_orderkey AS last_orderkey,
-           o_totalprice AS last_totalprice
+    SELECT event_id, user_id, last_purchase_id, last_purchase_value
     FROM (
-        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
-               ROW_NUMBER() OVER (PARTITION BY e.event_id
-                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        FROM events e
-        JOIN orders o
-          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-         AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
-             <= 604800000000
+        SELECT c.event_id, c.user_id,
+               p.event_id AS last_purchase_id,
+               p.value    AS last_purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                  ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts <= c.ts
+         AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
     ) WHERE rn = 1
     """,
     survey_ids=("J9",),
 )
 def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a match tolerance (pandas ``merge_asof
-    (tolerance=...)`` parity): latest order at-or-before each event,
-    but only within 7 days — events whose nearest prior order is older
-    drop out. The band predicate is also the at-scale win: it caps the
-    per-key fan-out the top-1 aggregate reduces."""
+    (tolerance=...)`` parity): for each click, the latest purchase by
+    the same user at-or-before the click, but only within 24 hours —
+    clicks whose nearest prior purchase is older drop out. Both sides
+    share the events epoch so the tolerance band genuinely partitions
+    matches (per-user purchase gaps average ~50h vs the 24h band), and
+    both timestamps are instants — no date→timestamp cast, so results
+    are session-timezone-independent. The band predicate is also the
+    at-scale win: it caps the per-key fan-out the top-1 aggregate
+    reduces."""
     from ..ops.relational import asof_join
 
-    events, orders = tables(spark, sf_dir, "events", "orders")
+    (events,) = tables(spark, sf_dir, "events")
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_event_id"),
+                         F.col("value").alias("p_value")))
     out = asof_join(
-        events.select("event_id", "user_id", "ts"),
-        orders.select("o_custkey",
-                      F.col("o_orderdate").cast("timestamp").alias("o_ts"),
-                      "o_orderkey", "o_totalprice"),
-        left_on="user_id", right_on="o_custkey",
-        left_time="ts", right_time="o_ts",
-        left_id="event_id", tie_breakers=["o_orderkey"],
-        tolerance_seconds=7 * 86400,
+        clicks, purchases,
+        left_on="user_id", right_on="p_user",
+        left_time="ts", right_time="p_ts",
+        left_id="event_id", tie_breakers=["p_event_id"],
+        tolerance_seconds=86400,
     )
     return out.select("event_id", "user_id",
-                      F.col("o_orderkey").alias("last_orderkey"),
-                      F.col("o_totalprice").alias("last_totalprice"))
+                      F.col("p_event_id").alias("last_purchase_id"),
+                      F.col("p_value").alias("last_purchase_value"))
 
 
 @declared(
