@@ -244,8 +244,22 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45 — the corpus's
-    most-similar tail; no synthesized duplicates exist above 0.5)."""
+    most-similar tail; no synthesized duplicates exist above 0.5).
+
+    Declared plan is the blocked-GEMM exact formulation, NOT the
+    ``id_a < id_b`` corpus self-join (kept as the pytest equality
+    baseline, test_operators.py::test_blocked_gemm_near_dup_matches_
+    exact): rows shuffle once to deterministic block pairs, each pair
+    scores as one BLAS multiply in ``applyInPandas``, per-task memory is
+    two blocks regardless of corpus size. Hyperplane-LSH candidate
+    generation was evaluated and rejected for THIS threshold: at
+    cos 0.45 (θ≈63°) per-plane agreement is 0.648 vs 0.50 for random
+    pairs, so honest parameters either admit ~⅔ of all pairs as
+    candidates (8 tables × 3 planes) or drop recall below 25 %
+    (8 × 8) — LSH only pays above ~0.8. Exact blocked GEMM is the
+    100 TB-shaped plan for a mid-threshold sweep."""
     (emb,) = tables(spark, sf_dir, "embeddings")
-    return (similarity.cosine_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.45, dim=64)
+    return (similarity.cosine_near_dup_pairs_blocked(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45,
+        n_blocks=8)
         .orderBy("id_a", "id_b"))
