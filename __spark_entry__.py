@@ -34,37 +34,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation was a no-op because the dict was built sorted by CANONICAL
 # name, so insertion order never changed (VERDICT.md r3, wrong #2).
 # Fixed: the export dicts are built sorted by EXPORT key, so `a0_`-
-# prefixed names genuinely enter the window. `_PROMOTED` holds exactly
-# 50 of the 77 never-recorded queries (all 21 TPC-H, w1-w8, u1-u5 incl.
-# ALL variants, o1-o3, t3/t4/t5/t7, m2/m3, p1-p5). ROUND 5: promote the
-# remaining never-recorded set — p6-p8, s1/s3_s4/s7-s11, t11-t13,
-# l3_lsh, all l4_*, l5_* (incl. the round-4 l5_image_decode /
-# l5_audio_decode), l6_* (incl. round-4 l6_pii_redaction /
-# l6_sequence_packing), l4_text_normalize, l4_repetition_ratio — ~34
-# names, padded to 50 with the oldest-recorded queries. Canonical names
-# are unchanged in the package registry, bench.py and tests; only the
-# exported keys rotate.
+# prefixed names genuinely enter the window. Round 4 recorded the 50
+# oldest-never-recorded (all TPC-H, w1-w8, u*, o1-o3, p1-p5, t3-t7,
+# m2/m3). ROUND 5 `_PROMOTED` = the 47 queries with NO driver record in
+# any of CORRECTNESS_r01-r04 (every l4_*/l5_*/l6_*, s1-s11, p6-p8,
+# t11-t15, w9/w10, a5_grouping_id/a14/a15, f_regex, j13, m4, o4)
+# padded to exactly 50 with the three queries fixed or re-planned this
+# round, so their fixes are gate-proven: tpch_q12 + t5_session_window
+# (round-4 reds, HUGEINT oracle cast) and l3_cosine_near_dup (declared
+# plan swapped to blocked GEMM). Canonical names are unchanged in the
+# package registry, bench.py and tests; only the exported keys rotate.
 _PROMOTED = frozenset({
-    # TPC-H (all 21 declared shapes; q1 is a1_pricing_summary, green r1)
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    # window functions (SURVEY W1-W8)
-    "w1_row_number", "w2_rank_dense_ntile", "w3_lag_lead", "w4_running_sum",
-    "w5_moving_avg", "w6_range_frame", "w7_first_last_value",
-    "w8_percent_rank_cume_dist",
-    # set ops (U1-U5 incl. ALL variants)
-    "u1_union_all", "u2_union_distinct", "u3_intersect", "u3_intersect_all",
-    "u4_except", "u4_except_all", "u5_distinct_dropdup",
-    # sorts (O1-O3)
-    "o1_multi_key_sort", "o2_top_n", "o3_topk_per_group",
-    # projections (P1-P5)
-    "p1_expression_select", "p2_identity_stage", "p3_column_split",
-    "p4_filter_predicates", "p5_case_when",
-    # time-window batch analogs (T3/T4/T5/T7), ML scoring (M2/M3)
-    "t3_tumbling_window", "t4_sliding_window", "t5_session_window",
-    "t7_dedup_by_key", "m2_knn_predict", "m3_model_accuracy",
+    # never-recorded: aggregations / scalar / joins / ML / sorts
+    "a5_grouping_id", "a14_hll_mergeable_sketch", "a15_filtered_agg",
+    "f_regex", "j13_asof_tolerance", "m4_ridge_predict", "o4_nulls_ordering",
+    # never-recorded: projections + sampling
+    "p6_rename_alias", "p7_systematic_sample", "p8_stratified_sample",
+    # never-recorded: sources/sinks (SURVEY S1-S11)
+    "s1_csv_roundtrip", "s3_s4_stream_dir_roundtrip", "s7_parquet_pruned_scan",
+    "s8_rows_source", "s9_pandas_bridge", "s10_orc_roundtrip",
+    "s11_ddl_connector_roundtrip",
+    # never-recorded: time-series rollups (T11-T15)
+    "t11_ohlc_rollup", "t12_funnel_analysis", "t13_retention_cohorts",
+    "t14_resample_ffill", "t15_resample_interpolate",
+    # never-recorded: windows (W9/W10)
+    "w9_running_count_distinct", "w10_rolling_median",
+    # never-recorded: text analysis (SURVEY L4 — entire row)
+    "l4_bigram_lm_score", "l4_bpe_token_count", "l4_doc_chunking",
+    "l4_fingerprint", "l4_lang_source_stats", "l4_language_id",
+    "l4_quality_features", "l4_quality_filter", "l4_repetition_ratio",
+    "l4_rolling_hash", "l4_text_normalize", "l4_token_stats",
+    # never-recorded: multimodal (SURVEY L5 — entire row)
+    "l5_audio_decode", "l5_binary_meta", "l5_frame_sample_plan",
+    "l5_image_decode",
+    # never-recorded: LLM pipeline ops (L6)
+    "l6_benchmark_decontam", "l6_boilerplate_removal", "l6_heavy_hitter_terms",
+    "l6_mixture_weighted_sample", "l6_pii_redaction", "l6_sequence_packing",
+    "l6_shard_assign",
+    # round-5 fixes needing gate re-proof
+    "tpch_q12", "t5_session_window", "l3_cosine_near_dup",
 })
 
 
