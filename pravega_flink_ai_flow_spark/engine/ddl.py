@@ -199,10 +199,31 @@ class FlinkDdlEnv:
         if t.connector == "datagen":
             n = int(t.options.get("number-of-rows", 1000))
             df = self.spark.range(n)
-            # deterministic per-column values derived from the row id
+            # deterministic per-column values derived from the row id.
+            # Types a bigint can't CAST to (several are invalid under
+            # ANSI, which the driver's vanilla session keeps ON) get
+            # explicit constructions instead of a blind cast.
             exprs = []
             for i, f_ in enumerate(t.schema.fields):
-                col = (F.col("id") * (i + 1)).cast(f_.dataType)
+                base = F.col("id") * (i + 1)
+                dt = f_.dataType.simpleString()
+                if dt in ("array", "map", "struct") or "<" in dt:
+                    raise ValueError(
+                        f"datagen connector cannot generate column "
+                        f"{f_.name!r} of type {dt} — use a filesystem "
+                        "source for complex-typed tables")
+                if dt == "date":
+                    # bounded day offset: epoch + 0..19999 days
+                    col = F.date_add(F.lit("1970-01-01").cast("date"),
+                                     (base % 20000).cast("int"))
+                elif dt.startswith("timestamp"):
+                    col = F.timestamp_seconds(base)
+                elif dt == "boolean":
+                    col = (base % 2) == 0
+                elif dt == "binary":
+                    col = base.cast("string").cast("binary")
+                else:
+                    col = base.cast(f_.dataType)
                 exprs.append(col.alias(f_.name))
             return df.select(*exprs)
         raise ValueError(f"unsupported connector {t.connector!r}")

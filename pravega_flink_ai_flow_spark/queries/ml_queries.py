@@ -21,6 +21,10 @@ _K = 5
 # driver-collect guard: a misconfigured split must degrade to the
 # distributed scorer, not OOM the driver (VERDICT.md r3 wrong #4)
 _MAX_TEST_ROWS = 100_000
+# literal-map guard: a create_map over 2×N literals is a single Catalyst
+# expression — fine at thousands, pathological near the collect guard
+# (ADVICE r4). Splits between the two caps use a broadcast label join.
+_MAX_LITERAL_MAP_ROWS = 2_000
 
 # (applicationId, sf_dir) -> collected test split (or None = oversized).
 # The test matrix is a fixed artifact of the query definition (the
@@ -117,13 +121,25 @@ def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
     nearest = (cands.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= _K))
-    # true labels as a plan-time map literal (the split is already on the
-    # driver) — saves a createDataFrame job + broadcast join per call
-    lab_map = F.create_map(
-        *[F.lit(v) for tid, _, lab in test_rows for v in (tid, lab)])
-    return _knn_vote(
-        nearest.drop("dist2", "rn")
-        .withColumn("true_label", lab_map[F.col("vec_id")].cast("int")))
+    # true labels: plan-time map literal when the split is SMALL (saves a
+    # createDataFrame job + broadcast join per call), but capped well
+    # below the collect guard — a 100k-row split would make a 200k-literal
+    # Catalyst expression that stalls/OOMs the DRIVER during analysis,
+    # before any executor guard can trip. Larger splits take the
+    # broadcast-join path instead.
+    if len(test_rows) <= _MAX_LITERAL_MAP_ROWS:
+        lab_map = F.create_map(
+            *[F.lit(v) for tid, _, lab in test_rows for v in (tid, lab)])
+        true_label = lab_map[F.col("vec_id")].cast("int")
+        labeled = (nearest.drop("dist2", "rn")
+                   .withColumn("true_label", true_label))
+    else:
+        labels = spark.createDataFrame(
+            [(tid, int(lab)) for tid, _, lab in test_rows],
+            "vec_id bigint, true_label int")
+        labeled = (nearest.drop("dist2", "rn")
+                   .join(F.broadcast(labels), "vec_id"))
+    return _knn_vote(labeled)
 
 
 def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,6 +117,37 @@ def test_datagen_connector(spark):
     assert rows[0].__fields__ == ["a", "b"]
 
 
+def test_datagen_noncastable_types(spark):
+    """DATE/TIMESTAMP/BOOLEAN/BINARY datagen columns need explicit
+    constructions — a blind bigint cast to these is invalid under ANSI
+    (the driver's vanilla session keeps ANSI ON), so a datagen DDL
+    declaring them used to fail at read despite DATE being in _TYPE_MAP
+    (ADVICE r4). Complex types are rejected at DDL-read time with a
+    clear error instead of a Catalyst cast failure."""
+    import datetime
+
+    env = FlinkDdlEnv(spark)
+    env.execute_sql("""
+        create table gen2 (d DATE, t TIMESTAMP(3), f BOOLEAN, raw BYTES)
+        with ('connector' = 'datagen', 'number-of-rows' = '4')
+    """)
+    rows = env.from_path("gen2").orderBy("t").collect()
+    assert len(rows) == 4
+    assert isinstance(rows[1].d, datetime.date)
+    assert isinstance(rows[1].t, datetime.datetime)
+    assert rows[0].f is True and rows[1].f is False
+    assert isinstance(rows[1].raw, (bytes, bytearray))
+    # deterministic: d is column 0 (multiplier 1), so id=1 → epoch + 1 day
+    assert rows[1].d == datetime.date(1970, 1, 2)
+
+    env.execute_sql("""
+        create table gen3 (xs ARRAY<INT>)
+        with ('connector' = 'datagen', 'number-of-rows' = '2')
+    """)
+    with pytest.raises(ValueError, match="datagen connector cannot"):
+        env.from_path("gen3")
+
+
 def test_bad_ddl_raises(spark):
     env = FlinkDdlEnv(spark)
     with pytest.raises(ValueError):

@@ -572,6 +572,20 @@ def test_knn_collect_guard_falls_back_to_distributed(spark, monkeypatch):
     mq._TEST_SPLIT_CACHE.clear()                   # don't poison other tests
 
 
+def test_knn_large_split_uses_broadcast_labels(spark, monkeypatch):
+    """A split that fits the collect guard but exceeds the literal-map
+    cap must take the broadcast label join, not build a 2×N-literal
+    create_map expression (which stalls Catalyst analysis long before
+    any executor guard trips — ADVICE r4), and predict identically."""
+    from pravega_flink_ai_flow_spark.queries import ml_queries as mq
+
+    sf = "/root/testdata/sf0.001"
+    expected = {tuple(r) for r in mq.m2_knn_predict(spark, sf).collect()}
+    monkeypatch.setattr(mq, "_MAX_LITERAL_MAP_ROWS", 0)
+    got = {tuple(r) for r in mq.m2_knn_predict(spark, sf).collect()}
+    assert got == expected
+
+
 def test_partitioned_write_prunes_scan(spark, tmp_workdir):
     """Hive-style partitioned layout: a filter on the partition column
     must prune at planning time (PartitionFilters), reading only the
@@ -681,21 +695,41 @@ def test_events_reader_units(spark, tmp_workdir):
     import os
     us_dir = os.path.join(tmp_workdir, "us_events")
     ns_dir = os.path.join(tmp_workdir, "ns_events")
+    ms_dir = os.path.join(tmp_workdir, "ms_events")
+    s_dir = os.path.join(tmp_workdir, "s_events")
     mixed = os.path.join(tmp_workdir, "mixed_events")
-    for d in (us_dir, ns_dir, mixed):
+    for d in (us_dir, ns_dir, ms_dir, s_dir, mixed):
         os.makedirs(d)
     write(os.path.join(us_dir, "p0.parquet"), "us", 1)
     write(os.path.join(ns_dir, "p0.parquet"), "ns", 1000)
+    # ms/s: use second-aligned instants (the coarser units can't carry
+    # sub-unit precision); scale base micros DOWN to the stored unit.
+    # NOTE: parquet has no SECONDS annotation — pyarrow coerces
+    # timestamp('s') to ms on write (verified), so the reader's 's'
+    # entry is defensive-only; the s_dir fixture exercises the ms
+    # branch with second-granular values.
+    sec_base = (base // 1_000_000) * 1_000_000
+    def write_coarse(path, unit, div):
+        tbl = pa.table({**cols, "ts": pa.array(
+            [sec_base // div, (sec_base + 5_000_000) // div],
+            pa.timestamp(unit))})
+        pq.write_table(tbl, path)
+    write_coarse(os.path.join(ms_dir, "p0.parquet"), "ms", 1000)
+    write_coarse(os.path.join(s_dir, "p0.parquet"), "s", 1_000_000)
     write(os.path.join(mixed, "p0.parquet"), "us", 1)
     write(os.path.join(mixed, "p1.parquet"), "ns", 1000)
 
     us_df, ns_df = _read_events(spark, us_dir), _read_events(spark, ns_dir)
-    # both branches agree on values AND allow numeric casts (no NTZ)
+    # all branches agree on values AND allow numeric casts (no NTZ)
     get = lambda df: sorted(
         (r[0], r[1]) for r in
         df.selectExpr("event_id", "CAST(ts AS DOUBLE) AS t").collect())
     assert get(us_df) == get(ns_df)
     assert get(us_df)[0][1] == base / 1e6
+
+    for d in (ms_dir, s_dir):
+        cdf = _read_events(spark, d)
+        assert get(cdf) == [(1, sec_base / 1e6), (2, (sec_base + 5_000_000) / 1e6)]
 
     with pytest.raises(ValueError, match="mixed ts units"):
         _read_events(spark, mixed)
