@@ -21,10 +21,6 @@ _K = 5
 # driver-collect guard: a misconfigured split must degrade to the
 # distributed scorer, not OOM the driver (VERDICT.md r3 wrong #4)
 _MAX_TEST_ROWS = 100_000
-# literal-map guard: a create_map over 2×N literals is a single Catalyst
-# expression — fine at thousands, pathological near the collect guard
-# (ADVICE r4). Splits between the two caps use a broadcast label join.
-_MAX_LITERAL_MAP_ROWS = 2_000
 
 # (applicationId, sf_dir) -> collected test split (or None = oversized).
 # The test matrix is a fixed artifact of the query definition (the
@@ -117,29 +113,18 @@ def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("vec_id").alias("n_id"),
                      F.col("label").alias("n_label"),
                      F.col("embedding").alias("nv")))
-    cands = knn_candidates_blocked(train, test_rows, k=_K)
+    # the scorer emits each test vector's true label straight from the
+    # closure — no label-attach step at all. (Both alternatives cost
+    # real time per call: a 2×|test|-literal create_map is ~0.12 s of
+    # pure Catalyst analysis at |test|=100, scaling to a driver stall
+    # near the collect guard — ADVICE r4 — and a broadcast label join
+    # adds a build job per run.)
+    cands = knn_candidates_blocked(train, test_rows, k=_K,
+                                   test_label_col="true_label")
     w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
     nearest = (cands.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= _K))
-    # true labels: plan-time map literal when the split is SMALL (saves a
-    # createDataFrame job + broadcast join per call), but capped well
-    # below the collect guard — a 100k-row split would make a 200k-literal
-    # Catalyst expression that stalls/OOMs the DRIVER during analysis,
-    # before any executor guard can trip. Larger splits take the
-    # broadcast-join path instead.
-    if len(test_rows) <= _MAX_LITERAL_MAP_ROWS:
-        lab_map = F.create_map(
-            *[F.lit(v) for tid, _, lab in test_rows for v in (tid, lab)])
-        true_label = lab_map[F.col("vec_id")].cast("int")
-        labeled = (nearest.drop("dist2", "rn")
-                   .withColumn("true_label", true_label))
-    else:
-        labels = spark.createDataFrame(
-            [(tid, int(lab)) for tid, _, lab in test_rows],
-            "vec_id bigint, true_label int")
-        labeled = (nearest.drop("dist2", "rn")
-                   .join(F.broadcast(labels), "vec_id"))
-    return _knn_vote(labeled)
+    return _knn_vote(nearest.drop("dist2", "rn"))
 
 
 def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

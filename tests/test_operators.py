@@ -572,16 +572,16 @@ def test_knn_collect_guard_falls_back_to_distributed(spark, monkeypatch):
     mq._TEST_SPLIT_CACHE.clear()                   # don't poison other tests
 
 
-def test_knn_large_split_uses_broadcast_labels(spark, monkeypatch):
-    """A split that fits the collect guard but exceeds the literal-map
-    cap must take the broadcast label join, not build a 2×N-literal
-    create_map expression (which stalls Catalyst analysis long before
-    any executor guard trips — ADVICE r4), and predict identically."""
+def test_knn_closure_labels_match_fold(spark):
+    """m2 attaches each test vector's true label inside the Arrow
+    scorer's closure (no create_map literal — which stalls Catalyst
+    analysis for large splits, ADVICE r4 — and no broadcast label
+    join). The closure-labeled path must predict identically to the
+    all-JVM fold, which joins labels relationally."""
     from pravega_flink_ai_flow_spark.queries import ml_queries as mq
 
     sf = "/root/testdata/sf0.001"
-    expected = {tuple(r) for r in mq.m2_knn_predict(spark, sf).collect()}
-    monkeypatch.setattr(mq, "_MAX_LITERAL_MAP_ROWS", 0)
+    expected = {tuple(r) for r in mq._spark_knn(spark, sf).collect()}
     got = {tuple(r) for r in mq.m2_knn_predict(spark, sf).collect()}
     assert got == expected
 
