@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from .catalog import Catalog
-from ..ml.registry import ModelRegistry
+from ..ml.registry import ModelRegistry, open_registry
 from ..workflow import WorkflowOperation
 from ..workflow.config import _load_yaml
 
@@ -60,7 +60,12 @@ def init_project(yaml_path: str, *, spark: SparkSession | None = None,
         project_name=name,
         spark=spark,
         catalog=Catalog(os.path.join(state_dir, "catalog.json")),
-        registry=ModelRegistry(os.path.join(state_dir, "registry.json")),
+        # db_uri honors the reference's project-config key (README.md:39,
+        # default sqlite:///${AIFLOW_HOME}/aiflow.db); projects without
+        # one get the same sqlite default, rooted in state_dir
+        registry=open_registry(str(data.get(
+            "db_uri",
+            "sqlite:///" + os.path.join(state_dir, "aiflow.db")))),
         workflow_operation=WorkflowOperation(),
         properties=props,
     )

@@ -6,10 +6,19 @@ Re-expresses the AI Flow model center the reference depends on:
 ``af.get_deployed_model_version`` / ``get_latest_generated_model_version``
 (processor.py:165-166, 240), ``af.update_model_version`` with stages
 GENERATED → VALIDATED → DEPLOYED → DEPRECATED (processor.py:26,
-168-198). Storage is a JSON file (the reference uses a SQLite metadata
-DB — same role); every stage transition publishes an event to the
-in-process bus, mirroring the notification-server events that drive the
-reference's control edges (batch_train_batch_predict.py:115-120).
+168-198). Two storage backends, selected by ``open_registry(uri)``:
+
+- ``sqlite:///path/to/db`` → :class:`SqliteModelRegistry` — the
+  reference's own default metadata store (``db_uri:
+  sqlite:///${AIFLOW_HOME}/aiflow.db``, README.md:39); transactional
+  and multi-process-safe (every mutation is one IMMEDIATE
+  transaction, version numbers allocated under the write lock).
+- anything else → JSON-file :class:`ModelRegistry` (single-writer,
+  human-readable — the demo/test default).
+
+Every stage transition publishes an event to the in-process bus,
+mirroring the notification-server events that drive the reference's
+control edges (batch_train_batch_predict.py:115-120).
 """
 
 from __future__ import annotations
@@ -147,3 +156,110 @@ class ModelRegistry:
                 for m in self._models.values()]
         with open(self._path, "w") as f:
             json.dump(data, f, indent=2)
+
+
+class SqliteModelRegistry(ModelRegistry):
+    """SQLite-backed registry — the reference's own default metadata
+    store (``db_uri: sqlite:///${AIFLOW_HOME}/aiflow.db``,
+    /root/reference/README.md:39; AI Flow also supports MySQL/MongoDB —
+    same SQL shape, out of scope in this sandbox).
+
+    Unlike the JSON backend (load-once, write-whole-file), every read
+    hits the DB and every mutation is one ``BEGIN IMMEDIATE``
+    transaction, so concurrent writers in separate PROCESSES are safe:
+    version numbers are allocated under SQLite's write lock, and stage
+    transitions made by one process are visible to the next reader in
+    another. The in-process event bus semantics are unchanged (events
+    fire in the process that performed the mutation, exactly like the
+    reference's notification client)."""
+
+    def __init__(self, db_path: str):
+        super().__init__(path=None)
+        self._db_path = db_path
+        os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
+        with self._conn() as con:
+            con.execute("""CREATE TABLE IF NOT EXISTS models (
+                name TEXT PRIMARY KEY, model_desc TEXT NOT NULL DEFAULT '')""")
+            con.execute("""CREATE TABLE IF NOT EXISTS model_versions (
+                model_name TEXT NOT NULL, version INTEGER NOT NULL,
+                model_path TEXT NOT NULL,
+                current_stage TEXT NOT NULL DEFAULT 'GENERATED',
+                PRIMARY KEY (model_name, version))""")
+
+    def _conn(self):
+        # contextlib.closing: sqlite3's own context manager commits but
+        # never CLOSES — per-op connections must not leak file handles
+        import contextlib
+        import sqlite3
+        con = sqlite3.connect(self._db_path, timeout=30.0,
+                              isolation_level=None)  # explicit txns
+        con.execute("PRAGMA journal_mode=WAL")
+        return contextlib.closing(con)
+
+    # -- API (same surface as the JSON registry) ----------------------------
+
+    def register_model(self, model_name: str, model_desc: str = "") -> ModelMeta:
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            con.execute("INSERT OR IGNORE INTO models(name, model_desc) "
+                        "VALUES (?, ?)", (model_name, model_desc))
+            con.execute("COMMIT")
+            row = con.execute("SELECT name, model_desc FROM models "
+                              "WHERE name = ?", (model_name,)).fetchone()
+        meta = ModelMeta(row[0], row[1])
+        meta.versions = self.versions(model_name)
+        return meta
+
+    def register_model_version(self, model_name: str, model_path: str) -> ModelVersion:
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")   # version alloc under write lock
+            con.execute("INSERT OR IGNORE INTO models(name) VALUES (?)",
+                        (model_name,))
+            (version,) = con.execute(
+                "SELECT COALESCE(MAX(version), 0) + 1 FROM model_versions "
+                "WHERE model_name = ?", (model_name,)).fetchone()
+            con.execute(
+                "INSERT INTO model_versions(model_name, version, model_path, "
+                "current_stage) VALUES (?, ?, ?, ?)",
+                (model_name, version, model_path, ModelVersionStage.GENERATED))
+            con.execute("COMMIT")
+        mv = ModelVersion(model_name, version, model_path)
+        self._emit(ModelEvent.MODEL_GENERATED, mv)
+        return mv
+
+    def update_model_version(self, model_name: str, model_version: int,
+                             current_stage: str) -> ModelVersion:
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            cur = con.execute(
+                "UPDATE model_versions SET current_stage = ? "
+                "WHERE model_name = ? AND version = ?",
+                (current_stage, model_name, model_version))
+            if cur.rowcount == 0:
+                con.execute("ROLLBACK")
+                raise KeyError(f"{model_name} v{model_version} not registered")
+            (model_path,) = con.execute(
+                "SELECT model_path FROM model_versions "
+                "WHERE model_name = ? AND version = ?",
+                (model_name, model_version)).fetchone()
+            con.execute("COMMIT")
+        mv = ModelVersion(model_name, model_version, model_path, current_stage)
+        self._emit(_STAGE_EVENT[current_stage], mv)
+        return mv
+
+    def _versions(self, model_name: str) -> list[ModelVersion]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT model_name, version, model_path, current_stage "
+                "FROM model_versions WHERE model_name = ? ORDER BY version",
+                (model_name,)).fetchall()
+        return [ModelVersion(*r) for r in rows]
+
+
+def open_registry(uri: str) -> ModelRegistry:
+    """Registry factory keyed by the reference's ``db_uri`` convention:
+    ``sqlite:///abs/or/rel/path.db`` → SQLite backend; any other string
+    is a JSON file path."""
+    if uri.startswith("sqlite:///"):
+        return SqliteModelRegistry(uri[len("sqlite:///"):])
+    return ModelRegistry(uri)
