@@ -253,6 +253,13 @@ class FlinkDdlEnv:
             if t.options.get("format", "json") != "json":
                 raise ValueError("pravega-sim sink is JSON (the reference's "
                                  "serialization format)")
+            if self._socket_transport(t):
+                (out.write.format("pravega_socket").mode("append")
+                 .option("controller", t.options["controller-uri"])
+                 .option("scope", t.options.get("scope", "scope"))
+                 .option("stream", t.options["sink.stream"])
+                 .save())
+                return
             self._stream_dir(t, t.options["sink.stream"]).append(out)
             return
         raise ValueError(f"unsupported sink connector {t.connector!r}")
@@ -285,10 +292,36 @@ class FlinkDdlEnv:
         stream = t.options.get("scan.streams")
         if not stream:
             raise ValueError("pravega source DDL needs 'scan.streams'")
+        if self._socket_transport(t):
+            # network path: pull from a live controller/segment-store
+            # over TCP (the reference's actual transport,
+            # processor.py:83,106) via the pravega_socket data source
+            rdr = (self.spark.read if t.options.get("scan.execution.type")
+                   == "batch" else self.spark.readStream)
+            return (rdr.format("pravega_socket")
+                    .schema(t.schema)
+                    .option("controller", t.options["controller-uri"])
+                    .option("scope", t.options.get("scope", "scope"))
+                    .option("stream", stream.split(";")[0])
+                    .load())
         sd = self._stream_dir(t, stream.split(";")[0])
         if t.options.get("scan.execution.type") == "batch":
             return sd.read_bounded(self.spark)   # processor.py:108,219
         return sd.read_stream(self.spark)        # unbounded default
+
+    def _socket_transport(self, t: ConnectorTable) -> bool:
+        """``'transport' = 'socket'`` opts a pravega table into the TCP
+        data source (needs a live server at ``controller-uri``); the
+        default stays the file-backed stream-dir simulation, which needs
+        no running server."""
+        if t.options.get("transport", "stream-dir") != "socket":
+            return False
+        if "controller-uri" not in t.options:
+            raise ValueError("pravega socket transport needs "
+                             "'controller-uri' (e.g. tcp://localhost:9090)")
+        from ..io.pravega_source import register
+        register(self.spark)
+        return True
 
     def _stream_dir(self, t: ConnectorTable, stream: str):
         from ..io.pravega_sim import StreamDir

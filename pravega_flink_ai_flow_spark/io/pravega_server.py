@@ -1,0 +1,158 @@
+"""In-process Pravega-emulating network server (SURVEY.md S4/S5, T1).
+
+The reference's connector speaks to a Pravega controller over TCP at
+``tcp://localhost:9090`` (batch_train_batch_predict_processor.py:83,
+106,217) and reads stream segments from a segment store. This module
+provides the network half of that story for the socket transport
+(:mod:`.pravega_source`): a threaded TCP server holding append-only
+per-stream event logs, with the four operations the connector surface
+needs — create, append, tail, ranged read. The wire protocol is one
+newline-delimited JSON request per connection with one JSON response
+(deliberately minimal; the real Pravega wire protocol is a binary
+framed protocol, but the CLIENT-side semantics — offset-addressed
+ranged reads of an append-only log — are identical, and those are what
+the Spark data source exercises).
+
+Semantics mirrored from Pravega:
+
+- streams are append-only: ``append`` returns the new tail offset and
+  never rewrites history, so a ranged ``read(start, end)`` is
+  deterministic forever — the property that gives the Spark stream
+  reader exactly-once replay from checkpointed offsets;
+- offsets are per-stream record indices (real Pravega uses per-segment
+  byte offsets; record indices are the same abstraction one segment
+  up);
+- reads are served to any number of concurrent clients (executors pull
+  their partition ranges in parallel, like segment-store reads).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+
+
+def pravega_rpc(host: str, port: int, request: dict) -> dict:
+    """One request/response round trip. Module-level pure function so
+    executor-side readers can call it without capturing server objects
+    in task closures."""
+    with socket.create_connection((host, port), timeout=30) as sock:
+        sock.sendall((json.dumps(request) + "\n").encode("utf-8"))
+        sock.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            chunk = sock.recv(1 << 16)
+            if not chunk:
+                break
+            buf += chunk
+    resp = json.loads(buf.decode("utf-8"))
+    if resp.get("error"):
+        raise RuntimeError(f"pravega server error: {resp['error']}")
+    return resp
+
+
+def parse_controller_uri(uri: str) -> tuple[str, int]:
+    """``tcp://host:port`` (the reference's controller-uri shape,
+    processor.py:83) or bare ``host:port``."""
+    addr = uri[len("tcp://"):] if uri.startswith("tcp://") else uri
+    host, _, port = addr.rpartition(":")
+    if not host or not port.isdigit():
+        raise ValueError(f"cannot parse controller uri {uri!r} "
+                         "(expected tcp://host:port)")
+    return host, int(port)
+
+
+class PravegaEmulatorServer:
+    """Threaded TCP server over in-memory append-only stream logs."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._host, self._want_port = host, port
+        self._streams: dict[tuple[str, str], list] = {}
+        self._lock = threading.Lock()
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- direct (in-process) API -------------------------------------------
+
+    def create_stream(self, scope: str, stream: str) -> None:
+        with self._lock:
+            self._streams.setdefault((scope, stream), [])
+
+    def append(self, scope: str, stream: str, events: list) -> int:
+        with self._lock:
+            log = self._streams.setdefault((scope, stream), [])
+            log.extend(events)
+            return len(log)
+
+    def tail(self, scope: str, stream: str) -> int:
+        with self._lock:
+            return len(self._streams.get((scope, stream), []))
+
+    def read(self, scope: str, stream: str, start: int, end: int) -> list:
+        with self._lock:
+            log = self._streams.get((scope, stream), [])
+            return list(log[start:end])
+
+    def streams(self) -> list:
+        with self._lock:
+            return sorted(f"{s}/{st}" for s, st in self._streams)
+
+    # -- network lifecycle --------------------------------------------------
+
+    def start(self) -> tuple[str, int]:
+        """Bind (port 0 → ephemeral), serve in a daemon thread, return
+        the bound (host, port)."""
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                try:
+                    req = json.loads(self.rfile.readline().decode("utf-8"))
+                    resp = outer._dispatch(req)
+                except Exception as e:  # malformed request must not kill the server
+                    resp = {"error": f"{type(e).__name__}: {e}"}
+                self.wfile.write((json.dumps(resp) + "\n").encode("utf-8"))
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self._host, self._want_port), Handler)
+        host, port = self._server.server_address[:2]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        name="pravega-emulator", daemon=True)
+        self._thread.start()
+        return host, port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    @property
+    def controller_uri(self) -> str:
+        assert self._server is not None, "server not started"
+        host, port = self._server.server_address[:2]
+        return f"tcp://{host}:{port}"
+
+    # -- dispatch -----------------------------------------------------------
+
+    def _dispatch(self, req: dict) -> dict:
+        op = req.get("op")
+        scope, stream = req.get("scope", ""), req.get("stream", "")
+        if op == "create_stream":
+            self.create_stream(scope, stream)
+            return {"ok": True}
+        if op == "append":
+            return {"tail": self.append(scope, stream, req["events"])}
+        if op == "tail":
+            return {"tail": self.tail(scope, stream)}
+        if op == "read":
+            return {"events": self.read(scope, stream,
+                                        int(req["start"]), int(req["end"]))}
+        if op == "list":
+            return {"streams": self.streams()}
+        return {"error": f"unknown op {op!r}"}

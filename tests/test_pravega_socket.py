@@ -1,0 +1,265 @@
+"""Network (TCP) Pravega transport: PravegaEmulatorServer + the
+``pravega_socket`` Python Data Source (SURVEY.md S4/S5, T1/T9).
+
+The reference connector pulls stream data over TCP from a controller at
+``tcp://localhost:9090`` (processor.py:83,106,217); the file-backed
+stream-dir is the default simulation, and this suite covers the real
+socket path end-to-end: parallel executor-side ranged reads, offset
+checkpointing with exactly-once replay, admission control, stream and
+batch writes, and the DDL ``'transport' = 'socket'`` opt-in.
+"""
+
+import datetime
+import os
+
+import pytest
+
+from pravega_flink_ai_flow_spark.io import pravega_source
+from pravega_flink_ai_flow_spark.io.pravega_server import (
+    PravegaEmulatorServer, parse_controller_uri, pravega_rpc,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, value double, tag string"
+
+
+def _events(lo, hi):
+    return [{"event_id": i, "ts": 1_700_000_000_000_000 + i * 1_000_000,
+             "value": float(i), "tag": f"t{i % 3}"} for i in range(lo, hi)]
+
+
+@pytest.fixture()
+def server():
+    srv = PravegaEmulatorServer()
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _read(spark, srv, stream, **opts):
+    r = (spark.read.format("pravega_socket")
+         .schema(SCHEMA)
+         .option("controller", srv.controller_uri)
+         .option("scope", "scope").option("stream", stream))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_server_rpc_roundtrip(server):
+    host, port = parse_controller_uri(server.controller_uri)
+    pravega_rpc(host, port, {"op": "create_stream", "scope": "s",
+                             "stream": "x"})
+    assert pravega_rpc(host, port, {"op": "append", "scope": "s",
+                                    "stream": "x",
+                                    "events": [{"a": 1}]})["tail"] == 1
+    assert pravega_rpc(host, port, {"op": "tail", "scope": "s",
+                                    "stream": "x"})["tail"] == 1
+    assert pravega_rpc(host, port,
+                       {"op": "read", "scope": "s", "stream": "x",
+                        "start": 0, "end": 1})["events"] == [{"a": 1}]
+    with pytest.raises(RuntimeError, match="unknown op"):
+        pravega_rpc(host, port, {"op": "nope"})
+
+
+def test_batch_read_parallel_partitions(spark, server):
+    server.append("scope", "ev", _events(0, 500))
+    pravega_source.register(spark)
+    df = _read(spark, server, "ev", rowsPerPartition="120")
+    # 500 records / 120 per chunk → 5 executor-side pulls
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 500
+    row = df.orderBy("event_id").first()
+    assert row.event_id == 0 and row.value == 0.0 and row.tag == "t0"
+    assert row.ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_batch_read_empty_stream(spark, server):
+    server.create_stream("scope", "empty")
+    pravega_source.register(spark)
+    assert _read(spark, server, "empty").count() == 0
+
+
+def test_stream_exactly_once_resume(spark, server, tmp_workdir):
+    """availableNow drain → append more → re-run from the SAME
+    checkpoint: the second run must deliver only the new records (the
+    append-only log + checkpointed record offsets give deterministic
+    replay)."""
+    server.append("scope", "s1", _events(0, 300))
+    pravega_source.register(spark)
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    sink = os.path.join(tmp_workdir, "sink")
+
+    def drain():
+        sdf = (spark.readStream.format("pravega_socket")
+               .schema(SCHEMA)
+               .option("controller", server.controller_uri)
+               .option("scope", "scope").option("stream", "s1")
+               .load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(sink).count()
+    assert first == 300
+    server.append("scope", "s1", _events(300, 450))
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 450  # +150, no duplicates
+    assert got.select("event_id").distinct().count() == 450
+
+
+def test_stream_admission_control(spark, server, tmp_workdir):
+    """With maxRecordsPerBatch set, a backlog drains as several bounded
+    micro-batches under a processing-time trigger."""
+    server.append("scope", "s2", _events(0, 250))
+    pravega_source.register(spark)
+    sdf = (spark.readStream.format("pravega_socket")
+           .schema(SCHEMA)
+           .option("controller", server.controller_uri)
+           .option("scope", "scope").option("stream", "s2")
+           .option("maxRecordsPerBatch", "100")
+           .load())
+    name = "adm_sink"
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(tmp_workdir, "c2"))
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        import time
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c == 250:
+                break
+            time.sleep(0.5)
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    assert spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c == 250
+    # ≥3 micro-batches moved data (250 records / 100-cap)
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3
+    assert max(p["numInputRows"] for p in data_batches) <= 100
+
+
+def test_capped_restart_no_duplicates(spark, server, tmp_workdir):
+    """Restart-from-checkpoint WITH the admission cap: the reader's
+    first latestOffset() of the new run lags the checkpoint (position
+    unknown until a partitions() call) — Spark must plan no backward
+    batch and the drain must finish without duplicates or loss."""
+    import time
+
+    server.append("scope", "s3", _events(0, 200))
+    pravega_source.register(spark)
+    ckpt = os.path.join(tmp_workdir, "ckpt3")
+    sink = os.path.join(tmp_workdir, "sink3")
+
+    def run(expect):
+        sdf = (spark.readStream.format("pravega_socket")
+               .schema(SCHEMA)
+               .option("controller", server.controller_uri)
+               .option("scope", "scope").option("stream", "s3")
+               .option("maxRecordsPerBatch", "80").load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(processingTime="200 milliseconds").start())
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= expect:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+
+    run(200)
+    server.append("scope", "s3", _events(200, 300))
+    run(300)
+    got = spark.read.parquet(sink)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
+
+
+def test_batch_write_and_timestamp_roundtrip(spark, server):
+    pravega_source.register(spark)
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    df = spark.createDataFrame(
+        [(1, ts, 2.5, "a"), (2, ts, 3.5, "b")], SCHEMA)
+    (df.write.format("pravega_socket").mode("append")
+     .option("controller", server.controller_uri)
+     .option("scope", "scope").option("stream", "w1").save())
+    assert server.tail("scope", "w1") == 2
+    back = _read(spark, server, "w1").orderBy("event_id").collect()
+    assert [r.event_id for r in back] == [1, 2]
+    assert back[0].ts == ts  # micros survive the wire roundtrip
+    with pytest.raises(Exception, match="append-only"):
+        (df.write.format("pravega_socket").mode("overwrite")
+         .option("controller", server.controller_uri)
+         .option("stream", "w1").save())
+
+
+def test_stream_write(spark, server, tmp_workdir):
+    server.append("scope", "in", _events(0, 120))
+    pravega_source.register(spark)
+    sdf = (spark.readStream.format("pravega_socket")
+           .schema(SCHEMA)
+           .option("controller", server.controller_uri)
+           .option("scope", "scope").option("stream", "in").load())
+    q = (sdf.writeStream.format("pravega_socket")
+         .option("controller", server.controller_uri)
+         .option("scope", "scope").option("stream", "out")
+         .option("checkpointLocation", os.path.join(tmp_workdir, "c3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert server.tail("scope", "out") == 120
+
+
+def test_ddl_socket_transport(spark, server):
+    """The reference's CREATE TABLE … WITH('connector'='pravega',
+    'controller-uri'='tcp://…') shape, opted into the network path."""
+    from pravega_flink_ai_flow_spark.engine.ddl import FlinkDdlEnv
+
+    server.append("scope", "train-stream",
+                  [{"sl": 6.4, "sw": 2.8, "pl": 5.6, "pw": 2.2, "type": 2.0}
+                   for _ in range(30)])
+    env = FlinkDdlEnv(spark)
+    env.execute_sql(f"""
+        create table train (sl DOUBLE, sw DOUBLE, pl DOUBLE, pw DOUBLE,
+                            type DOUBLE) with (
+            'connector' = 'pravega',
+            'controller-uri' = '{server.controller_uri}',
+            'transport' = 'socket',
+            'scope' = 'scope',
+            'scan.streams' = 'train-stream',
+            'scan.execution.type' = 'batch',
+            'format' = 'json'
+        )
+    """)
+    assert env.from_path("train").count() == 30
+    assert spark.sql("SELECT COUNT(*) c FROM train").first().c == 30
+
+    env.execute_sql(f"""
+        create table sink (sl DOUBLE, sw DOUBLE, pl DOUBLE, pw DOUBLE,
+                           type DOUBLE) with (
+            'connector' = 'pravega',
+            'controller-uri' = '{server.controller_uri}',
+            'transport' = 'socket',
+            'scope' = 'scope',
+            'sink.stream' = 'predict-stream',
+            'format' = 'json'
+        )
+    """)
+    env.add_insert("sink", env.from_path("train"))
+    assert server.tail("scope", "predict-stream") == 30
+
+    with pytest.raises(ValueError, match="controller-uri"):
+        env.execute_sql("""
+            create table bad (a INT) with (
+                'connector' = 'pravega', 'transport' = 'socket',
+                'scan.streams' = 'x', 'format' = 'json',
+                'scan.execution.type' = 'batch'
+            )
+        """)
+        env.from_path("bad")
