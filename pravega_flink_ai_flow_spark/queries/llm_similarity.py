@@ -226,6 +226,55 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l3_int8_quant_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mx AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x * 127.0 / m + 0.5)) AS qv
+           FROM mx WHERE m > 0)
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               list_dot_product(q.qv, c.qv) AS score,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.qv, c.qv) DESC,
+                                           c.vec_id) AS rank
+        FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """,
+    survey_ids=("L3", "F6"),
+)
+def l3_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-QUANTIZED dot product — the
+    4×-compressed representation a 100 TB embedding store keeps hot.
+    Symmetric per-vector quantization (floor(v·127/max|v| + 0.5)) is
+    two float ops + a floor, identical doubles in numpy and SQL, and an
+    int dot of 64 int8s is < 2⁵³ — so this 'approximate' operator is
+    EXACTLY oracle-hashable (like the LSH path, where the sign matrix
+    is a plan constant). Plan: quantized query matrix in the closure,
+    one integer GEMM per Arrow batch, per-batch top-k + window merge —
+    no corpus shuffle. Recall vs float cosine is pytest-checked."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    out = similarity.quantized_topk(
+        emb, _query_rows(spark, sf_dir), k=_TOP_K + 1,
+        corpus_id="vec_id", vec_col="embedding",
+        query_id="q_id", out_id="c_id")
+    # exclude self-matches (k+1 requested so the slot loss is covered),
+    # then re-rank to 1..k
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id"))
+    return (out.filter(F.col("q_id") != F.col("c_id"))
+            .drop("rank")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOP_K)
+            .select("q_id", "c_id", "score", "rank"))
+
+
+@declared(
     "l3_cosine_near_dup",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

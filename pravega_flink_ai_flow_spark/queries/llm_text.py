@@ -6,7 +6,7 @@ feature in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import declared, tables
 from ..ops import text as T
@@ -616,3 +616,57 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / (F.col("c1") + F.col("v"))))
                   .alias("mean_log2p"))
             .orderBy("doc_id"))
+
+
+@declared(
+    "l4_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t != '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT t.doc_id, t.term,
+               t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) DESC,
+                            t.term) AS rank
+        FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    survey_ids=("L4", "A1", "W1"),
+)
+def l4_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords — the classic corpus-statistic
+    feature every training-data pipeline derives (topic tagging, quality
+    filtering, dedup blocking keys). Plan: tf is one (doc, term)
+    aggregate with map-side combine; document frequency aggregates the
+    tf table (vocab-bounded — rows = distinct terms, not corpus tokens)
+    and broadcasts back onto tf; the corpus size is a 1-row broadcast
+    (the tpch_q11 / heavy-hitters pattern, no driver count). If the
+    vocab ever outgrew broadcast the same plan degrades to a shuffle
+    join on term; nothing else changes."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    terms = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = (F.col("tf")
+             * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("tfidf", tfidf)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", "tfidf", "rank")
+            .orderBy("doc_id", "rank"))

@@ -836,3 +836,41 @@ def test_ridge_distributed_matches_driver_lstsq(spark):
     assert abs(model.intercept - w[-1]) < 1e-8
     # in-sample R^2 must beat the mean predictor by a real margin
     assert model.score(X, y) > 0.05
+
+
+def test_int8_quantized_topk_recall(spark):
+    """int8-quantized dot-product top-k vs EXACT float dot-product
+    top-k: mean top-5 recall must stay useful. Random 64-dim vectors
+    are the hard case (dot products cluster tightly, so quantization
+    noise flips more ranks than on real clustered embeddings) —
+    measured 0.70 at sf0.01; bound set with slack for other
+    generations. Exactness of the declared query itself is the oracle
+    hash; this pins the semantic quality of the compressed
+    representation."""
+    from pravega_flink_ai_flow_spark.queries.llm_similarity import (
+        _query_rows, l3_int8_quant_topk,
+    )
+    from pravega_flink_ai_flow_spark.queries import tables
+
+    sf = "/root/testdata/sf0.01"
+    got = l3_int8_quant_topk(spark, sf).collect()
+    int8_top = {}
+    for r in got:
+        int8_top.setdefault(r.q_id, set()).add(r.c_id)
+
+    # exact float dot-product top-5, small enough to fold in numpy
+    import numpy as np
+    (emb,) = tables(spark, sf, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    hits = total = 0
+    for q_id, q_vec in [(r[0], np.asarray(r[1], dtype=np.float64))
+                        for r in _query_rows(spark, sf)]:
+        scores = V @ q_vec
+        order = np.lexsort((ids, -scores))
+        exact = [int(ids[i]) for i in order if ids[i] != q_id][:5]
+        hits += len(int8_top[q_id] & set(exact))
+        total += 5
+    assert total == 50
+    assert hits / total >= 0.5, f"recall {hits/total}"
