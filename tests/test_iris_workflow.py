@@ -140,3 +140,107 @@ def test_second_round_promotion(spark, tmp_workdir):
     with open(metrics_path) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 2 and "scores" in lines[0]
+
+
+def test_iris_end_to_end_over_socket_transport(spark, tmp_workdir):
+    """The reference demo again, but on the round-5 'real deployment'
+    substrate: streams live in a network Pravega emulator reached over
+    TCP (the reference's controller transport, processor.py:83,106) and
+    the registry persists to SQLite (the reference's default metadata
+    DB, README.md:39). Same workflow DAG, same control edges, same
+    accuracy bar."""
+    from pravega_flink_ai_flow_spark.io import (
+        PravegaEmulatorServer, register_pravega_socket,
+    )
+    from pravega_flink_ai_flow_spark.ml import SqliteModelRegistry
+
+    srv = PravegaEmulatorServer()
+    srv.start()
+    try:
+        register_pravega_socket(spark)
+        model_dir = os.path.join(tmp_workdir, "saved_model")
+        metrics_path = os.path.join(tmp_workdir, "validate_result")
+
+        registry = SqliteModelRegistry(os.path.join(tmp_workdir, "aiflow.db"))
+        registry.register_model("iris_knn", "KNN on iris over TCP streams")
+        wf = Workflow(spark, registry)
+
+        def stream_read(stream):
+            return (spark.read.format("pravega_socket")
+                    .schema(IRIS_SCHEMA)
+                    .option("controller", srv.controller_uri)
+                    .option("scope", "scope").option("stream", stream)
+                    .load())
+
+        def stream_write(df, stream):
+            (df.write.format("pravega_socket").mode("append")
+             .option("controller", srv.controller_uri)
+             .option("scope", "scope").option("stream", stream)
+             .save())
+
+        def datagen(wf):
+            train = batch.read_csv(spark, os.path.join(DATA, "iris_train.csv"),
+                                   IRIS_SCHEMA)
+            test = batch.read_csv(spark, os.path.join(DATA, "iris_test.csv"),
+                                  IRIS_SCHEMA)
+            stream_write(train, "train-stream")
+            stream_write(test, "predict-stream")
+
+        def train_job(wf):
+            df = stream_read("train-stream")
+            ml_ops.train(df, registry=registry, model_name="iris_knn",
+                         feature_cols=FEATURES, label_col="type",
+                         fit_fn=lambda x, y: KNNClassifier(5).fit(x, y),
+                         model_dir=model_dir)
+
+        def validate_job(wf):
+            df = batch.read_csv(spark, os.path.join(DATA, "iris_test.csv"),
+                                IRIS_SCHEMA)
+            return ml_ops.validate(df, registry=registry,
+                                   model_name="iris_knn",
+                                   feature_cols=FEATURES, label_col="type",
+                                   metrics_path=metrics_path)
+
+        def predict_job(wf):
+            df = stream_read("predict-stream")
+            ml_ops.register_predict_udf(spark, registry=registry,
+                                        model_name="iris_knn")
+            out = df.selectExpr("mypred(sl, sw, pl, pw) AS prediction",
+                                "type")
+            # the writer derives its wire schema from the frame itself —
+            # the result stream carries (prediction, type), like the
+            # reference's predict_result sink (processor.py:269-270)
+            stream_write(out, "result-stream")
+
+        wf.job("datagen", datagen)
+        wf.job("train", train_job)
+        wf.job("validate", validate_job)
+        wf.job("predict", predict_job)
+        wf.action_on_job_status("train", "datagen", JobStatus.FINISHED)
+        wf.action_on_model_version_event("validate", "iris_knn",
+                                         ModelEvent.MODEL_GENERATED)
+        wf.action_on_model_version_event("predict", "iris_knn",
+                                         ModelEvent.MODEL_DEPLOYED)
+        wf.run()
+
+        for j in ["datagen", "train", "validate", "predict"]:
+            assert wf.status(j) == JobStatus.FINISHED
+        assert srv.tail("scope", "train-stream") == 120
+        assert srv.tail("scope", "predict-stream") == 30
+        assert srv.tail("scope", "result-stream") == 30
+        # DEPLOYED state visible through a FRESH registry handle (the
+        # durability the sqlite store adds over the JSON file)
+        fresh = SqliteModelRegistry(os.path.join(tmp_workdir, "aiflow.db"))
+        deployed = fresh.get_deployed_model_version("iris_knn")
+        assert deployed is not None
+        # accuracy over the socket-read predict stream
+        ml_ops.register_predict_udf(spark, registry=registry,
+                                    model_name="iris_knn")
+        acc = (stream_read("predict-stream")
+               .selectExpr("mypred(sl, sw, pl, pw) AS prediction", "type")
+               .select(F.avg((F.col("prediction") == F.col("type"))
+                             .cast("double")).alias("acc"))
+               .collect()[0].acc)
+        assert acc >= 0.9, f"accuracy {acc}"
+    finally:
+        srv.stop()
