@@ -207,6 +207,34 @@ def s11_ddl_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "s12_jsonl_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("S6", "S2"),
+)
+def s12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink then source — the de-facto interchange format for
+    LLM training corpora (one JSON object per line, newline-delimited,
+    splittable so a 100 TB corpus scans with full parallelism). Written
+    with Spark's json writer, read back with the source's exact schema
+    (no inference — schema inference is a full extra pass at scale);
+    timestamps and doubles must survive the text encoding bit-exact vs
+    the parquet original."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    sel = (orders.filter(F.col("o_orderkey") <= 1000)
+           .select("o_orderkey", "o_orderdate", "o_totalprice",
+                   "o_orderpriority"))
+    path = _tmpdir("s12_jsonl_")
+    sel.write.mode("overwrite").json(path)
+    return (spark.read.schema(sel.schema).json(path)
+            .orderBy("o_orderkey"))
+
+
+@declared(
     "s10_orc_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -874,3 +874,56 @@ def test_int8_quantized_topk_recall(spark):
         total += 5
     assert total == 50
     assert hits / total >= 0.5, f"recall {hits/total}"
+
+
+def test_softmax_distributed_matches_driver_numpy(spark):
+    """The parameter-server softmax loop must be bit-reproducible against
+    a single-node numpy run of the identical update schedule, and the
+    fitted model must actually memorize (train accuracy well above the
+    1/C chance floor on these 10 random-label classes)."""
+    import numpy as np
+
+    from pravega_flink_ai_flow_spark.ml.softmax import fit_softmax_distributed
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    sf = "/root/testdata/sf0.01"
+    (emb,) = qt(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 100).select("embedding", "label")
+    model = fit_softmax_distributed(train, vec_col="embedding",
+                                    label_col="label", n_classes=10)
+
+    rows = train.collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    y = np.asarray([r["label"] for r in rows])
+    Xa = np.hstack([X, np.ones((len(y), 1))])
+    W = np.zeros((X.shape[1] + 1, 10))
+    V = np.zeros_like(W)
+    for _ in range(15):
+        Z = Xa @ W
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        P[np.arange(len(y)), y] -= 1.0
+        G = Xa.T @ P / len(y)
+        G[:-1] += 1e-4 * W[:-1]
+        V = 0.9 * V - 1.0 * G
+        W = W + V
+    # distributed partials sum in a different order than one big GEMM,
+    # so equality is to float tolerance, not bit-exact
+    assert np.allclose(model.W, W, atol=1e-8)
+    assert model.score(X, y) > 0.25   # chance is 0.10
+
+
+def test_m5_softmax_predict_query(spark):
+    """Declared query shape: one prediction row per held-out vec_id,
+    pred_label in [0, 10), fully JVM-side scoring (no Python UDF in the
+    prediction plan)."""
+    from pravega_flink_ai_flow_spark.queries.ml_queries import m5_softmax_predict
+
+    out = m5_softmax_predict(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(0 <= r.pred_label < 10 for r in rows)
+    assert [r.vec_id for r in rows] == sorted(r.vec_id for r in rows)
