@@ -235,6 +235,94 @@ def s12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "s13_partitioned_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice > 150000
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("S7", "P4"),
+)
+def s13_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (``partitionBy``) then a read whose
+    partition predicate never touches the data files — at 100 TB,
+    directory-level partition pruning is the first and cheapest filter
+    any scan has (a date/source partition predicate skips whole shards
+    before a single row group is opened). The pruning contract
+    (``PartitionFilters`` in the scan, not a post-filter) is asserted
+    in tests/test_plan_contracts.py; values here must survive the
+    partition-column round-trip (partition values are encoded in
+    directory names, so string escaping is part of what's checked)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    path = _tmpdir("s13_part_")
+    (orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+     .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path))
+    return (spark.read.parquet(path)
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                    & (F.col("o_totalprice") > 150000))
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@declared(
+    "s14_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           COUNT(*) AS n_items,
+           SUM(l.l_quantity) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 250000
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_orderkey
+    """,
+    survey_ids=("S7", "J3", "A1"),
+)
+def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables + co-located join: both fact tables are written
+    ``bucketBy(8, key)`` + ``sortBy(key)``, so the subsequent join and
+    the per-key aggregate run with ZERO Exchange — each bucket pair
+    joins locally. This is THE technique for repeated large-large joins
+    at 100 TB: pay the partitioning once at write time, then every
+    downstream join/agg on that key skips its shuffle entirely. The
+    no-Exchange-between-scans contract is asserted in
+    tests/test_plan_contracts.py; the bucket write itself (hash
+    function, bucket pruning metadata) is what the value hash checks."""
+    (orders, lineitem) = tables(spark, sf_dir, "orders", "lineitem")
+    db_dir = os.path.join(_SCRATCH, "s14_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS s14_bucketed LOCATION "
+              f"'{db_dir}'")
+    # table names carry the scale-factor tag: one pytest session runs
+    # several sf_dirs, and a cached table from another SF would
+    # silently answer for the wrong dataset
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ob_name, lb_name = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    for name, df, key in ((ob_name,
+                           orders.select("o_orderkey", "o_totalprice"),
+                           "o_orderkey"),
+                          (lb_name,
+                           lineitem.select("l_orderkey", "l_quantity"),
+                           "l_orderkey")):
+        if not spark.catalog.tableExists(f"s14_bucketed.{name}"):
+            # a fresh session's catalog forgets managed tables, but the
+            # previous session's files survive in .scratch — clear them
+            # or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
+            shutil.rmtree(os.path.join(db_dir, name), ignore_errors=True)
+            (df.write.bucketBy(8, key).sortBy(key)
+             .mode("overwrite").format("parquet")
+             .saveAsTable(f"s14_bucketed.{name}"))
+    ob = spark.table(f"s14_bucketed.{ob_name}")
+    lb = spark.table(f"s14_bucketed.{lb_name}")
+    return (ob.filter(F.col("o_totalprice") > 250000)
+            .join(lb, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderkey", "o_totalprice")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("o_orderkey"))
+
+
+@declared(
     "s10_orc_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation

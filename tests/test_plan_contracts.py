@@ -98,3 +98,41 @@ def test_shuffle_count_upper_bounds(spark, name, max_exchanges):
 def test_o4_plans_topk_not_global_sort(spark):
     plan = _plan(spark, "o4_nulls_ordering")
     assert "TakeOrderedAndProject" in plan   # LIMIT+ORDER BY without full sort
+
+
+def test_s13_partition_pruning_reaches_scan(spark):
+    """The partition predicate must prune at the DIRECTORY level
+    (PartitionFilters on the scan), not as a post-scan filter — at
+    100 TB this is the difference between opening two partitions and
+    opening all of them."""
+    plan = _plan(spark, "s13_partitioned_pruned_scan")
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2, "scan has no PartitionFilters section"
+    assert "o_orderpriority" in pf[1].split("\n", 1)[0]
+    # the data predicate still pushes into the row groups
+    assert "PushedFilters" in plan and "o_totalprice" in \
+        plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_s14_bucketed_join_has_no_exchange(spark):
+    """Both sides are bucketed by the join key into the same bucket
+    count, so the large-large join and the per-key aggregate must plan
+    with ZERO hash Exchange — the write-once/shuffle-free contract
+    bucketing exists for. Auto-broadcast is disabled for the plan check
+    (at sf0.001 the filtered orders side is broadcast-small, which
+    would sidestep the join path under test; at 100 TB neither side
+    broadcasts and this sort-merge shape is the one that runs). The
+    orderBy's final range Exchange is presentation and allowed."""
+    import re
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "s14_bucketed_colocated_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    for m in re.finditer(r"^\(\d+\) Exchange", plan, re.MULTILINE):
+        arg_line = plan[m.start():m.start() + 300]
+        assert "hashpartitioning" not in arg_line, \
+            "bucketed join planned a hash Exchange (shuffle)"
+    assert "Bucketed: true" in plan
