@@ -62,7 +62,7 @@ class SoftmaxModel:
         return float((self.predict(X) == np.asarray(y)).mean())
 
 
-def _partial_grad_pass(W: np.ndarray, n_classes: int):
+def _partial_grad_pass(W: np.ndarray):
     """mapInArrow generator: per-batch partial softmax gradient plus the
     batch row count, flattened into one double row per batch."""
     import pyarrow as pa
@@ -107,7 +107,7 @@ def fit_softmax_distributed(df: DataFrame, *, vec_col: str, label_col: str,
         W = np.zeros((d + 1, n_classes))
         V = np.zeros_like(W)
         for _ in range(epochs):
-            rows = (src.mapInArrow(_partial_grad_pass(W, n_classes),
+            rows = (src.mapInArrow(_partial_grad_pass(W),
                                    "stats array<double>").collect())
             total = np.sum([np.asarray(r["stats"]) for r in rows], axis=0)
             n = total[-1]

@@ -2,7 +2,7 @@
 that makes 100 TB-scale vector search feasible at all.
 
 A 64-dim float32 embedding is 256 bytes; its PQ code is m log2(ks)
-bits — 8 bytes at the declared m=16, ks=16, a 32× compression. At
+bits — 10 bytes at the declared m=16, ks=32, a 25× compression. At
 corpus scale that is
 the difference between "the index fits in cluster RAM" and "every query
 re-scans parquet". The classic recipe (Jégou et al., "Product
@@ -141,15 +141,19 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, *,
             k: int = 10, dim: int, m: int = 8, ks: int = 16,
             iters: int = 6, shortlist_mult: int = 5,
             exclude_self: bool = False,
-            max_queries: int = 100_000) -> DataFrame:
+            max_queries: int = 100_000,
+            codebooks: "np.ndarray | None" = None) -> DataFrame:
     """PQ-compressed top-k: train → encode → ADC shortlist → exact
-    rerank. Output: (query_id, corpus_id, cosine, rank ≤ k)."""
+    rerank. Output: (query_id, corpus_id, cosine, rank ≤ k).
+    ``codebooks`` short-circuits training with a precomputed
+    :func:`train_pq_codebooks` result — callers that run the same index
+    repeatedly memoize it per session."""
     import pyarrow as pa
 
     from .similarity import cosine
 
-    C = train_pq_codebooks(corpus, vec_col=corpus_vec, dim=dim,
-                           m=m, ks=ks, iters=iters)
+    C = codebooks if codebooks is not None else train_pq_codebooks(
+        corpus, vec_col=corpus_vec, dim=dim, m=m, ks=ks, iters=iters)
     dsub = dim // m
     q_rows = (queries.select(query_id, query_vec)
               .limit(max_queries + 1).collect())
@@ -165,8 +169,9 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, *,
     T = np.stack([Q[:, s * dsub:(s + 1) * dsub] @ C[s].T
                   for s in range(m)], axis=1)
     nq = len(q_ids)
-    shortlist = min(shortlist_mult * k + (1 if exclude_self else 0),
-                    10 * k)
+    # +1 keeps the query's own vector (always shortlisted at cosine 1)
+    # from consuming a real candidate slot under exclude_self
+    shortlist = shortlist_mult * k + (1 if exclude_self else 0)
 
     def score(batches, C=C, T=T):
         for rb in batches:
@@ -195,9 +200,12 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, *,
                  pa.array(ids[take], type=pa.int64())],
                 names=[query_id, corpus_id])
 
+    # no dropDuplicates: each corpus row is scored in exactly one Arrow
+    # batch, so a (query, corpus) pair is emitted at most once (unlike
+    # LSH/IVF, where multi-table/multi-probe collisions make the dedup
+    # load-bearing) — deduping here would only add a hash Exchange
     cand = (corpus.select(corpus_id, corpus_vec)
-            .mapInArrow(score, f"{query_id} long, {corpus_id} long")
-            .dropDuplicates([query_id, corpus_id]))
+            .mapInArrow(score, f"{query_id} long, {corpus_id} long"))
     if exclude_self:
         cand = cand.filter(F.col(query_id) != F.col(corpus_id))
     # exact rerank on the shortlist only: join back to the true vectors

@@ -15,6 +15,16 @@ _TOP_K = 5
 # trained model), so repeated runs skip the extra collect job.
 _QUERY_SET_CACHE: dict[tuple[str, str], list] = {}
 
+# Trained-index memoization, same rationale as m5's model cache: the
+# quantizers are fixed artifacts of the query definitions, and the
+# plan-contract sweep / oracle sweeps / bench invoke each query fn
+# repeatedly in one session — without these the 6-iteration training
+# loops would re-pay their Spark jobs on every call.
+# (applicationId, sf_dir) -> k-means-refined IVF centroid rows.
+_IVF_KMEANS_CENT_CACHE: dict[tuple[str, str], list] = {}
+# (applicationId, sf_dir) -> trained PQ codebooks (np.ndarray).
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], object] = {}
+
 
 def _query_rows(spark: SparkSession, sf_dir: str) -> list:
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -247,11 +257,17 @@ def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("q_vec")))
     corpus = emb.select(F.col("vec_id").alias("c_id"),
                         F.col("embedding").alias("c_vec"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_CODEBOOK_CACHE.get(key)
+    if books is None:
+        books = pq.train_pq_codebooks(corpus, vec_col="c_vec", dim=64,
+                                      m=16, ks=32)
+        _PQ_CODEBOOK_CACHE[key] = books
     out = pq.pq_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
         k=_TOP_K, dim=64, m=16, ks=32, shortlist_mult=10,
-        exclude_self=True)
+        exclude_self=True, codebooks=books)
     return out.orderBy("q_id", "rank")
 
 
@@ -277,11 +293,18 @@ def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("q_vec")))
     corpus = emb.select(F.col("vec_id").alias("c_id"),
                         F.col("embedding").alias("c_vec"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _IVF_KMEANS_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.ivf_train_quantizer(
+            corpus, corpus_id="c_id", corpus_vec="c_vec",
+            centroid_stride=50, kmeans_iters=6)
+        _IVF_KMEANS_CENT_CACHE[key] = cents
     out = similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
         k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True, dim=64,
-        kmeans_iters=6)
+        centroid_rows=cents)
     return out.orderBy("q_id", "rank")
 
 
