@@ -400,3 +400,33 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_workdir):
                  ) 
     assert (200, 100) in got and (901, 900) in got
     assert (201, None) in got          # unmatched click emitted with null
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_workdir):
+    """T7 scale path: dropDuplicatesWithinWatermark keeps dedup state
+    bounded by the watermark horizon. Duplicates inside the horizon
+    collapse; state for expired keys is evicted (asserted via the state
+    operator's numRowsTotal after the watermark passes them)."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    # batch 1: keys 1,2 at t=0,1min (+ dup of 2 in the same batch)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 1, 1, 2.0),
+                                     (2, 1, 1, 2.0)]))
+    # batch 2: dup of 2 within the horizon + a key far ahead that
+    # advances the watermark past keys 1/2
+    stream.append(_mk_events(spark, [(2, 2, 1, 2.0), (3, 600, 2, 3.0)]))
+    sdf = stream.read_stream(spark)
+    deduped = st.stream_dedup_within_watermark(
+        sdf, ["event_id"], "ts", "5 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dedup_ww")
+         .option("checkpointLocation", os.path.join(tmp_workdir, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.event_id
+                 for r in spark.sql("SELECT * FROM dedup_ww").collect())
+    assert got == [1, 2, 3]
+    progress = q.lastProgress
+    state = (progress["stateOperators"][0]
+             if progress and progress.get("stateOperators") else None)
+    # watermark advanced to ~595min by event 3, so keys 1/2 (t<=2min)
+    # are evicted; only key 3 can remain in state
+    assert state is None or state["numRowsTotal"] <= 1
