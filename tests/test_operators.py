@@ -1010,3 +1010,28 @@ def test_pq_codebooks_deterministic_and_shaped(spark):
     assert c1.shape == (8, 16, 8)
     assert np.array_equal(c1, c2)
     assert np.isfinite(c1).all() and np.abs(c1).max() > 0
+
+
+def test_iterative_trainers_raise_cleanly_on_empty_input(spark):
+    """All three parameter-server trainers must fail fast with a clear
+    ValueError on an empty source, not emit NaN models or divide by
+    zero inside an executor."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pravega_flink_ai_flow_spark.ml.kmeans import (
+        fit_spherical_kmeans_distributed,
+    )
+    from pravega_flink_ai_flow_spark.ml.softmax import fit_softmax_distributed
+    from pravega_flink_ai_flow_spark.ops.pq import train_pq_codebooks
+
+    empty = spark.createDataFrame([], "v array<double>, label int")
+    with _pytest.raises(ValueError):
+        fit_softmax_distributed(empty, vec_col="v", label_col="label",
+                                n_classes=3, epochs=1)
+    with _pytest.raises(ValueError):
+        fit_spherical_kmeans_distributed(
+            empty.select("v"), vec_col="v",
+            init=np.eye(4), iters=1)
+    with _pytest.raises(ValueError):
+        train_pq_codebooks(empty.select("v"), vec_col="v", dim=4, m=2, ks=4)
