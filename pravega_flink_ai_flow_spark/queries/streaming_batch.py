@@ -363,3 +363,82 @@ def t15_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (resample_interpolate(events, key="user_id", ts="ts",
                                  value="value", step_seconds=86400)
             .orderBy("user_id", "bucket"))
+
+
+@declared(
+    "t16_user_similarity_topk",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+               SUM(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               COUNT(*) AS n_common,
+               ROUND(corr(a.v, b.v), 6) AS corr_v
+        FROM daily a JOIN daily b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 10 AND corr(a.v, b.v) IS NOT NULL
+    ),
+    sym AS (
+        SELECT user_a, user_b, n_common, corr_v FROM stats
+        UNION ALL
+        SELECT user_b AS user_a, user_a AS user_b, n_common, corr_v
+        FROM stats
+    )
+    SELECT user_a, user_b, n_common, corr_v, rank FROM (
+        SELECT user_a, user_b, n_common, corr_v,
+               ROW_NUMBER() OVER (PARTITION BY user_a
+                                  ORDER BY corr_v DESC, user_b) AS rank
+        FROM sym
+    ) WHERE rank <= 3
+    ORDER BY user_a, rank
+    """,
+    survey_ids=("T3", "A7", "O3", "J1"),
+)
+def t16_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed streaming-data
+    workload of e.g. EDBT'19 "Time Series Similarity Search for
+    Streaming Data"): top-3 most-correlated users by daily activity.
+    Formulation is the scale-safe INVERTED INDEX ON TIME BUCKET — pairs
+    meet via an equi-join on the bucket (never a user×user cross join),
+    Pearson corr runs as the built-in ``corr`` aggregate over the
+    joined buckets (one shuffle on the pair key, map-side partial
+    stats), a min-overlap filter drops spurious short overlaps, and the
+    per-user top-3 is a window over the surviving pairs. Correlation is
+    a multi-pass accumulation → rounded 6dp per the FIXTURES.md policy,
+    and the rank ORDERS BY THE ROUNDED value so both engines break
+    near-ties identically; zero-variance pairs (Spark NaN, DuckDB NULL)
+    are filtered on both sides."""
+    (events,) = tables(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("user_id",
+                      F.expr("unix_micros(ts) div 86400000000")
+                      .alias("bucket"))
+             .agg(F.sum("value").alias("v")))
+    a = daily.select(F.col("user_id").alias("user_a"), "bucket",
+                     F.col("v").alias("va"))
+    b = daily.select(F.col("user_id").alias("user_b"), "bucket",
+                     F.col("v").alias("vb"))
+    raw = F.corr("va", "vb")
+    stats = (a.join(b, "bucket")
+             .filter(F.col("user_a") < F.col("user_b"))
+             .groupBy("user_a", "user_b")
+             .agg(F.count("*").alias("n_common"), raw.alias("__corr"))
+             .filter((F.col("n_common") >= 10)
+                     & F.col("__corr").isNotNull()
+                     & ~F.isnan("__corr"))
+             .select("user_a", "user_b", "n_common",
+                     F.round("__corr", 6).alias("corr_v")))
+    sym = stats.unionByName(
+        stats.select(F.col("user_b").alias("user_a"),
+                     F.col("user_a").alias("user_b"),
+                     "n_common", "corr_v"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_a").orderBy(F.col("corr_v").desc(),
+                                             F.col("user_b"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .orderBy("user_a", "rank"))
