@@ -206,3 +206,55 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", quality_score(t))
             .withColumn("lang_guess", language_id(t))
             .withColumn("fingerprint", fingerprint(t)))
+
+
+def hashed_bow_features(df: DataFrame, *, id_col: str, text_col: str,
+                        dim: int = 256,
+                        label_col: str | None = None) -> DataFrame:
+    """Hashed bag-of-words featurization (the fasttext-style front end
+    of a corpus quality classifier): every token hashes to one of
+    ``dim`` buckets and the document becomes its bucket-count vector.
+
+    Scale shape: token hashing stays JVM-side (``xxhash64`` per element
+    inside one higher-order expression); the per-document bincount runs
+    vectorized in ``mapInArrow`` — one ``np.add.at`` over the flattened
+    (row, bucket) index per Arrow batch. Zero shuffle at any corpus
+    size, and the output is ``dim`` doubles/doc regardless of document
+    length — the fixed-width representation the downstream distributed
+    trainer needs. ``label_col`` (integer) rides through the pass so
+    the trainer's (features, label) source needs no join back — rows
+    are never reordered. Output: (id_col[, label_col], features)."""
+    import numpy as np
+    import pyarrow as pa
+
+    carry = [F.col(label_col).cast("int")] if label_col else []
+    hashed = df.select(
+        F.col(id_col), *carry,
+        F.transform(tokens(F.col(text_col)),
+                    lambda t: F.pmod(F.xxhash64(t), F.lit(dim))).alias("__h"))
+
+    def featurize(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            passthrough = [rb.column(i) for i in range(rb.num_columns - 1)]
+            harr = rb.column(rb.num_columns - 1)
+            offs = harr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = harr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = offs[1:] - offs[:-1]
+            row_idx = np.repeat(np.arange(n), lens)
+            M = np.zeros((n, dim))
+            np.add.at(M, (row_idx, flat), 1.0)
+            yield pa.RecordBatch.from_arrays(
+                passthrough +
+                [pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1) * dim, type=pa.int32()),
+                    pa.array(M.ravel(), type=pa.float64()))],
+                names=([id_col] + ([label_col] if label_col else [])
+                       + ["features"]))
+
+    out_schema = (f"{id_col} long, "
+                  + (f"{label_col} int, " if label_col else "")
+                  + "features array<double>")
+    return hashed.mapInArrow(featurize, out_schema)

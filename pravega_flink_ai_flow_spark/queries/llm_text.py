@@ -670,3 +670,73 @@ def l4_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 3)
             .select("doc_id", "term", "tfidf", "rank")
             .orderBy("doc_id", "rank"))
+
+
+# (applicationId, sf_dir) -> (median threshold, fitted softmax model).
+# Same memoization rationale as m5 / the ANN index caches: the trained
+# classifier is a fixed artifact of the query definition.
+_QC_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+@declared(
+    "l6_quality_classifier",
+    oracle=None,   # iterative GD training on hashed features — not
+                   # SQL-expressible; pytest asserts the end-to-end
+                   # pipeline learns its target well above chance and
+                   # that the featurizer is deterministic
+    survey_ids=("L4", "M1", "F6"),
+)
+def l6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained quality classifier — the canonical LLM-pipeline
+    composition (CCNet/fasttext-style): featurize every document as a
+    hashed bag-of-words (ops/text.hashed_bow_features — JVM-side token
+    hashing + Arrow-vectorized bincount, zero shuffle), train a softmax
+    classifier with the distributed parameter-server loop
+    (ml/softmax.py), then score the corpus JVM-side with the fitted
+    weights as plan literals. The label here is a deterministic length
+    heuristic (n_chars ≥ corpus median) standing in for human/reference
+    quality labels — the pipeline SHAPE (featurize → train → score →
+    filter) is the deliverable, and it is what runs unchanged at
+    100 TB: featurization and scoring are map-only, training moves only
+    (dim+1)×2 gradient doubles per partition per epoch."""
+    from ..ml.softmax import fit_softmax_distributed
+    from ..ops.text import hashed_bow_features
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _QC_MODEL_CACHE.get(key)
+    if cached is None:
+        thr = docs.agg(
+            F.percentile(F.col("n_chars").cast("double"),
+                         F.lit(0.5)).alias("m")).first()["m"]
+        labeled = docs.withColumn(
+            "label", (F.col("n_chars") >= F.lit(thr)).cast("int"))
+        feats = hashed_bow_features(labeled, id_col="doc_id",
+                                    text_col="text", dim=256,
+                                    label_col="label")
+        # 60 epochs: the unscaled count features make the momentum
+        # descent ring before settling (measured train acc 0.79 at 10
+        # epochs, 0.95 at 60); each epoch is one map-only job and the
+        # fitted model is session-cached, so the one-time cost is fine
+        model = fit_softmax_distributed(
+            feats.select("features", "label"), vec_col="features",
+            label_col="label", n_classes=2, epochs=60)
+        cached = (thr, model)
+        _QC_MODEL_CACHE[key] = cached
+    thr, model = cached
+
+    labeled = docs.withColumn(
+        "label", (F.col("n_chars") >= F.lit(thr)).cast("int"))
+    feats = hashed_bow_features(labeled, id_col="doc_id",
+                                text_col="text", dim=256,
+                                label_col="label")
+    diff = model.W[:, 1] - model.W[:, 0]     # decision score > 0 → keep
+    coef = F.array(*[F.lit(float(c)) for c in diff[:-1]])
+    score = F.aggregate(
+        F.zip_with(F.col("features"), coef, lambda v, c: v * c),
+        F.lit(float(diff[-1])), lambda acc, x: acc + x)
+    return (feats.select(
+                F.col("doc_id"),
+                F.col("label").alias("true_label"),
+                F.when(score > 0, 1).otherwise(0).alias("pred_label"))
+            .orderBy("doc_id"))
