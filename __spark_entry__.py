@@ -45,14 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # plan swapped to blocked GEMM). Canonical names are unchanged in the
 # package registry, bench.py and tests; only the exported keys rotate.
 #
-# ROUND 6 PLAN: after r5 every query has a driver record except the 8
-# added during round 5 — l3_int8_quant_topk, l3_ivf_kmeans_topk,
-# l3_pq_topk, l4_tfidf_keywords, m5_softmax_predict,
-# s12_jsonl_roundtrip, s13_partitioned_pruned_scan,
-# s14_bucketed_colocated_join. Set `_PROMOTED` to those 8 (plus any
-# r6 additions and any r5 reds needing re-proof), padded to 50 with
-# the queries whose last green is OLDEST (the r1-r3 window:
-# a10_unpivot … l3_ivf_topk) so their evidence stays fresh.
+# ROUND 6 PLAN: after r5 every query has a driver record except the
+# ones added during round 5 — l3_int8_quant_topk, l3_ivf_kmeans_topk,
+# l3_pq_topk, l4_tfidf_keywords, l6_quality_classifier,
+# m5_softmax_predict, s12_jsonl_roundtrip, s13_partitioned_pruned_scan,
+# s14_bucketed_colocated_join, t16_user_similarity_topk (recompute:
+# registry names minus every CORRECTNESS_r* key minus r5's
+# `_PROMOTED`). Set `_PROMOTED` to those (plus any r6 additions and
+# any r5 reds needing re-proof), padded to 50 with the queries whose
+# last green is OLDEST (the r1-r3 window: a10_unpivot … l3_ivf_topk)
+# so their evidence stays fresh.
 _PROMOTED = frozenset({
     # never-recorded: aggregations / scalar / joins / ML / sorts
     "a5_grouping_id", "a14_hll_mergeable_sketch", "a15_filtered_agg",
