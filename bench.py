@@ -131,7 +131,8 @@ def main() -> None:
         duck_total = round(duck_total, 3)
         con.close()
     except Exception:
-        pass  # pairing is informative, never fatal
+        duck_total = None   # a partial sum would pair a full Spark
+        pass                # total against a truncated DuckDB one
 
     spark = get_spark("bench", extra_conf=BENCH_CONF)
     spark.sparkContext.setLogLevel("ERROR")
