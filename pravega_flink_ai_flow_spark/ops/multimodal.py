@@ -203,6 +203,23 @@ def decode_image(content: bytes):
         "this container; swap this seam for PIL.Image.open(...)")
 
 
+def resize_nearest(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resize of a (h, w[, c]) pixel array — pure numpy
+    index mapping (src_y = floor(y·h/out_h)), the GPU-free downsample a
+    multimodal ingest runs before feature extraction. For an integer
+    factor-k downsample this picks pixel (k·y, k·x) exactly, which is
+    what lets the formula oracle recompute the result in SQL."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    if not (0 < out_h <= h and 0 < out_w <= w):
+        raise ValueError(f"resize {h}x{w} -> {out_h}x{out_w} must "
+                         "downsample to a positive size")
+    ys = np.arange(out_h) * h // out_h
+    xs = np.arange(out_w) * w // out_w
+    return arr[np.ix_(ys, xs)]
+
+
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake feature extractor (stands in for a real encoder):
     bytes → sha256 → `dim` floats in [0,1). Stable across runs/executors."""

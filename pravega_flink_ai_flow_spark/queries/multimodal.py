@@ -182,3 +182,70 @@ def l5_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("last_frame"), F.lit(10)))
          .alias("frame_idx"))
         .orderBy("media_id", "frame_idx"))
+
+
+@declared(
+    "l5_image_resize",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 7 + 4 AS INTEGER) AS width,
+               CAST(doc_id % 5 + 4 AS INTEGER)  AS height
+        FROM documents
+    )
+    SELECT m.doc_id,
+           CAST(m.width // 2 AS INTEGER)  AS new_width,
+           CAST(m.height // 2 AS INTEGER) AS new_height,
+           (SELECT AVG(CAST((m.doc_id * 31 + (2 * x.r) * 7
+                             + (2 * y.r) * 13) % 256 AS DOUBLE))
+            FROM unnest(generate_series(0, m.width // 2 - 1)) x(r),
+                 unnest(generate_series(0, m.height // 2 - 1)) y(r)) AS mean_px,
+           (SELECT CAST(SUM(((m.doc_id * 31 + (2 * x.r) * 7
+                              + (2 * y.r) * 13) % 256)
+                            * (y.r * (m.width // 2) + x.r)) AS BIGINT)
+            FROM unnest(generate_series(0, m.width // 2 - 1)) x(r),
+                 unnest(generate_series(0, m.height // 2 - 1)) y(r)) AS px_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5",),
+)
+def l5_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: synthesize a formula PNG per doc, decode it,
+    factor-2 nearest-neighbor downsample (ops/multimodal.resize_nearest
+    — picks pixel (2y, 2x) exactly), RE-ENCODE the resized image and
+    decode again, reporting dims/mean/position-weighted checksum from
+    the final decode. Two full codec round-trips per row inside
+    Arrow-batched ``mapInPandas``; the oracle recomputes everything
+    from the generating formula at (2x, 2y), so a bug in the resize
+    index mapping or in either codec pass flips the hash."""
+    from ..ops.multimodal import decode_png, encode_png, resize_nearest
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "new_width": [], "new_height": [],
+                   "mean_px": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 7 + 4
+                h = int(doc_id) % 5 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((int(doc_id) * 31 + x * 7 + y * 13) % 256).astype(np.uint8)
+                _w0, _h0, _c0, arr = decode_png(encode_png(px))
+                small = resize_nearest(arr.reshape(h, w), h // 2, w // 2)
+                dw, dh, _c, arr2 = decode_png(encode_png(small))
+                flat = arr2.reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["new_width"].append(dw)
+                out["new_height"].append(dh)
+                out["mean_px"].append(float(flat.mean()))
+                out["px_checksum"].append(
+                    int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, new_width int, new_height int, mean_px double, "
+             "px_checksum long")
+        .orderBy("doc_id"))

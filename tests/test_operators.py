@@ -1069,3 +1069,22 @@ def test_hashed_bow_features_shape_and_counts(spark):
     assert len(out[1].features) == 16 and sum(out[1].features) == 3.0
     assert sum(out[2].features) == 1.0
     assert (out[1].label, out[2].label) == (1, 0)
+
+
+def test_resize_nearest_mapping_and_bounds():
+    """Factor-2 nearest-neighbor downsample must pick pixel (2y, 2x)
+    exactly (the property the l5_image_resize oracle depends on), and
+    upsampling / zero sizes are rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pravega_flink_ai_flow_spark.ops.multimodal import resize_nearest
+
+    arr = np.arange(7 * 9).reshape(7, 9)
+    small = resize_nearest(arr, 3, 4)
+    assert small.shape == (3, 4)
+    assert np.array_equal(small, arr[np.ix_([0, 2, 4], [0, 2, 4, 6])])
+    with _pytest.raises(ValueError):
+        resize_nearest(arr, 8, 4)     # upsample
+    with _pytest.raises(ValueError):
+        resize_nearest(arr, 0, 4)     # empty target
