@@ -47,9 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND 6 PLAN: after r5 every query has a driver record except the
 # ones added during round 5 — l3_int8_quant_topk, l3_ivf_kmeans_topk,
-# l3_pq_topk, l4_tfidf_keywords, l6_quality_classifier,
-# m5_softmax_predict, s12_jsonl_roundtrip, s13_partitioned_pruned_scan,
-# s14_bucketed_colocated_join, t16_user_similarity_topk (recompute:
+# l3_pq_topk, l4_tfidf_keywords, l5_image_resize,
+# l6_quality_classifier, m5_softmax_predict, s12_jsonl_roundtrip,
+# s13_partitioned_pruned_scan, s14_bucketed_colocated_join,
+# t16_user_similarity_topk (recompute:
 # registry names minus every CORRECTNESS_r* key minus r5's
 # `_PROMOTED`). Set `_PROMOTED` to those (plus any r6 additions and
 # any r5 reds needing re-proof), padded to 50 with the queries whose

@@ -154,6 +154,10 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, *,
 
     C = codebooks if codebooks is not None else train_pq_codebooks(
         corpus, vec_col=corpus_vec, dim=dim, m=m, ks=ks, iters=iters)
+    if C.shape != (m, ks, dim // m):
+        raise ValueError(
+            f"codebooks shape {C.shape} does not match (m={m}, ks={ks}, "
+            f"dsub={dim // m}) — stale cache entry or wrong parameters")
     dsub = dim // m
     q_rows = (queries.select(query_id, query_vec)
               .limit(max_queries + 1).collect())

@@ -129,6 +129,21 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         "ts", F.timestamp_micros(F.expr(f"ts div {divisor}")))
 
 
+def session_memo(store: dict, spark: SparkSession, sf_dir: str, compute):
+    """Get-or-compute memoization keyed by (applicationId, sf_dir) —
+    the shared pattern for fixed artifacts of a query definition
+    (trained models, collected query matrices, quantizers): repeated
+    invocations in one session (bench loops, oracle sweeps, the
+    plan-contract corpus sweep) must not re-pay their Spark jobs.
+    Keyed by applicationId so a restarted SparkContext never sees a
+    stale artifact. ``None`` is a cachable result (oversized-split
+    sentinels), hence the explicit `in` check."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in store:
+        store[key] = compute()
+    return store[key]
+
+
 # (appId, sf_dir, table) -> DataFrame. A DataFrame is an immutable logical
 # plan, so reuse across queries is safe; what it saves is the per-read
 # driver-side work (file listing + parquet footer/schema resolution) that

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import declared, tables
+from . import declared, session_memo, tables
 from ..ops import similarity
 
 _N_QUERIES = 10   # first N vectors act as the query set
@@ -27,14 +27,11 @@ _PQ_CODEBOOK_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _query_rows(spark: SparkSession, sf_dir: str) -> list:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    rows = _QUERY_SET_CACHE.get(key)
-    if rows is None:
+    def collect():
         (emb,) = tables(spark, sf_dir, "embeddings")
-        rows = (emb.filter(F.col("vec_id") < _N_QUERIES)
+        return (emb.filter(F.col("vec_id") < _N_QUERIES)
                 .select("vec_id", "embedding").collect())
-        _QUERY_SET_CACHE[key] = rows
-    return rows
+    return session_memo(_QUERY_SET_CACHE, spark, sf_dir, collect)
 
 
 @declared(
@@ -257,12 +254,10 @@ def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("q_vec")))
     corpus = emb.select(F.col("vec_id").alias("c_id"),
                         F.col("embedding").alias("c_vec"))
-    key = (spark.sparkContext.applicationId, sf_dir)
-    books = _PQ_CODEBOOK_CACHE.get(key)
-    if books is None:
-        books = pq.train_pq_codebooks(corpus, vec_col="c_vec", dim=64,
-                                      m=16, ks=32)
-        _PQ_CODEBOOK_CACHE[key] = books
+    books = session_memo(
+        _PQ_CODEBOOK_CACHE, spark, sf_dir,
+        lambda: pq.train_pq_codebooks(corpus, vec_col="c_vec", dim=64,
+                                      m=16, ks=32))
     out = pq.pq_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
@@ -293,13 +288,11 @@ def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("q_vec")))
     corpus = emb.select(F.col("vec_id").alias("c_id"),
                         F.col("embedding").alias("c_vec"))
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _IVF_KMEANS_CENT_CACHE.get(key)
-    if cents is None:
-        cents = similarity.ivf_train_quantizer(
+    cents = session_memo(
+        _IVF_KMEANS_CENT_CACHE, spark, sf_dir,
+        lambda: similarity.ivf_train_quantizer(
             corpus, corpus_id="c_id", corpus_vec="c_vec",
-            centroid_stride=50, kmeans_iters=6)
-        _IVF_KMEANS_CENT_CACHE[key] = cents
+            centroid_stride=50, kmeans_iters=6))
     out = similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",

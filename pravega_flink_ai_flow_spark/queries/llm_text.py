@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import declared, tables
+from . import declared, session_memo, tables
 from ..ops import text as T
 
 
@@ -703,33 +703,30 @@ def l6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.text import hashed_bow_features
 
     (docs,) = tables(spark, sf_dir, "documents")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _QC_MODEL_CACHE.get(key)
-    if cached is None:
+
+    def _labeled_feats(thr):
+        labeled = docs.withColumn(
+            "label", (F.col("n_chars") >= F.lit(thr)).cast("int"))
+        return hashed_bow_features(labeled, id_col="doc_id",
+                                   text_col="text", dim=256,
+                                   label_col="label")
+
+    def fit():
         thr = docs.agg(
             F.percentile(F.col("n_chars").cast("double"),
                          F.lit(0.5)).alias("m")).first()["m"]
-        labeled = docs.withColumn(
-            "label", (F.col("n_chars") >= F.lit(thr)).cast("int"))
-        feats = hashed_bow_features(labeled, id_col="doc_id",
-                                    text_col="text", dim=256,
-                                    label_col="label")
         # 60 epochs: the unscaled count features make the momentum
         # descent ring before settling (measured train acc 0.79 at 10
         # epochs, 0.95 at 60); each epoch is one map-only job and the
         # fitted model is session-cached, so the one-time cost is fine
         model = fit_softmax_distributed(
-            feats.select("features", "label"), vec_col="features",
-            label_col="label", n_classes=2, epochs=60)
-        cached = (thr, model)
-        _QC_MODEL_CACHE[key] = cached
-    thr, model = cached
+            _labeled_feats(thr).select("features", "label"),
+            vec_col="features", label_col="label", n_classes=2,
+            epochs=60)
+        return thr, model
 
-    labeled = docs.withColumn(
-        "label", (F.col("n_chars") >= F.lit(thr)).cast("int"))
-    feats = hashed_bow_features(labeled, id_col="doc_id",
-                                text_col="text", dim=256,
-                                label_col="label")
+    thr, model = session_memo(_QC_MODEL_CACHE, spark, sf_dir, fit)
+    feats = _labeled_feats(thr)
     diff = model.W[:, 1] - model.W[:, 0]     # decision score > 0 → keep
     coef = F.array(*[F.lit(float(c)) for c in diff[:-1]])
     score = F.aggregate(

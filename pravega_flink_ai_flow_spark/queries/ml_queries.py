@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import declared, tables
+from . import declared, session_memo, tables
 
 _SPLIT = 100   # vec_id < _SPLIT → test set; rest → train set
 _K = 5
@@ -260,18 +260,13 @@ def m5_softmax_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.softmax import fit_softmax_distributed
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    model = _SOFTMAX_MODEL_CACHE.get(key)
-    if model is None:
-        # memoize the fitted model per session+dataset (same rationale
-        # as _TEST_SPLIT_CACHE: the model is a fixed artifact of the
-        # query definition; repeated invocations in one session — bench
-        # runs, oracle sweeps — should not re-pay the 15-job loop)
+
+    def fit():
         train = (emb.filter(F.col("vec_id") >= _SPLIT)
                  .select("embedding", "label"))
-        model = fit_softmax_distributed(train, vec_col="embedding",
-                                        label_col="label", n_classes=10)
-        _SOFTMAX_MODEL_CACHE[key] = model
+        return fit_softmax_distributed(train, vec_col="embedding",
+                                       label_col="label", n_classes=10)
+    model = session_memo(_SOFTMAX_MODEL_CACHE, spark, sf_dir, fit)
     logit_cols = []
     for c in range(model.n_classes):
         coef = F.array(*[F.lit(float(w)) for w in model.W[:-1, c]])
