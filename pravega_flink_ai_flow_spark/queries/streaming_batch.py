@@ -373,72 +373,100 @@ def t15_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(value) AS v
         FROM events GROUP BY 1, 2
     ),
+    bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM daily),
+    grid AS (
+        SELECT u.user_id, gs.bucket
+        FROM (SELECT DISTINCT user_id FROM daily) u
+        CROSS JOIN (SELECT unnest(generate_series(
+            (SELECT b0 FROM bounds), (SELECT b1 FROM bounds))) AS bucket) gs
+    ),
+    dense AS (
+        SELECT g.user_id, g.bucket, COALESCE(d.v, 0.0) AS v
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.bucket = g.bucket
+    ),
+    ok AS (SELECT user_id FROM dense GROUP BY 1 HAVING STDDEV_SAMP(v) > 0),
     stats AS (
-        SELECT a.user_id AS user_a, b.user_id AS user_b,
-               COUNT(*) AS n_common,
+        SELECT a.user_id AS ua, b.user_id AS ub,
                ROUND(corr(a.v, b.v), 6) AS corr_v
-        FROM daily a JOIN daily b
+        FROM dense a JOIN dense b
           ON a.bucket = b.bucket AND a.user_id < b.user_id
+        WHERE a.user_id IN (SELECT user_id FROM ok)
+          AND b.user_id IN (SELECT user_id FROM ok)
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 10 AND corr(a.v, b.v) IS NOT NULL
     ),
     sym AS (
-        SELECT user_a, user_b, n_common, corr_v FROM stats
+        SELECT ua AS user_a, ub AS user_b, corr_v FROM stats
         UNION ALL
-        SELECT user_b AS user_a, user_a AS user_b, n_common, corr_v
-        FROM stats
+        SELECT ub AS user_a, ua AS user_b, corr_v FROM stats
     )
-    SELECT user_a, user_b, n_common, corr_v, rank FROM (
-        SELECT user_a, user_b, n_common, corr_v,
+    SELECT user_a, user_b, corr_v, rank FROM (
+        SELECT user_a, user_b, corr_v,
                ROW_NUMBER() OVER (PARTITION BY user_a
                                   ORDER BY corr_v DESC, user_b) AS rank
         FROM sym
     ) WHERE rank <= 3
     ORDER BY user_a, rank
     """,
-    survey_ids=("T3", "A7", "O3", "J1"),
+    survey_ids=("T3", "A7", "O3", "L3"),
 )
 def t16_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search (the distributed streaming-data
-    workload of e.g. EDBT'19 "Time Series Similarity Search for
-    Streaming Data"): top-3 most-correlated users by daily activity.
-    Formulation is the scale-safe INVERTED INDEX ON TIME BUCKET — pairs
-    meet via an equi-join on the bucket (never a user×user cross join),
-    Pearson corr runs as the built-in ``corr`` aggregate over the
-    joined buckets (one shuffle on the pair key, map-side partial
-    stats), a min-overlap filter drops spurious short overlaps, and the
-    per-user top-3 is a window over the surviving pairs. Correlation is
-    a multi-pass accumulation → rounded 6dp per the FIXTURES.md policy,
-    and the rank ORDERS BY THE ROUNDED value so both engines break
-    near-ties identically; zero-variance pairs (Spark NaN, DuckDB NULL)
-    are filtered on both sides."""
+    workload of e.g. EDBT'19): top-3 most-correlated users by daily
+    activity over the corpus-wide day grid (missing days count as 0).
+
+    Scale plan: Pearson correlation over a common dense grid equals the
+    COSINE of the mean-centered daily vectors — the (n−1) and σ factors
+    cancel — so the all-pairs scoring runs through the blocked-GEMM
+    top-k scorer (ops/similarity.brute_force_topk_blocked): one BLAS
+    multiply per Arrow batch, per-batch local top-k, window merge;
+    the full pair matrix (quadratic in users) is NEVER materialized.
+    The first formulation of this query joined users pairwise through
+    a shared-bucket inverted index — dense daily series made every
+    user pair meet on every day, i.e. an all-pairs join in disguise:
+    12.9 s at sf0.1 and quadratic row flow at scale. The GEMM path
+    emits |users|·k candidate rows instead. Zero-variance users (flat
+    after zero-fill) are excluded on both sides; the final rank orders
+    by the ROUNDED correlation (6 dp, the multi-pass-accumulation
+    policy) so both engines break near-ties identically."""
+    from ..ops.similarity import brute_force_topk_blocked
+
     (events,) = tables(spark, sf_dir, "events")
     daily = (events
              .groupBy("user_id",
                       F.expr("unix_micros(ts) div 86400000000")
                       .alias("bucket"))
              .agg(F.sum("value").alias("v")))
-    a = daily.select(F.col("user_id").alias("user_a"), "bucket",
-                     F.col("v").alias("va"))
-    b = daily.select(F.col("user_id").alias("user_b"), "bucket",
-                     F.col("v").alias("vb"))
-    raw = F.corr("va", "vb")
-    stats = (a.join(b, "bucket")
-             .filter(F.col("user_a") < F.col("user_b"))
-             .groupBy("user_a", "user_b")
-             .agg(F.count("*").alias("n_common"), raw.alias("__corr"))
-             .filter((F.col("n_common") >= 10)
-                     & F.col("__corr").isNotNull()
-                     & ~F.isnan("__corr"))
-             .select("user_a", "user_b", "n_common",
-                     F.round("__corr", 6).alias("corr_v")))
-    sym = stats.unionByName(
-        stats.select(F.col("user_b").alias("user_a"),
-                     F.col("user_a").alias("user_b"),
-                     "n_common", "corr_v"))
+    b0, b1 = daily.agg(F.min("bucket"), F.max("bucket")).first()
+    n_days = int(b1 - b0 + 1)
+    vec = F.transform(
+        F.sequence(F.lit(int(b0)), F.lit(int(b1))),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0.0)))
+    dense = (daily.groupBy("user_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("bucket", "v"))).alias("m"))
+             .withColumn("vec", vec))
+    mean = F.aggregate("vec", F.lit(0.0), lambda a, x: a + x) / n_days
+    centered = (dense.withColumn("mu", mean)
+                .withColumn("cvec", F.transform(
+                    "vec", lambda x: x - F.col("mu")))
+                .withColumn("ss", F.aggregate(
+                    "cvec", F.lit(0.0), lambda a, x: a + x * x))
+                .filter(F.col("ss") > 0)
+                .select("user_id", "cvec"))
+    qdf = centered.select(F.col("user_id").alias("user_a"), "cvec")
+    cdf = centered.select(F.col("user_id").alias("user_b"), "cvec")
+    top = brute_force_topk_blocked(
+        qdf, cdf, query_id="user_a", corpus_id="user_b",
+        query_vec="cvec", corpus_vec="cvec", k=8)
+    # self always scores corr=1 at rank 1 — drop it, then re-rank by the
+    # ROUNDED correlation so near-ties resolve identically to the oracle
     from pyspark.sql import Window
     w = Window.partitionBy("user_a").orderBy(F.col("corr_v").desc(),
                                              F.col("user_b"))
-    return (sym.withColumn("rank", F.row_number().over(w))
+    return (top.filter(F.col("user_a") != F.col("user_b"))
+            .select("user_a", "user_b",
+                    F.round("cosine", 6).alias("corr_v"))
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
             .orderBy("user_a", "rank"))
