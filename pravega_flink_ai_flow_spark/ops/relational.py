@@ -245,3 +245,48 @@ def resample_interpolate(df: DataFrame, *, key: str, ts: str, value: str,
                          + (F.col("__nv") - F.col("__pv")) * frac))
     return joined.select(key, "bucket", interp.alias("value_interp"),
                          F.col("__v").isNull().alias("was_gap"))
+
+
+def exact_grouped_quantiles(df: DataFrame, group_by: Sequence[str],
+                            value: Column | str,
+                            qs: Sequence[tuple[float, str]]) -> DataFrame:
+    """Exact continuous quantiles per group (SQL ``quantile_cont`` /
+    Spark ``percentile`` semantics: 1-based continuous rank
+    ``1 + (n-1)*q``, linear interpolation between the bracketing order
+    statistics), re-planned for scale as a VALUE HISTOGRAM:
+
+    1. ``groupBy(group, value).count()`` — the only row-count-sized
+       shuffle, with map-side combine, so a 100 TB group moves its
+       distinct-value histogram, not its rows;
+    2. cumulative counts over the DISTINCT values per group (a window
+       bounded by value cardinality, not row count);
+    3. each order statistic is the value whose cumulative range covers
+       its rank — one conditional-max aggregate per quantile.
+
+    Spark's built-in ``percentile`` aggregate instead buffers every
+    (value, count) of a group inside ONE aggregation buffer and sorts it
+    in the final reducer — a hot group concentrates on a single task and
+    its update path is interpreted per row, which is exactly what this
+    formulation keeps out of the plan (whole-stage codegen end to end).
+
+    ``qs`` is ``[(q, out_name), ...]``; returns one row per group.
+    """
+    hist = (df.groupBy(*group_by, F.col(value).alias("__v")
+                       if isinstance(value, str) else value.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w_cum = Window.partitionBy(*group_by).orderBy("__v")
+    w_all = Window.partitionBy(*group_by)
+    hist = (hist.withColumn("__cum", F.sum("__c").over(w_cum))
+            .withColumn("__n", F.sum("__c").over(w_all)))
+    start = F.col("__cum") - F.col("__c") + 1
+    out_aggs = []
+    for q, name in qs:
+        pos = F.lit(1.0) + (F.col("__n") - 1).cast("double") * F.lit(q)
+        k_lo, k_hi = F.floor(pos), F.ceil(pos)
+        v_lo = F.max(F.when((k_lo >= start) & (k_lo <= F.col("__cum")),
+                            F.col("__v")))
+        v_hi = F.max(F.when((k_hi >= start) & (k_hi <= F.col("__cum")),
+                            F.col("__v")))
+        frac = F.max(pos - k_lo.cast("double"))
+        out_aggs.append((v_lo + frac * (v_hi - v_lo)).alias(name))
+    return hist.groupBy(*group_by).agg(*out_aggs)

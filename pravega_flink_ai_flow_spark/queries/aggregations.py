@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import declared, tables
+from ..ops import relational
 
 
 @declared(
@@ -226,16 +227,29 @@ def a7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiples of 0.005 — dead on the 2dp rounding boundary, where a
     1-ulp Spark-vs-DuckDB interpolation difference flips the rounded
     digit. In cents the interpolated values are multiples of 0.1,
-    never within 0.05-ε of a 1dp boundary, so the round is stable."""
+    never within 0.05-ε of a 1dp boundary, so the round is stable.
+
+    The quantiles run through ``ops.relational.exact_grouped_quantiles``
+    (distributed value-histogram + cumulative ranks) rather than Spark's
+    ``percentile`` aggregate, whose single-buffer-per-group, interpreted
+    update path both concentrates a hot group on one reducer at scale
+    and dominated this query's wall-clock (2.3 s → ~0.6 s at sf0.1).
+    The moments stay a plain two-phase hash aggregate; the two 3-row
+    results meet in a broadcast join."""
     (li,) = tables(spark, sf_dir, "lineitem")
     cents = F.col("l_extendedprice") * 100
+    quants = relational.exact_grouped_quantiles(
+        li, ["l_returnflag"], cents, [(0.5, "__q50"), (0.9, "__q90")])
+    moments = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
-            F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
-            F.round(F.percentile(cents, F.lit(0.5)), 1).alias("median_cents"),
-            F.round(F.percentile(cents, F.lit(0.9)), 1).alias("p90_cents"),
+        moments.join(F.broadcast(quants), "l_returnflag")
+        .select(
+            "l_returnflag", "price_stddev", "price_var",
+            F.round(F.col("__q50"), 1).alias("median_cents"),
+            F.round(F.col("__q90"), 1).alias("p90_cents"),
         )
         .orderBy("l_returnflag")
     )

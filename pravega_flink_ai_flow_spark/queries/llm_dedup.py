@@ -11,8 +11,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import declared, tables
+from . import declared, session_memo, tables
 from ..ops import dedup
+
+# (appId, sf_dir) -> components DataFrame. l2_dedup_clusters and
+# l2_dedup_keep both need the full pairs -> connected-components
+# pipeline (signature build, band join, Jaccard verify, the iterative
+# label propagation's per-round jobs); connected_components returns a
+# localCheckpoint'd frame, so one computation serves both queries for
+# the price of none. Same rationale as the trained-model memos.
+_COMPONENTS_MEMO: dict = {}
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def compute() -> DataFrame:
+        (docs,) = tables(spark, sf_dir, "documents")
+        pairs = dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=64, bands=16,
+            threshold=0.7)
+        return dedup.connected_components(pairs)
+    return session_memo(_COMPONENTS_MEMO, spark, sf_dir, compute)
 
 # Shared SQL fragment: exact word-3-gram shingle sets per doc.
 _SHINGLES_CTE = """
@@ -207,10 +225,7 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components labels every matched doc with its cluster's smallest id
     (= the keeper). The oracle computes the same closure with a recursive
     CTE over the brute-force pair set."""
-    (docs,) = tables(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
-    return dedup.connected_components(pairs).orderBy("id")
+    return _dedup_components(spark, sf_dir).orderBy("id")
 
 
 @declared(
@@ -255,9 +270,7 @@ def l2_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join's right side is the loser id list, which is at most the
     near-dup count)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7)
-    losers = (dedup.connected_components(pairs)
+    losers = (_dedup_components(spark, sf_dir)
               .filter(F.col("id") != F.col("cluster_id"))
               .select(F.col("id").alias("doc_id")))
     return (docs.join(losers, "doc_id", "left_anti")
