@@ -1,7 +1,10 @@
 """Text-analysis operators (SURVEY.md L4): token counting, quality
-scoring, language-ID heuristic, document fingerprinting. All pure JVM
-expressions (whole-stage codegen) — deliberately no Python UDFs, so the
-same plan runs unchanged over 100 TB of documents.
+scoring, language-ID heuristic, document fingerprinting. Column-level
+ops are pure JVM expressions (whole-stage codegen) — deliberately no
+Python UDFs, so the same plan runs unchanged over 100 TB of documents.
+The per-token × per-language scoring additionally has an Arrow-batched
+frame-level form (:func:`language_id_frame`) because Catalyst evaluates
+higher-order-function lambdas interpreted per element (CLAUDE.md rule).
 """
 
 from __future__ import annotations
@@ -91,6 +94,62 @@ def language_scores(text: Column) -> dict[str, Column]:
         arr = F.array(*[F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     return out
+
+
+def language_id_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
+                      text_col: str = "text") -> DataFrame:
+    """Frame-level language ID: one ``mapInArrow`` pass computing every
+    language's marker score plus the argmax guess, columns
+    ``(*id_cols, lang_guess, s_de, s_en, s_es, s_fr)``.
+
+    Token-identical to :func:`language_id` / :func:`language_scores`
+    (split on ``\\s+``, lowercase, exact marker membership — empty edge
+    tokens can't be markers so the empty-filter is a no-op for counts),
+    but the per-token work runs as Arrow/numpy kernels instead of
+    Catalyst higher-order-function lambdas, whose per-element eval is
+    INTERPRETED: 40 marker comparisons per token × interpreted
+    dispatch dominated l4_language_id's wall (1.33 s → ~0.4 s at
+    sf0.1). Null text scores 0 / 'und'."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    langs = sorted(LANG_MARKERS)
+    id_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}"
+                          for c in id_cols)
+    out_schema = (f"{id_fields}, lang_guess string, "
+                  + ", ".join(f"s_{lg} int" for lg in langs))
+
+    def score_batches(batches):
+        for rb in batches:
+            n = rb.num_rows
+            texts = pc.coalesce(rb.column(text_col), "")
+            lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+            flat = pc.utf8_lower(pc.list_flatten(lists))
+            lengths = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False)
+            parents = np.repeat(np.arange(n), lengths)
+            scores = {}
+            for lg in langs:
+                hit = pc.is_in(flat, value_set=pa.array(LANG_MARKERS[lg]))
+                scores[lg] = np.bincount(
+                    parents, weights=hit.to_numpy(zero_copy_only=False),
+                    minlength=n).astype(np.int32)
+            de, en, es, fr = (scores[lg] for lg in ("de", "en", "es", "fr"))
+            guess = np.where(
+                (de == 0) & (en == 0) & (es == 0) & (fr == 0), "und",
+                np.where((de >= en) & (de >= es) & (de >= fr), "de",
+                         np.where((en >= es) & (en >= fr), "en",
+                                  np.where(es >= fr, "es", "fr"))))
+            cols = ([rb.column(c) for c in id_cols]
+                    + [pa.array(guess, pa.string())]
+                    + [pa.array(scores[lg], pa.int32()) for lg in langs])
+            yield pa.record_batch(
+                cols, names=[*id_cols, "lang_guess",
+                             *[f"s_{lg}" for lg in langs]])
+
+    return df.select(*id_cols, text_col).mapInArrow(
+        score_batches, out_schema)
 
 
 def language_id(text: Column) -> Column:

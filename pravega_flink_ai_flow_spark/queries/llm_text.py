@@ -129,14 +129,13 @@ def l4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token evidence per language, argmax
     with alphabetical tie-break. (The driver corpus's ``lang`` column is
     synthetic metadata over a shared vocabulary, so the interesting output
-    is the deterministic classifier itself, not its accuracy.)"""
+    is the deterministic classifier itself, not its accuracy.) Scoring
+    runs through ``ops.text.language_id_frame`` — one Arrow/numpy pass
+    per batch instead of interpreted per-token HOF lambdas."""
     (docs,) = tables(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id", "lang",
-        T.language_id(t).alias("lang_guess"),
-        T.language_scores(t)["en"].alias("s_en"),
-    ).orderBy("doc_id")
+    return (T.language_id_frame(docs, id_cols=("doc_id", "lang"))
+            .select("doc_id", "lang", "lang_guess", "s_en")
+            .orderBy("doc_id"))
 
 
 @declared(

@@ -347,6 +347,29 @@ def test_language_id_markers(spark):
     assert out[1] == "en" and out[2] == "de" and out[3] == "es" and out[4] == "und"
 
 
+def test_language_id_frame_matches_column_op(spark):
+    """The Arrow-batched frame scorer is semantics-identical to the
+    Catalyst column op on every edge the tokenizer has: mixed case,
+    leading/trailing/odd whitespace, ties, empty and all-space text."""
+    df = spark.createDataFrame(
+        [(1, "The AND of to IS in that it for on"),
+         (2, "  der\thund ist nicht\nmit der katze und  "),
+         (3, "el que la una es los de en"),
+         (4, "le la les et est des un une dans que"),
+         (5, "la de que un"),            # multi-language tie
+         (6, "xyzzy plugh"),
+         (7, ""),
+         (8, "   \t\n  ")],
+        "doc_id long, text string")
+    want = {r.doc_id: (r.g, r.s) for r in df.select(
+        "doc_id",
+        text_ops.language_id(F.col("text")).alias("g"),
+        text_ops.language_scores(F.col("text"))["en"].alias("s")).collect()}
+    got = {r.doc_id: (r.lang_guess, r.s_en) for r in
+           text_ops.language_id_frame(df, id_cols=("doc_id",)).collect()}
+    assert got == want
+
+
 def test_bpe_piece_count(spark):
     df = spark.createDataFrame([(1, "hello, world42!")], "doc_id long, text string")
     # pieces: hello , world 42 !  -> 5
