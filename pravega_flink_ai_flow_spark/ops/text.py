@@ -152,6 +152,73 @@ def language_id_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
         score_batches, out_schema)
 
 
+def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
+                  text_col: str = "text") -> DataFrame:
+    """Frame-level quality featurization: one ``mapInArrow`` pass
+    computing ``(*id_cols, n_tok, stopword_ratio, punct_ratio,
+    mean_word_len, quality)`` — the Arrow-kernel twin of
+    :func:`quality_score` and friends (same CLAUDE.md rationale as
+    :func:`language_id_frame`: per-token HOF lambdas evaluate
+    interpreted).
+
+    Bit-identical doubles by construction: every ratio is an exact
+    integer count divided once in IEEE double, every sum is a sum of
+    integers (< 2^53, order-free), and the composite keeps the column
+    op's exact operation order ``(len + stop + wl) / 3.0``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}"
+                          for c in id_cols)
+    out_schema = (f"{id_fields}, n_tok int, stopword_ratio double, "
+                  "punct_ratio double, mean_word_len double, "
+                  "quality double")
+    punct_re = r"[.,;:!?'\"()\[\]]"
+
+    def featurize(batches):
+        for rb in batches:
+            n = rb.num_rows
+            texts = pc.coalesce(rb.column(text_col), "")
+            lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+            flat = pc.list_flatten(lists)
+            lengths = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False)
+            parents = np.repeat(np.arange(n), lengths)
+            flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            n_empty = np.bincount(parents, weights=flat_len == 0,
+                                  minlength=n)
+            n_tok = (lengths - n_empty).astype(np.int64)
+            stop_hit = pc.is_in(pc.utf8_lower(flat),
+                                value_set=pa.array(STOPWORDS))
+            n_stop = np.bincount(
+                parents, weights=stop_hit.to_numpy(zero_copy_only=False),
+                minlength=n)
+            sum_len = np.bincount(parents, weights=flat_len, minlength=n)
+            denom = np.maximum(n_tok, 1).astype(np.float64)
+            stop_ratio = n_stop / denom
+            n_punct = pc.count_substring_regex(
+                texts, punct_re).to_numpy(zero_copy_only=False)
+            text_len = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+            punct_ratio = n_punct / np.maximum(text_len, 1)
+            wl = sum_len / denom
+            len_score = np.minimum(n_tok / 50.0, 1.0)
+            stop_score = np.minimum(stop_ratio * 4.0, 1.0)
+            wl_score = np.where((wl >= 3.0) & (wl <= 10.0), 1.0, 0.5)
+            quality = (len_score + stop_score + wl_score) / 3.0
+            cols = ([rb.column(c) for c in id_cols]
+                    + [pa.array(n_tok, pa.int32()),
+                       pa.array(stop_ratio, pa.float64()),
+                       pa.array(punct_ratio, pa.float64()),
+                       pa.array(wl, pa.float64()),
+                       pa.array(quality, pa.float64())])
+            yield pa.record_batch(
+                cols, names=[*id_cols, "n_tok", "stopword_ratio",
+                             "punct_ratio", "mean_word_len", "quality"])
+
+    return df.select(*id_cols, text_col).mapInArrow(featurize, out_schema)
+
+
 def language_id(text: Column) -> Column:
     """Argmax over the per-language marker scores; ties go to the
     alphabetically-first language; all-zero → 'und'."""

@@ -60,14 +60,13 @@ def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l4_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
-    t = F.col("text")
     # ratios not rounded: single int/int IEEE divisions → bit-identical
-    # on both engines (round() disagrees at half boundaries, see w8)
-    return docs.select(
-        "doc_id",
-        T.stopword_ratio(t).alias("stopword_ratio"),
-        T.punct_ratio(t).alias("punct_ratio"),
-    ).orderBy("doc_id")
+    # on both engines (round() disagrees at half boundaries, see w8).
+    # One Arrow pass (ops.text.quality_frame) instead of interpreted
+    # per-token HOF lambdas.
+    return (T.quality_frame(docs)
+            .select("doc_id", "stopword_ratio", "punct_ratio")
+            .orderBy("doc_id"))
 
 
 @declared(
@@ -240,15 +239,14 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data keep/drop gate: composite quality
     score (length, stopword, word-length components) + token bounds,
-    applied as a pure JVM filter — the cheap pre-filter that runs before
-    any model-based scoring at corpus scale."""
+    applied as the cheap pre-filter that runs before any model-based
+    scoring at corpus scale. Features come from one Arrow pass
+    (ops.text.quality_frame) — same doubles, no interpreted per-token
+    lambdas."""
     (docs,) = tables(spark, sf_dir, "documents")
-    t = F.col("text")
-    return (docs.select("doc_id", "lang",
-                        T.quality_score(t).alias("quality"),
-                        T.token_count(t).cast("double").alias("__n_tok"))
+    return (T.quality_frame(docs, id_cols=("doc_id", "lang"))
             .filter((F.col("quality") >= 0.6) &
-                    F.col("__n_tok").between(20, 1000))
+                    F.col("n_tok").cast("double").between(20, 1000))
             .select("doc_id", "lang", "quality")
             .orderBy("doc_id"))
 

@@ -370,6 +370,32 @@ def test_language_id_frame_matches_column_op(spark):
     assert got == want
 
 
+def test_quality_frame_matches_column_ops(spark):
+    """quality_frame is bit-identical (not just close) to the Catalyst
+    column ops — the ratios/scores must hash-match the DuckDB oracle,
+    so approximate parity is not enough."""
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog sat on the mat, happily ever after!"),
+         (2, "tiny"),
+         (3, "  spaced   out\ttokens \n here  "),
+         (4, "supercalifragilisticexpialidocious " * 30),
+         (5, ""),
+         (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3)],
+        "doc_id long, text string")
+    t = F.col("text")
+    want = {r.doc_id: (r.n_tok, r.sr, r.pr, r.wl, r.q) for r in df.select(
+        "doc_id",
+        text_ops.token_count(t).alias("n_tok"),
+        text_ops.stopword_ratio(t).alias("sr"),
+        text_ops.punct_ratio(t).alias("pr"),
+        text_ops.mean_word_length(t).alias("wl"),
+        text_ops.quality_score(t).alias("q")).collect()}
+    got = {r.doc_id: (r.n_tok, r.stopword_ratio, r.punct_ratio,
+                      r.mean_word_len, r.quality)
+           for r in text_ops.quality_frame(df).collect()}
+    assert got == want   # exact equality, doubles included
+
+
 def test_bpe_piece_count(spark):
     df = spark.createDataFrame([(1, "hello, world42!")], "doc_id long, text string")
     # pieces: hello , world 42 !  -> 5
