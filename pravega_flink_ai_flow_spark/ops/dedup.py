@@ -325,6 +325,12 @@ def contamination_report(train: DataFrame, bench: DataFrame,
                     .alias("contamination")))
 
 
+# Pair-count ceiling for the driver union-find fast path in
+# connected_components; above it the iterative distributed propagation
+# runs instead. 1M pairs ≈ 32 MB of longs — comfortably collectable.
+_CC_DRIVER_MAX = 1_000_000
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", *,
                          max_iter: int = 25) -> DataFrame:
@@ -339,8 +345,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Label state is (node, label) — O(V) rows shuffled per round on the
     node key, never edges² — with ``localCheckpoint`` every round to cut
     the iterative lineage. Driver involvement is one convergence counter
-    per round, not data."""
+    per round, not data.
+
+    Small edge sets (the common case for near-dup pairs after LSH —
+    duplicates are rare) take a guarded driver union-find instead: each
+    propagation round costs 2-3 Spark jobs of pure scheduling overhead,
+    while union-find over a few thousand collected pairs is
+    microseconds. The guard keeps the distributed path as the fallback,
+    so a pathological corpus (everything near-duplicate) still never
+    funnels through the driver."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    n_pairs = e.limit(_CC_DRIVER_MAX + 1).count()
+    if n_pairs <= _CC_DRIVER_MAX:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = e.collect()
+        for r in rows:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the
+                # smallest id — identical labels to min propagation
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            out, "id long, cluster_id long")
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     labels = (edges.select(F.col("src").alias("node")).distinct()

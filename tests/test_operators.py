@@ -717,6 +717,25 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """The guarded driver union-find and the distributed min-label
+    propagation produce identical labels — including a long chain (deep
+    component), a star merged from both ends, and reversed-order
+    edges."""
+    edges = ([(i, i + 1) for i in range(20, 26)]       # chain 20..26
+             + [(55, 50), (54, 50), (53, 50)]          # star, reversed
+             + [(1, 2), (4, 3), (2, 4)]                # zigzag merge
+             + [(99, 98)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r.id: r.cluster_id
+            for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX", 0)
+    dist = {r.id: r.cluster_id
+            for r in dedup.connected_components(pairs).collect()}
+    assert fast == dist
+    assert fast[26] == 20 and fast[55] == 50 and fast[3] == 1
+
+
 def test_events_reader_units(spark, tmp_workdir):
     """The events reader sniffs every parquet footer: micros reads
     natively (normalized to session-TZ TIMESTAMP, so numeric casts
