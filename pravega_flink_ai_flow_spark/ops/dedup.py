@@ -312,14 +312,21 @@ def contamination_report(train: DataFrame, bench: DataFrame,
     shuffled semi-join on the gram key.)
 
     Output: one row per contaminated training doc —
-    (id, n_hit_grams, n_grams, contamination = hits/grams)."""
+    (id, n_hit_grams, n_grams, contamination = hits/grams).
+
+    Single-pass shape: a LEFT broadcast join tags every training gram
+    with a hit marker, and one aggregate counts both the doc's grams
+    and its hits — the training gram table (the expensive explode over
+    the full corpus) is scanned once, not once for sizes and again for
+    hits, and no second join reunites the two aggregates."""
     tg = shingle_table(train, id_col, text_col, k)
-    sizes = tg.groupBy("id").agg(F.count("*").alias("n_grams"))
-    bg = shingle_table(bench, id_col, text_col, k) \
-        .select("shingle").distinct()
-    hits = (tg.join(F.broadcast(bg), "shingle")
-            .groupBy("id").agg(F.count("*").alias("n_hit_grams")))
-    return (hits.join(sizes, "id")
+    bg = (shingle_table(bench, id_col, text_col, k)
+          .select("shingle").distinct().withColumn("__hit", F.lit(1)))
+    return (tg.join(F.broadcast(bg), "shingle", "left")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("__hit").alias("n_hit_grams"))
+            .filter(F.col("n_hit_grams") > 0)
             .select(F.col("id").alias(id_col), "n_hit_grams", "n_grams",
                     (F.col("n_hit_grams") / F.col("n_grams"))
                     .alias("contamination")))
