@@ -46,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # package registry, bench.py and tests; only the exported keys rotate.
 #
 # ROUND 6 PLAN: after r5 every query has a driver record except the
-# ones added during round 5 — l3_int8_quant_topk, l3_ivf_kmeans_topk,
-# l3_pq_topk, l4_tfidf_keywords, l5_image_resize,
+# ones added during round 5 — l2_semdedup, l3_int8_quant_topk,
+# l3_ivf_kmeans_topk, l3_pq_topk, l4_tfidf_keywords, l5_image_resize,
 # l6_quality_classifier, m5_softmax_predict, s12_jsonl_roundtrip,
 # s13_partitioned_pruned_scan, s14_bucketed_colocated_join,
 # t16_user_similarity_topk (recompute:

@@ -388,3 +388,80 @@ def l3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", threshold=0.45,
         n_blocks=8)
         .orderBy("id_a", "id_b"))
+
+
+# (applicationId, sf_dir) -> strided SemDeDup centroid rows (no k-means
+# refinement — the strided quantizer keeps the assignment SQL-expressible
+# so the whole pipeline stays under the hash gate).
+_SEMDEDUP_CENT_CACHE: dict[tuple[str, str], list] = {}
+
+
+@declared(
+    "l2_semdedup",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.cv, c.cv)))
+                                DESC, c.cid) AS rn
+            FROM e CROSS JOIN c)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a
+        JOIN assign sa ON sa.vec_id = a.vec_id
+        JOIN assign sb ON sb.cell = sa.cell AND sb.vec_id > a.vec_id
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.node
+    ),
+    losers AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
+    SELECT a.vec_id, a.cell
+    FROM assign a
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = a.vec_id)
+    ORDER BY a.vec_id
+    """,
+    survey_ids=("L2", "L3"),
+)
+def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by embedding
+    clustering — the corpus AFTER removing within-cluster cosine
+    duplicates (cos ≥ 0.4, the corpus's similar tail), one keeper
+    (smallest id) per transitive duplicate group, with the surviving
+    row's cluster assignment as evidence.
+
+    The quantizer is the deterministic strided subsample (vec_id % 50),
+    NOT the k-means-refined one, so centroid assignment is expressible
+    in the DuckDB oracle and the whole pipeline — assignment,
+    within-cluster pair search, transitive keeper resolution — sits
+    under the exact hash gate. Scale shape: see ops.similarity.semdedup
+    (per-batch assignment GEMM against broadcast centroids, one
+    applyInPandas GEMM per cluster, no corpus-wide pair matrix)."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cents = session_memo(
+        _SEMDEDUP_CENT_CACHE, spark, sf_dir,
+        lambda: similarity.ivf_train_quantizer(
+            emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+            centroid_stride=50, kmeans_iters=0))
+    kept = similarity.semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroid_rows=cents, threshold=0.4)
+    return kept.select("vec_id", "cell").orderBy("vec_id")

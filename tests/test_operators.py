@@ -717,6 +717,53 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_semdedup_properties(spark):
+    """SemDeDup invariants on the real corpus: (1) the kept set has no
+    within-cluster duplicate pair left (cos >= tau), (2) every removed
+    vector has at least one same-cluster neighbor above tau (it was
+    removed for a reason), (3) kept + removed partitions the corpus."""
+    import numpy as np
+
+    from pravega_flink_ai_flow_spark.ops import similarity as sim
+    from pravega_flink_ai_flow_spark.queries import tables
+
+    sf = "/root/testdata/sf0.001"
+    tau = 0.4
+    (emb,) = tables(spark, sf, "embeddings")
+    cents = sim.ivf_train_quantizer(
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")),
+        centroid_stride=50, kmeans_iters=0)
+    kept = sim.semdedup(emb, id_col="vec_id", vec_col="embedding",
+                        centroid_rows=cents, threshold=tau).collect()
+    all_assigned = sim.nearest_refs_arrow(
+        emb.select("vec_id", "embedding"), id_col="vec_id",
+        vec_col="embedding", ref_rows=cents, k=1, out_col="cell").collect()
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in all_assigned}
+    cell = {r.vec_id: r.cell for r in all_assigned}
+    kept_ids = {r.vec_id for r in kept}
+    removed = set(vecs) - kept_ids
+    assert removed, "vacuous: nothing removed at tau=0.4"
+    assert kept_ids | removed == set(vecs)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    by_cell: dict = {}
+    for vid, c in cell.items():
+        by_cell.setdefault(c, []).append(vid)
+    for c, members in by_cell.items():
+        ks = sorted(m for m in members if m in kept_ids)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                assert cos(a, b) < tau, (a, b, cos(a, b))
+    for r in removed:
+        assert any(m != r and cos(r, m) >= tau for m in by_cell[cell[r]]), r
+
+
 def test_connected_components_paths_agree(spark, monkeypatch):
     """The guarded driver union-find and the distributed min-label
     propagation produce identical labels — including a long chain (deep
