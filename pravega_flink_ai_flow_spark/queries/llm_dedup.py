@@ -319,3 +319,73 @@ def l6_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup.contamination_report(train, bench, "doc_id", "text", k=5)
+
+
+@declared(
+    "l6_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+              FROM toks)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dpos
+    ),
+    runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(run) AS BIGINT)     AS n_dup_grams,
+           CAST(MAX(run) AS BIGINT)     AS max_dup_run,
+           CAST(MAX(run) + 7 AS BIGINT) AS max_dup_span_tokens
+    FROM runs GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ids=("L2", "L4", "W1"),
+)
+def l6_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the C4/RefinedWeb 'remove
+    duplicated substrings' signal): per doc, how many of its word
+    8-grams occur in at least one OTHER doc, and the longest
+    consecutive duplicated run (gaps-and-islands over flagged gram
+    positions; span length in tokens = run + 7).
+
+    Scale shape: one shuffle groups grams by value to find cross-doc
+    duplicates (map-side combine on the gram key; at 100 TB the gram
+    string would be replaced by xxhash64(gram) so the shuffle moves
+    8-byte keys — kept as strings here so the DuckDB oracle shares the
+    key), one join flags positions, and the run detection is a per-doc
+    window (pos − row_number marks each island) — never a doc×doc
+    comparison."""
+    from ..ops.text import word_ngrams
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    grams = (docs
+             .select("doc_id", F.posexplode(word_ngrams(F.col("text"), 8))
+                     .alias("pos", "g")))
+    dup = (grams.groupBy("g")
+           .agg(F.count_distinct("doc_id").alias("__nd"))
+           .filter(F.col("__nd") >= 2)
+           .select("g"))
+    dpos = grams.join(dup, "g").select("doc_id", "pos")
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (dpos
+            .withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("run")))
+    return (runs.groupBy("doc_id")
+            .agg(F.sum("run").alias("n_dup_grams"),
+                 F.max("run").alias("max_dup_run"),
+                 (F.max("run") + 7).alias("max_dup_span_tokens"))
+            .orderBy("doc_id"))
