@@ -370,7 +370,9 @@ def l6_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.text import word_ngrams
 
     (docs,) = tables(spark, sf_dir, "documents")
-    grams = (docs
+    # spread() first: gram construction is interpreter-bound per-row HOF
+    # work and the parquet arrives as a handful of partitions
+    grams = (dedup.spread(docs)
              .select("doc_id", F.posexplode(word_ngrams(F.col("text"), 8))
                      .alias("pos", "g")))
     dup = (grams.groupBy("g")
