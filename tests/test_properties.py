@@ -175,3 +175,45 @@ def test_window_functions_match_duckdb(spark, a):
         FROM t WINDOW w AS (PARTITION BY k ORDER BY v, rid)
     """).fetchall())
     assert got == want
+
+
+# Fuzz the Arrow-vectorized text featurizers against the Catalyst
+# column ops: documents composed of words, whitespace runs (incl. tabs/
+# newlines), stopwords, language markers, punctuation, and unicode.
+_word = st.one_of(
+    st.sampled_from(["the", "and", "der", "und", "el", "le", "la", "que",
+                     "is", "cat", "Hello,", "x!?", "naïve", "东京", ""]),
+    st.text(alphabet="abcXYZ.,!?'\"()[]äß \t\n", min_size=0, max_size=8))
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_doc, min_size=1, max_size=12))
+def test_text_frames_match_column_ops_fuzz(spark, texts):
+    """language_id_frame and quality_frame must be EXACTLY equal to the
+    Catalyst HOF ops on arbitrary junk text — same tokens, same counts,
+    bit-identical double ratios — because their declared queries sit
+    under the value-hash gate."""
+    from pravega_flink_ai_flow_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    t = F.col("text")
+    want_lang = {r.doc_id: (r.g, r.s) for r in df.select(
+        "doc_id",
+        text_ops.language_id(t).alias("g"),
+        text_ops.language_scores(t)["en"].alias("s")).collect()}
+    got_lang = {r.doc_id: (r.lang_guess, r.s_en) for r in
+                text_ops.language_id_frame(df, id_cols=("doc_id",)).collect()}
+    assert got_lang == want_lang
+    want_q = {r.doc_id: (r.n, r.sr, r.pr, r.wl, r.q) for r in df.select(
+        "doc_id",
+        text_ops.token_count(t).alias("n"),
+        text_ops.stopword_ratio(t).alias("sr"),
+        text_ops.punct_ratio(t).alias("pr"),
+        text_ops.mean_word_length(t).alias("wl"),
+        text_ops.quality_score(t).alias("q")).collect()}
+    got_q = {r.doc_id: (r.n_tok, r.stopword_ratio, r.punct_ratio,
+                        r.mean_word_len, r.quality)
+             for r in text_ops.quality_frame(df).collect()}
+    assert got_q == want_q
