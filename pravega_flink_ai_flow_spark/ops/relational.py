@@ -270,9 +270,15 @@ def exact_grouped_quantiles(df: DataFrame, group_by: Sequence[str],
     formulation keeps out of the plan (whole-stage codegen end to end).
 
     ``qs`` is ``[(q, out_name), ...]``; returns one row per group.
+    NULL values are ignored (quantile_cont semantics); a group whose
+    values are ALL NULL is absent from the output (Spark's
+    ``percentile`` would emit it with a NULL result — left-join this
+    op's output against the group list if that row matters).
     """
-    hist = (df.groupBy(*group_by, F.col(value).alias("__v")
-                       if isinstance(value, str) else value.alias("__v"))
+    vcol = F.col(value) if isinstance(value, str) else value
+    # NULL values are ignored, matching quantile_cont / Spark percentile
+    hist = (df.filter(vcol.isNotNull())
+            .groupBy(*group_by, vcol.alias("__v"))
             .agg(F.count(F.lit(1)).alias("__c")))
     w_cum = Window.partitionBy(*group_by).orderBy("__v")
     w_all = Window.partitionBy(*group_by)

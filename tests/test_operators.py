@@ -717,6 +717,24 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_exact_grouped_quantiles_matches_percentile(spark):
+    """The histogram-based quantile op must equal Spark's percentile
+    aggregate exactly — including duplicate values, NULLs (ignored),
+    single-row groups, and fraction interpolation at q=0.5/0.9."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), float(rng.randint(0, 50)))
+            for i in range(200)] + [("g0", None), ("g1", None), ("solo", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    want = {r.g: (r.q50, r.q90) for r in df.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("q50"),
+        F.percentile("v", F.lit(0.9)).alias("q90")).collect()}
+    got = {r.g: (r.q50, r.q90) for r in relational.exact_grouped_quantiles(
+        df, ["g"], "v", [(0.5, "q50"), (0.9, "q90")]).collect()}
+    assert got == want
+
+
 def test_semdedup_properties(spark):
     """SemDeDup invariants on the real corpus: (1) the kept set has no
     within-cluster duplicate pair left (cos >= tau), (2) every removed
