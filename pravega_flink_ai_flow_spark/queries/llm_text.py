@@ -588,30 +588,46 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled state (vocab-bounded, not corpus-bounded) and the scoring
     join runs on the bigram key. Low scores mark gibberish/boilerplate
     for the quality gate."""
+    from ..ops.partitioning import spread
+
     (docs,) = tables(spark, sf_dir, "documents")
     ws = F.transform(
         F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""),
         lambda t: F.lower(t))
-    toks = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    # spread: the parquet arrives as ~1 partition and the indexed-
+    # transform pair construction is interpreter-bound per element;
+    # persist: the bigram stream feeds BOTH the count aggregation and
+    # the scoring join probe side — without it the HOF explode runs
+    # twice
+    toks = (spread(docs).select("doc_id", ws.alias("ws"))
+            .filter(F.size("ws") >= 2))
     # in-row bigram pairs: (w_i, w_{i+1}) via indexed transform + get
     pairs = F.filter(
         F.transform("ws", lambda w, i:
                     F.struct(w.alias("w1"), F.get("ws", i + 1).alias("w2"))),
         lambda b: b["w2"].isNotNull())
     bigrams = (toks.select("doc_id", F.explode(pairs).alias("b"))
-               .select("doc_id", "b.w1", "b.w2"))
+               .select("doc_id", "b.w1", "b.w2").persist())
     cnt2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = cnt2.select("w1").distinct().agg(F.count("*").alias("v"))
+    # The model is VOCAB-bounded (|distinct bigrams|, not corpus rows),
+    # so fold counts + smoothing into ONE broadcast probability table
+    # and score with a single broadcast join — the corpus-sized bigram
+    # stream never shuffles for scoring (its only wide stage is the
+    # per-doc aggregate, map-side combined). The previous shape pushed
+    # it through two shuffle joins; at sf0.1 wall-clock is about the
+    # same (fixed job overheads dominate the 266k-row stream) — the win
+    # is the two corpus-stream shuffles this removes at real scale.
+    probs = (cnt2.join(cnt1, "w1").join(F.broadcast(vocab))
+             .select("w1", "w2",
+                     F.log2((F.col("c2") + 1).cast("double")
+                            / (F.col("c1") + F.col("v"))).alias("__lp")))
     return (bigrams
-            .join(cnt2, ["w1", "w2"])
-            .join(cnt1, "w1")
-            .join(F.broadcast(vocab))
+            .join(F.broadcast(probs), ["w1", "w2"])
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
-                 F.avg(F.log2((F.col("c2") + 1).cast("double")
-                              / (F.col("c1") + F.col("v"))))
-                  .alias("mean_log2p"))
+                 F.avg("__lp").alias("mean_log2p"))
             .orderBy("doc_id"))
 
 
