@@ -438,22 +438,42 @@ def t16_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("bucket"))
              .agg(F.sum("value").alias("v")))
     b0, b1 = daily.agg(F.min("bucket"), F.max("bucket")).first()
-    n_days = int(b1 - b0 + 1)
-    vec = F.transform(
-        F.sequence(F.lit(int(b0)), F.lit(int(b1))),
-        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0.0)))
-    dense = (daily.groupBy("user_id")
-             .agg(F.map_from_entries(
-                 F.collect_list(F.struct("bucket", "v"))).alias("m"))
-             .withColumn("vec", vec))
-    mean = F.aggregate("vec", F.lit(0.0), lambda a, x: a + x) / n_days
-    centered = (dense.withColumn("mu", mean)
-                .withColumn("cvec", F.transform(
-                    "vec", lambda x: x - F.col("mu")))
-                .withColumn("ss", F.aggregate(
-                    "cvec", F.lit(0.0), lambda a, x: a + x * x))
-                .filter(F.col("ss") > 0)
-                .select("user_id", "cvec"))
+    b0, n_days = int(b0), int(b1 - b0 + 1)
+
+    # Dense grid + mean-centering as ONE Arrow pass per batch (numpy
+    # scatter + row ops) instead of interpreted per-element HOF chains
+    # (map_from_entries → element_at per day → two aggregate folds):
+    # ~0.9 s → ~0.15 s of the query at sf0.1, same zero-variance
+    # exclusion (exact zeros are exact in both formulations).
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    entries = (daily.groupBy("user_id")
+               .agg(F.collect_list(F.struct("bucket", "v")).alias("e")))
+
+    def center(batches):
+        for rb in batches:
+            n = rb.num_rows
+            ent = rb.column("e")
+            flat = pc.list_flatten(ent)
+            buckets = flat.field("bucket").to_numpy(zero_copy_only=False)
+            vals = flat.field("v").to_numpy(zero_copy_only=False)
+            lengths = pc.list_value_length(ent).to_numpy(
+                zero_copy_only=False)
+            parents = np.repeat(np.arange(n), lengths)
+            M = np.zeros((n, n_days))
+            M[parents, (buckets - b0).astype(np.int64)] = vals
+            C = M - M.sum(axis=1, keepdims=True) / n_days
+            keep = np.einsum("ij,ij->i", C, C) > 0
+            ids = rb.column("user_id").to_numpy(
+                zero_copy_only=False)[keep]
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()),
+                 pa.array(list(C[keep]), pa.list_(pa.float64()))],
+                names=["user_id", "cvec"])
+
+    centered = entries.mapInArrow(center, "user_id long, cvec array<double>")
     qdf = centered.select(F.col("user_id").alias("user_a"), "cvec")
     cdf = centered.select(F.col("user_id").alias("user_b"), "cvec")
     top = brute_force_topk_blocked(
