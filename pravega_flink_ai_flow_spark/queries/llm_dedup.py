@@ -32,6 +32,21 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dedup.connected_components(pairs)
     return session_memo(_COMPONENTS_MEMO, spark, sf_dir, compute)
 
+
+# (appId, sf_dir) -> persisted k=3 shingle-array frame, shared by the
+# Jaccard-candidate queries (l2_ngram_jaccard_pairs and
+# l2_edit_distance_pairs build the IDENTICAL frame; one persist serves
+# both instead of two separate cache copies + two explode passes).
+_SHINGLE_ARRAYS_MEMO: dict = {}
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def compute() -> DataFrame:
+        (docs,) = tables(spark, sf_dir, "documents")
+        return dedup.shingle_arrays(
+            dedup.spread(docs), "doc_id", "text", k=3).persist()
+    return session_memo(_SHINGLE_ARRAYS_MEMO, spark, sf_dir, compute)
+
 # Shared SQL fragment: exact word-3-gram shingle sets per doc.
 _SHINGLES_CTE = """
     shingled AS (
@@ -140,8 +155,7 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the provably-lossless PPJoin mitigation (pytest-equal; it
     measured slower HERE because its extra window+joins outweigh the
     2.8× candidate cut on 5 k docs)."""
-    (docs,) = tables(spark, sf_dir, "documents")
-    arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", k=3).persist()
+    arrs = _shingle_arrays(spark, sf_dir)
     return (dedup.jaccard_count_pairs(arrs, threshold=0.5)
             .orderBy("id_a", "id_b"))
 
@@ -177,7 +191,7 @@ def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(len²) per pair — at corpus scale it can never run all-pairs;
     blocking first is the point)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", k=3).persist()
+    arrs = _shingle_arrays(spark, sf_dir)
     cand = (dedup.jaccard_count_pairs(arrs, threshold=0.5)
             .select("id_a", "id_b"))
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
