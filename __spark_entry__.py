@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # package registry, bench.py and tests; only the exported keys rotate.
 #
 # ROUND 6 PLAN: after r5 every query has a driver record except the
-# ones added during round 5 — l2_semdedup, l6_duplicate_spans,
+# ones added during round 5 — j14_lateral_topn, l2_semdedup, l6_duplicate_spans,
 # l3_int8_quant_topk,
 # l3_ivf_kmeans_topk, l3_pq_topk, l4_tfidf_keywords, l5_image_resize,
 # l6_quality_classifier, m5_softmax_predict, s12_jsonl_roundtrip,

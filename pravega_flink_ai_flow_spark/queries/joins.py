@@ -439,3 +439,45 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, a.ga.eqNullSafe(b.gb))
             .select("c_custkey", "s_suppkey")
             .orderBy("c_custkey", "s_suppkey"))
+
+
+@declared(
+    "j14_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+    survey_ids=("J1", "O3"),
+)
+def j14_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:1999 lateral derived table — Flink
+    and every warehouse dialect ship it): each customer joined to its
+    own top-2 orders by price. Catalyst plans the correlated LIMIT
+    subquery via lateral-join decorrelation — a window rank over the
+    co-partitioned join, NOT a per-row re-scan of orders — so the same
+    statement scales: one shuffle of each side on the join key.
+    Deterministic tie-break (price DESC, then key) keeps the LIMIT
+    hash-stable on both engines."""
+    from . import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """)
