@@ -782,6 +782,15 @@ def test_semdedup_properties(spark):
         assert any(m != r and cos(r, m) >= tau for m in by_cell[cell[r]]), r
 
 
+def test_connected_components_empty_pairs(spark):
+    """No near-dup pairs → empty components frame with the right
+    schema (the driver union-find path must not choke on zero rows)."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup.connected_components(pairs)
+    assert out.columns == ["id", "cluster_id"]
+    assert out.count() == 0
+
+
 def test_connected_components_paths_agree(spark, monkeypatch):
     """The guarded driver union-find and the distributed min-label
     propagation produce identical labels — including a long chain (deep
