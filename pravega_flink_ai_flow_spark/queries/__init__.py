@@ -28,13 +28,19 @@ class DeclaredQuery:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     survey_ids: tuple[str, ...]   # SURVEY.md §2 rows this query covers
+    allow_empty: bool = False     # 0 rows at small SF is by-design
 
 
 REGISTRY: dict[str, DeclaredQuery] = {}
 
 
-def declared(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
-    """Register a declared query. ``oracle=None`` → rows-only check."""
+def declared(name: str, oracle: str | None, survey_ids: tuple[str, ...] = (),
+             allow_empty: bool = False):
+    """Register a declared query. ``oracle=None`` → rows-only check.
+    ``allow_empty=True`` marks queries whose 0-row result at small SF is
+    semantically expected; everything else FAILS the local checker on an
+    empty result (a 0-row hash match proves nothing — VERDICT r4 j13,
+    r5 u4_except)."""
     def deco(fn):
         prev = REGISTRY.get(name)
         # a silent overwrite would shadow a query out of the gate; compare
@@ -43,7 +49,8 @@ def declared(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
         if prev is not None and (prev.fn.__module__, prev.fn.__qualname__) \
                 != (fn.__module__, fn.__qualname__):
             raise ValueError(f"duplicate declared query name {name!r}")
-        REGISTRY[name] = DeclaredQuery(name, fn, oracle, survey_ids)
+        REGISTRY[name] = DeclaredQuery(name, fn, oracle, survey_ids,
+                                       allow_empty)
         return fn
     return deco
 

@@ -81,18 +81,24 @@ def u3_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "u4_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
     EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
     """,
     survey_ids=("U4",),
 )
 def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
-    a = customer.select(F.col("c_nationkey").alias("nationkey"))
-    b = supplier.select(F.col("s_nationkey").alias("nationkey"))
-    return a.subtract(b).orderBy("nationkey")
+    """Distinct EXCEPT with real rows (customers with open but no finished
+    orders — 5 rows at sf0.001). The r5 verdict flagged the old
+    customer-nations EXCEPT supplier-nations form as vacuously empty, and
+    in this synthetic datagen every custkey/partkey appears in
+    orders/lineitem, so FK-gap forms are empty too; the status split is
+    the asymmetry that survives every SF."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b).orderBy("custkey")
 
 
 @declared(

@@ -488,6 +488,32 @@ def test_blocked_gemm_near_dup_matches_exact(spark):
     assert all(abs(exact[k] - blocked[k]) < 1e-9 for k in exact)
 
 
+def test_allpairs_topk_matches_closure_blocked(spark):
+    """The fully-distributed all-pairs scorer (block-pair applyInPandas
+    GEMM, no driver collect — the t16 scale path) must return the same
+    (query, candidate, rank) triples and cosines (1e-9, BLAS order) as
+    the closure-broadcast blocked scorer."""
+    from pravega_flink_ai_flow_spark.queries import tables
+    (emb,) = tables(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    closure = {(r.q_id, r.rank): (r.c_id, r.cosine)
+               for r in similarity.brute_force_topk_blocked(
+                   q, c, k=5).collect()}
+    dist = {(r.vec_id_a, r.rank): (r.vec_id_b, r.cosine)
+            for r in similarity.allpairs_topk_blocked(
+                emb, id_col="vec_id", vec_col="embedding",
+                k=5, n_blocks=4).collect()}
+    assert set(closure) == set(dist)
+    assert len(closure) > 0
+    for key, (cid, cos) in closure.items():
+        did, dcos = dist[key]
+        assert did == cid, (key, cid, did)
+        assert abs(dcos - cos) < 1e-9, (key, cos, dcos)
+
+
 def test_csv_drop_malformed_rows(spark, tmp_workdir):
     """S1 parity with the reference's csv.ignore-parse-errors=true
     (processor.py:55): malformed rows are dropped, not fatal."""

@@ -170,6 +170,22 @@ def main():
                   "would crash the driver's canonicalizer — serialize to "
                   "string (to_json / array_join) or explode")
             continue
+        # A 0-row result makes any hash comparison vacuous (both engines
+        # agree on "empty" no matter how wrong the query is) — fail unless
+        # the query declared allow_empty (VERDICT r4 j13, r5 u4_except).
+        # The GATE runs at sf0.01; at the fast-iteration sf0.001 a few
+        # legitimately selective TPC-H filters (q7/q20/q21/q22) go empty,
+        # so downgrade to a warning there.
+        if not s_rows and not q.allow_empty:
+            if "sf0.001" in sf_dir:
+                print(f"warn  {name}: 0 rows at sf0.001 (vacuous here; "
+                      "verify non-empty at sf0.01, the gate SF)")
+            else:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL  {name}: 0 rows — vacuous hash; pick inputs "
+                      "with real rows or declare allow_empty=True")
+                continue
         if q.oracle is None:
             n_rows_only += 1
             print(f"rows  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
