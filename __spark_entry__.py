@@ -58,34 +58,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # last green is OLDEST (the r1-r3 window: a10_unpivot … l3_ivf_topk)
 # so their evidence stays fresh.
 _PROMOTED = frozenset({
-    # never-recorded: aggregations / scalar / joins / ML / sorts
-    "a5_grouping_id", "a14_hll_mergeable_sketch", "a15_filtered_agg",
-    "f_regex", "j13_asof_tolerance", "m4_ridge_predict", "o4_nulls_ordering",
-    # never-recorded: projections + sampling
-    "p6_rename_alias", "p7_systematic_sample", "p8_stratified_sample",
-    # never-recorded: sources/sinks (SURVEY S1-S11)
-    "s1_csv_roundtrip", "s3_s4_stream_dir_roundtrip", "s7_parquet_pruned_scan",
-    "s8_rows_source", "s9_pandas_bridge", "s10_orc_roundtrip",
-    "s11_ddl_connector_roundtrip",
-    # never-recorded: time-series rollups (T11-T15)
-    "t11_ohlc_rollup", "t12_funnel_analysis", "t13_retention_cohorts",
-    "t14_resample_ffill", "t15_resample_interpolate",
-    # never-recorded: windows (W9/W10)
-    "w9_running_count_distinct", "w10_rolling_median",
-    # never-recorded: text analysis (SURVEY L4 — entire row)
-    "l4_bigram_lm_score", "l4_bpe_token_count", "l4_doc_chunking",
-    "l4_fingerprint", "l4_lang_source_stats", "l4_language_id",
-    "l4_quality_features", "l4_quality_filter", "l4_repetition_ratio",
-    "l4_rolling_hash", "l4_text_normalize", "l4_token_stats",
-    # never-recorded: multimodal (SURVEY L5 — entire row)
-    "l5_audio_decode", "l5_binary_meta", "l5_frame_sample_plan",
-    "l5_image_decode",
-    # never-recorded: LLM pipeline ops (L6)
-    "l6_benchmark_decontam", "l6_boilerplate_removal", "l6_heavy_hitter_terms",
-    "l6_mixture_weighted_sample", "l6_pii_redaction", "l6_sequence_packing",
-    "l6_shard_assign",
-    # round-5 fixes needing gate re-proof
-    "tpch_q12", "t5_session_window", "l3_cosine_near_dup",
+    # never-recorded (added during round 5 after the r5 rotation froze):
+    # the 14 queries VERDICT r5 "Next round #1" names — this is their
+    # first time inside the 50-query window
+    "j14_lateral_topn", "l2_semdedup", "l6_duplicate_spans",
+    "l3_int8_quant_topk", "l3_ivf_kmeans_topk", "l3_pq_topk",
+    "l4_tfidf_keywords", "l5_image_resize", "l6_quality_classifier",
+    "m5_softmax_predict", "s12_jsonl_roundtrip",
+    "s13_partitioned_pruned_scan", "s14_bucketed_colocated_join",
+    "t16_user_similarity_topk",
+    # changed in round 6, needs gate re-proof: de-vacuated EXCEPT
+    # (real rows) — VERDICT r5 wrong #1
+    "u4_except",
+    # padding to exactly 50 with the queries whose last green record is
+    # OLDEST (l3_lsh_topk r1; the rest r3) so their evidence refreshes
+    "l3_lsh_topk",
+    "a10_unpivot", "a11_string_agg", "a12_corr_covar",
+    "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
+    "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
+    "a5_grouping_sets", "a5_rollup", "a6_positional_aggs", "a7_stats",
+    "a8_having", "a9_pivot",
+    "f_array", "f_bitwise", "f_cast", "f_conditional", "f_datetime",
+    "f_explode_wordcount", "f_json", "f_map", "f_math",
+    "f_pandas_udf_normalize", "f_string", "f_vector_dot",
+    "j10_interval_join_batch", "j11_salted_skew_join",
+    "j12_null_safe_join", "j1_inner_join", "j2_broadcast_dim_join",
+    "j3_large_large_join", "j4_full_outer_join",
 })
 
 
