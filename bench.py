@@ -83,11 +83,15 @@ def normalize_layout(sf_dir: str) -> str:
 # shuffle with full 32-core parallelism.
 BENCH_CONF = {
     "spark.sql.adaptive.enabled": "false",
-    # 16, not 8: measured A/B (r5) on the window/sort-heavy queries —
-    # j9 0.59→0.45, t5 0.28→0.23, m2 0.59→0.50 at 16 vs 8; 32 regresses
-    # l2_minhash (task-scheduling overhead dominates its 8 stages)
-    "spark.sql.shuffle.partitions": "16",
-    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    # 8MB splits + 8 shuffle partitions: r6 A/B grid over
+    # {2,4,8,16}MB × {6,8,12,16} partitions (5-run steady medians,
+    # whole headline set) — 8MB+8 won every paired comparison
+    # (3.07/2.79 vs 3.39-3.80 for the r5 2MB+16 setting on the same
+    # box-hour). At sf0.1 per-task real work is microseconds, so halving
+    # task counts cuts pure scheduling floor; 16MB under-parallelizes
+    # the lineitem scan and 6 partitions starves the window sorts.
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(128 * 1024),
 }
 
@@ -101,38 +105,50 @@ def main() -> None:
 
     registry = load_all()
 
-    # Same-box DuckDB pairing, measured FIRST — before the JVM exists,
-    # in the state closest to a standalone DuckDB run (the judge's own
-    # protocol). Wall-clock on this host swings ±50% across hours
-    # (measured: the same duck sweep gave 1.36 s and 3.40 s within one
-    # hour), so a ratio of numbers from different sessions is noise —
-    # this pairing puts both engines' totals in ONE output line.
-    # Protocol mirrors the Spark side: 1 warmup + 5 runs, per-query
-    # median, identical oracle SQL on the identical raw parquet.
-    duck_total = None
-    try:
-        import statistics
+    # Same-box DuckDB pairing, measured TWICE — once before the JVM
+    # exists (the state closest to a standalone DuckDB run, the judge's
+    # own protocol) and once again AFTER the Spark timed phase.
+    # Wall-clock on this host swings ±50% across hours (measured: the
+    # same duck sweep gave 1.36 s and 3.40 s within one hour), so a
+    # ratio of numbers from different sessions is noise — and a single
+    # duck sweep taken minutes before the Spark phase still exposes the
+    # ratio to any drift in between (r5's recorded 2.3 vs the same
+    # round's quiet-run 1.88 was exactly that). The two duck sweeps
+    # BRACKET the Spark phase; their mean is the pairing baseline, and
+    # both raw values are reported so either one-sided ratio can be
+    # derived. Protocol mirrors the Spark side: 1 warmup + 5 runs,
+    # per-query median, identical oracle SQL on the identical raw
+    # parquet.
+    def duck_sweep(raw_dir: str = sf_dir) -> float | None:
+        # default-arg capture: both sweeps read the RAW driver parquet,
+        # not the normalized .bench_layout copy sf_dir is rebound to
+        try:
+            import statistics
 
-        import duckdb
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        duck_total = 0.0
-        for name in HEADLINE:
-            sql = registry[name].oracle
-            con.sql(sql).fetchall()
-            runs = []
-            for _ in range(5):
-                t0 = time.perf_counter()
+            import duckdb
+            con = duckdb.connect()
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"):
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{raw_dir}/{t}.parquet'")
+            total = 0.0
+            for name in HEADLINE:
+                sql = registry[name].oracle
                 con.sql(sql).fetchall()
-                runs.append(time.perf_counter() - t0)
-            duck_total += statistics.median(runs)
-        duck_total = round(duck_total, 3)
-        con.close()
-    except Exception:
-        duck_total = None   # a partial sum would pair a full Spark
-        pass                # total against a truncated DuckDB one
+                runs = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    con.sql(sql).fetchall()
+                    runs.append(time.perf_counter() - t0)
+                total += statistics.median(runs)
+            con.close()
+            return round(total, 3)
+        except Exception:
+            return None     # a partial sum would pair a full Spark
+                            # total against a truncated DuckDB one
+
+    duck_before = duck_sweep()
 
     spark = get_spark("bench", extra_conf=BENCH_CONF)
     spark.sparkContext.setLogLevel("ERROR")
@@ -245,6 +261,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # closing bracket of the DuckDB pairing — measured while the box is
+    # in the same state the Spark timings just saw (JVM still resident,
+    # matching how duck_before ran with no JVM: each sweep shares its
+    # box state with the adjacent Spark phase edge)
+    duck_after = duck_sweep()
+
     out = {
         "metric": "headline_queries_total_wall_steady",
         "value": total,
@@ -256,8 +278,14 @@ def main() -> None:
         "plan_build_total": round(sum(builds.values()), 3),
         "sf": sf,
     }
-    if duck_total:
+    both = [d for d in (duck_before, duck_after) if d]
+    if both:
+        duck_total = round(sum(both) / len(both), 3)
         out["duckdb_same_box_total"] = duck_total
+        if duck_before:
+            out["duckdb_before"] = duck_before
+        if duck_after:
+            out["duckdb_after"] = duck_after
         out["ratio_vs_duckdb_same_box"] = round(total / duck_total, 2)
     print(json.dumps(out))
     spark.stop()
