@@ -70,6 +70,12 @@ class PravegaEmulatorServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._host, self._want_port = host, port
         self._streams: dict[tuple[str, str], list] = {}
+        # transactional-writer state (Pravega TransactionalEventStreamWriter
+        # semantics): events staged under a txn id are invisible to
+        # readers until an atomic commit; a (group, batchId) ledger makes
+        # commits idempotent under micro-batch replay.
+        self._pending: dict[tuple[str, str, str], list] = {}
+        self._committed: dict[tuple[str, str, str], int] = {}
         self._lock = threading.Lock()
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
@@ -98,6 +104,51 @@ class PravegaEmulatorServer:
     def streams(self) -> list:
         with self._lock:
             return sorted(f"{s}/{st}" for s, st in self._streams)
+
+    # -- transactional writer (Pravega TransactionalEventStreamWriter) ------
+    #
+    # A Spark write task stages its rows under a fresh txn id; nothing is
+    # visible to readers until the DRIVER commits the ids of the tasks
+    # that actually succeeded. A failed/killed attempt's staged txn is
+    # simply never named in a commit, so its rows never appear —
+    # exactly-once under task retry. For streaming, commit also carries
+    # (writer_group, batch_id): the ledger records the highest committed
+    # batch per group, and a REPLAYED commit of an already-committed
+    # micro-batch (checkpoint-recovery re-run) drops its txns instead of
+    # appending twice — Pravega's ordered-commit idempotency one level up.
+
+    def txn_write(self, scope: str, stream: str, txn: str,
+                  events: list) -> int:
+        with self._lock:
+            # replace, not extend: a re-delivered RPC for the same txn id
+            # must stay idempotent
+            self._pending[(scope, stream, txn)] = list(events)
+            return len(events)
+
+    def txn_commit(self, scope: str, stream: str, txns: list,
+                   group: str | None = None,
+                   batch_id: int | None = None) -> dict:
+        with self._lock:
+            staged = [self._pending.pop((scope, stream, t), None)
+                      for t in txns]
+            if group is not None and batch_id is not None:
+                key = (scope, stream, group)
+                last = self._committed.get(key)
+                if last is not None and batch_id <= last:
+                    # replayed micro-batch: already durable — drop
+                    return {"tail": len(self._streams.get((scope, stream), [])),
+                            "duplicate": True}
+                self._committed[key] = batch_id
+            log = self._streams.setdefault((scope, stream), [])
+            for ev in staged:
+                if ev:
+                    log.extend(ev)
+            return {"tail": len(log), "duplicate": False}
+
+    def txn_abort(self, scope: str, stream: str, txns: list) -> None:
+        with self._lock:
+            for t in txns:
+                self._pending.pop((scope, stream, t), None)
 
     # -- network lifecycle --------------------------------------------------
 
@@ -155,4 +206,14 @@ class PravegaEmulatorServer:
                                         int(req["start"]), int(req["end"]))}
         if op == "list":
             return {"streams": self.streams()}
+        if op == "txn_write":
+            return {"staged": self.txn_write(scope, stream, req["txn"],
+                                             req["events"])}
+        if op == "txn_commit":
+            return self.txn_commit(
+                scope, stream, req["txns"], req.get("group"),
+                int(req["batch"]) if req.get("batch") is not None else None)
+        if op == "txn_abort":
+            self.txn_abort(scope, stream, req["txns"])
+            return {"ok": True}
         return {"error": f"unknown op {op!r}"}

@@ -23,10 +23,15 @@ speaking its protocol):
   ``partitions(start, end)`` splits each micro-batch for parallel
   executor pulls, and because the log is append-only a ranged read is
   deterministic forever — replay from a checkpoint is exactly-once;
-- **stream write** (``writeStream.format("pravega_socket")``) — each
-  executor appends its partition over its own socket;
-  at-least-once on task retry (a transactional Pravega writer would
-  upgrade this to exactly-once; out of scope here).
+- **stream write** (``writeStream.format("pravega_socket")``) —
+  EXACTLY-ONCE, mirroring Pravega's ``TransactionalEventStreamWriter``
+  (reference processor writes via the same connector,
+  batch_train_batch_predict_processor.py:67-90): each executor stages
+  its partition under a server-side transaction, the driver commits the
+  surviving task attempts' txns atomically, and a (writer-group,
+  batchId) ledger makes replayed micro-batch commits no-ops. A killed
+  and retried write task therefore never duplicates rows
+  (tests/test_pravega_socket.py::test_task_retry_no_duplicates).
 
 Rows are JSON objects on the wire; conversion to Spark types is driven
 by the REQUIRED ``schema`` option (a DDL string — the connector's
@@ -198,18 +203,43 @@ class _StreamReader(DataSourceStreamReader, _Common):
         pass
 
 
-class _AppendMessage(WriterCommitMessage):
-    pass
+class _TxnMessage(WriterCommitMessage):
+    """Carries the staged transaction back to the driver: only txns
+    named in a driver-side commit ever become visible."""
+
+    def __init__(self, txn: str | None, partition_id: int):
+        self.txn = txn
+        self.partition_id = partition_id
 
 
 class _AppendMixin(_Common):
-    """Per-partition socket appends; at-least-once under task retry."""
+    """Transactional per-partition writes (exactly-once, mirroring
+    Pravega's TransactionalEventStreamWriter): each task stages its rows
+    server-side under a fresh txn id and reports the id in its commit
+    message. Spark delivers ONE message per partition — from the attempt
+    that succeeded — so a killed/retried attempt's staged txn is never
+    committed and its rows never reach the stream. The driver's commit
+    atomically publishes the surviving txns in partition order."""
 
     def __init__(self, options, schema):
         _Common.__init__(self, options, schema)
         self.col_names = [f.name for f in schema.fields]
+        # identifies this sink for the server's replayed-batch ledger
+        self.group = options.get("writer-group") \
+            or options.get("writergroup") \
+            or f"{self.scope}/{self.stream}"
+        # test hook: "first-attempt" kills every task's attempt 0 AFTER
+        # it has staged its txn — the crashed-mid-write shape the
+        # exactly-once guarantee exists for
+        self.simulate_failure = options.get("simulate-task-failure")
 
     def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
         events = []
         for row in iterator:
             ev = {}
@@ -220,27 +250,62 @@ class _AppendMixin(_Common):
                     v = int((v - _EPOCH).total_seconds() * 1_000_000)
                 ev[name] = v
             events.append(ev)
-        if events:
+        if not events:
+            return _TxnMessage(None, pid)
+        txn = uuid.uuid4().hex
+        pravega_rpc(self.host, self.port,
+                    {"op": "txn_write", "scope": self.scope,
+                     "stream": self.stream, "txn": txn, "events": events})
+        if (self.simulate_failure == "first-attempt" and ctx
+                and ctx.attemptNumber() == 0):
+            # die AFTER staging — the retried attempt stages its own txn;
+            # this one is never committed
+            raise RuntimeError("simulated task failure after txn staged")
+        return _TxnMessage(txn, pid)
+
+    def _txns(self, messages) -> list:
+        ordered = sorted((m for m in messages if m and m.txn),
+                         key=lambda m: m.partition_id)
+        return [m.txn for m in ordered]
+
+    def _commit(self, messages, batch_id: int | None) -> None:
+        txns = self._txns(messages)
+        if not txns and batch_id is None:
+            return
+        pravega_rpc(self.host, self.port,
+                    {"op": "txn_commit", "scope": self.scope,
+                     "stream": self.stream, "txns": txns,
+                     "group": self.group if batch_id is not None else None,
+                     "batch": batch_id})
+
+    def _abort(self, messages) -> None:
+        txns = self._txns(messages)
+        if txns:
             pravega_rpc(self.host, self.port,
-                        {"op": "append", "scope": self.scope,
-                         "stream": self.stream, "events": events})
-        return _AppendMessage()
+                        {"op": "txn_abort", "scope": self.scope,
+                         "stream": self.stream, "txns": txns})
 
 
 class _StreamWriter(_AppendMixin, DataSourceStreamWriter):
     def commit(self, messages, batchId) -> None:
-        pass
+        # (group, batchId) rides with the commit so a checkpoint-recovery
+        # replay of an already-committed micro-batch is a server-side
+        # no-op — exactly-once end to end, not just per attempt
+        self._commit(messages, int(batchId))
 
     def abort(self, messages, batchId) -> None:
-        pass
+        self._abort(messages)
 
 
 class _BatchWriter(_AppendMixin, DataSourceWriter):
     def commit(self, messages) -> None:
-        pass
+        # batch jobs have no replay ledger (a re-RUN of a batch job is a
+        # new append by append-only stream semantics); staged txns of
+        # failed attempts still never commit
+        self._commit(messages, None)
 
     def abort(self, messages) -> None:
-        pass
+        self._abort(messages)
 
 
 class PravegaSocketDataSource(DataSource):

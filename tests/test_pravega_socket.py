@@ -263,3 +263,87 @@ def test_ddl_socket_transport(spark, server):
             )
         """)
         env.from_path("bad")
+
+
+# -- exactly-once transactional writes (Pravega txn writer semantics) -------
+
+def test_txn_protocol_exactly_once(server):
+    """Protocol-level retry simulation: attempt 0 stages a txn and dies;
+    the retry stages its own txn; only the retry's txn is committed →
+    one copy. A replayed commit of the same (group, batch) is a no-op,
+    and aborted txns never surface."""
+    host, port = parse_controller_uri(server.controller_uri)
+    ev = _events(0, 5)
+    # attempt 0 stages then "dies" (its txn id is never committed)
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s", "stream": "t",
+                             "txn": "attempt0", "events": ev})
+    # retried attempt stages the same rows under its own txn
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s", "stream": "t",
+                             "txn": "attempt1", "events": ev})
+    r = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s",
+                                 "stream": "t", "txns": ["attempt1"],
+                                 "group": "g", "batch": 0})
+    assert r == {"tail": 5, "duplicate": False}
+    # checkpoint-recovery replay of batch 0: freshly staged txn, same
+    # (group, batch) → server drops it instead of appending twice
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s", "stream": "t",
+                             "txn": "replay", "events": ev})
+    r = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s",
+                                 "stream": "t", "txns": ["replay"],
+                                 "group": "g", "batch": 0})
+    assert r == {"tail": 5, "duplicate": True}
+    # abort: staged rows never become visible
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s", "stream": "t",
+                             "txn": "doomed", "events": ev})
+    pravega_rpc(host, port, {"op": "txn_abort", "scope": "s", "stream": "t",
+                             "txns": ["doomed"]})
+    assert server.tail("s", "t") == 5
+    ids = [e["event_id"] for e in server.read("s", "t", 0, 5)]
+    assert sorted(ids) == [0, 1, 2, 3, 4]
+
+
+def test_task_retry_no_duplicates(tmp_workdir):
+    """REAL task retry: a subprocess session with spark.task.maxFailures=2
+    writes through the socket sink with every task's first attempt killed
+    AFTER it staged its transaction. Exactly-once means the retried
+    attempts' rows land exactly once and the dead attempts' staged txns
+    never surface."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import json, sys
+        sys.path.insert(0, %r)
+        from pyspark.sql import SparkSession
+        from pravega_flink_ai_flow_spark.io import pravega_source
+        from pravega_flink_ai_flow_spark.io.pravega_server import \\
+            PravegaEmulatorServer
+
+        srv = PravegaEmulatorServer()
+        srv.start()
+        spark = (SparkSession.builder.master("local[4,2]")
+                 .appName("txn-retry")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        pravega_source.register(spark)
+        df = spark.range(0, 40, 1, 4).selectExpr("id AS event_id")
+        (df.write.format("pravega_socket").mode("append")
+         .option("controller", srv.controller_uri)
+         .option("scope", "s").option("stream", "out")
+         .option("schema", "event_id bigint")
+         .option("simulate-task-failure", "first-attempt").save())
+        rows = srv.read("s", "out", 0, 10**9)
+        print("RESULT " + json.dumps(sorted(e["event_id"] for e in rows)))
+        spark.stop()
+    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    out = subprocess.run([sys.executable, "-c", script], timeout=300,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert line, out.stdout[-2000:]
+    import json
+    ids = json.loads(line[0][len("RESULT "):])
+    # every row exactly once — no loss from the killed attempts, no
+    # duplicates from their staged-but-uncommitted txns
+    assert ids == list(range(40))
