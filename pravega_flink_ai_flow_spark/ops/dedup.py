@@ -334,8 +334,12 @@ def contamination_report(train: DataFrame, bench: DataFrame,
 
 # Pair-count ceiling for the driver union-find fast path in
 # connected_components; above it the iterative distributed propagation
-# runs instead. 1M pairs ≈ 32 MB of longs — comfortably collectable.
-_CC_DRIVER_MAX = 1_000_000
+# runs instead. The collected unit is a PySpark Row (a Python object,
+# ~100+ bytes), not a packed long — 250k pairs is a few tens of MB of
+# driver heap plus a ≤500k-entry parent dict, which is what the guard
+# actually admits (r5 advice: the old 1M ceiling's "32 MB of longs"
+# arithmetic ignored Row overhead).
+_CC_DRIVER_MAX = 250_000
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
@@ -362,8 +366,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     so a pathological corpus (everything near-duplicate) still never
     funnels through the driver."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    n_pairs = e.limit(_CC_DRIVER_MAX + 1).count()
-    if n_pairs <= _CC_DRIVER_MAX:
+    # ONE execution of the (potentially expensive minhash/band-join)
+    # pairs pipeline: collect the capped frame and branch on its length
+    # — the old probe ran limit+count first and collect() again,
+    # executing everything upstream twice (r5 advice)
+    rows = e.limit(_CC_DRIVER_MAX + 1).collect()
+    if len(rows) <= _CC_DRIVER_MAX:
         parent: dict = {}
 
         def find(x):
@@ -374,7 +382,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 parent[x], x = root, parent[x]
             return root
 
-        rows = e.collect()
         for r in rows:
             a, b = r.src, r.dst
             parent.setdefault(a, a)

@@ -71,7 +71,11 @@ def quality_score(text: Column) -> Column:
     # HALF_UPs the decimal string, DuckDB rounds the binary value; bit
     # w8 at sf0.1). Rounding here would also make the >= 0.6 quality
     # gate flip row membership at such boundaries.
-    return (len_score + stop_score + wl_score) / 3.0
+    # NULL text → NULL (without the guard, F.least SKIPS the null
+    # sub-scores and the when-chain's otherwise(0.5) leaks a 0.83
+    # "quality" for absent text).
+    return F.when(text.isNull(), F.lit(None).cast("double")) \
+            .otherwise((len_score + stop_score + wl_score) / 3.0)
 
 
 # Per-language marker-token profiles for the language-ID heuristic.
@@ -109,7 +113,13 @@ def language_id_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
     Catalyst higher-order-function lambdas, whose per-element eval is
     INTERPRETED: 40 marker comparisons per token × interpreted
     dispatch dominated l4_language_id's wall (1.33 s → ~0.4 s at
-    sf0.1). Null text scores 0 / 'und'."""
+    sf0.1). NULL text propagates as NULL outputs — the same semantics
+    as the Catalyst column forms (``F.split(NULL)`` → NULL sizes), so
+    the frame- and column-backed declared queries agree on nullable
+    corpora (r5 advice: the old coalesce-to-'' scored nulls 0/'und').
+    The split pattern is the EXPLICIT Java ``\\s`` class
+    ``[ \\t\\n\\x0B\\f\\r]+`` because RE2's ``\\s`` (Arrow) excludes
+    vertical tab while Java's (Catalyst) includes it."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -123,8 +133,11 @@ def language_id_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
     def score_batches(batches):
         for rb in batches:
             n = rb.num_rows
+            nulls = pc.is_null(rb.column(text_col)).to_numpy(
+                zero_copy_only=False)
             texts = pc.coalesce(rb.column(text_col), "")
-            lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+            lists = pc.split_pattern_regex(texts,
+                                           pattern=r"[ \t\n\x0B\f\r]+")
             flat = pc.utf8_lower(pc.list_flatten(lists))
             lengths = pc.list_value_length(lists).to_numpy(
                 zero_copy_only=False)
@@ -142,8 +155,9 @@ def language_id_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
                          np.where((en >= es) & (en >= fr), "en",
                                   np.where(es >= fr, "es", "fr"))))
             cols = ([rb.column(c) for c in id_cols]
-                    + [pa.array(guess, pa.string())]
-                    + [pa.array(scores[lg], pa.int32()) for lg in langs])
+                    + [pa.array(guess, pa.string(), mask=nulls)]
+                    + [pa.array(scores[lg], pa.int32(), mask=nulls)
+                       for lg in langs])
             yield pa.record_batch(
                 cols, names=[*id_cols, "lang_guess",
                              *[f"s_{lg}" for lg in langs]])
@@ -164,7 +178,9 @@ def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
     Bit-identical doubles by construction: every ratio is an exact
     integer count divided once in IEEE double, every sum is a sum of
     integers (< 2^53, order-free), and the composite keeps the column
-    op's exact operation order ``(len + stop + wl) / 3.0``."""
+    op's exact operation order ``(len + stop + wl) / 3.0``. NULL text
+    propagates as NULL features, and tokenization uses the explicit
+    Java-``\\s`` class — both per the language_id_frame notes."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -179,8 +195,13 @@ def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
     def featurize(batches):
         for rb in batches:
             n = rb.num_rows
+            nulls = pc.is_null(rb.column(text_col)).to_numpy(
+                zero_copy_only=False)
             texts = pc.coalesce(rb.column(text_col), "")
-            lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+            # explicit Java-\s class: RE2 \s lacks \x0B (see
+            # language_id_frame docstring)
+            lists = pc.split_pattern_regex(texts,
+                                           pattern=r"[ \t\n\x0B\f\r]+")
             flat = pc.list_flatten(lists)
             lengths = pc.list_value_length(lists).to_numpy(
                 zero_copy_only=False)
@@ -206,12 +227,13 @@ def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
             stop_score = np.minimum(stop_ratio * 4.0, 1.0)
             wl_score = np.where((wl >= 3.0) & (wl <= 10.0), 1.0, 0.5)
             quality = (len_score + stop_score + wl_score) / 3.0
+            # NULL text → NULL features (column-form semantics; r5 advice)
             cols = ([rb.column(c) for c in id_cols]
-                    + [pa.array(n_tok, pa.int32()),
-                       pa.array(stop_ratio, pa.float64()),
-                       pa.array(punct_ratio, pa.float64()),
-                       pa.array(wl, pa.float64()),
-                       pa.array(quality, pa.float64())])
+                    + [pa.array(n_tok, pa.int32(), mask=nulls),
+                       pa.array(stop_ratio, pa.float64(), mask=nulls),
+                       pa.array(punct_ratio, pa.float64(), mask=nulls),
+                       pa.array(wl, pa.float64(), mask=nulls),
+                       pa.array(quality, pa.float64(), mask=nulls)])
             yield pa.record_batch(
                 cols, names=[*id_cols, "n_tok", "stopword_ratio",
                              "punct_ratio", "mean_word_len", "quality"])
@@ -221,10 +243,14 @@ def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
 
 def language_id(text: Column) -> Column:
     """Argmax over the per-language marker scores; ties go to the
-    alphabetically-first language; all-zero → 'und'."""
+    alphabetically-first language; all-zero → 'und'; NULL text → NULL
+    (without the explicit guard every comparison in the chain is NULL
+    and the when-chain would fall through to the accidental
+    ``otherwise('fr')``)."""
     s = language_scores(text)
-    return (F.when((s["de"] == 0) & (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0),
-                   "und")
+    return (F.when(text.isNull(), F.lit(None).cast("string"))
+            .when((s["de"] == 0) & (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0),
+                  "und")
             .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
             .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
             .when(s["es"] >= s["fr"], "es")

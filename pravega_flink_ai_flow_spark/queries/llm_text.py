@@ -623,8 +623,16 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("w1", "w2",
                      F.log2((F.col("c2") + 1).cast("double")
                             / (F.col("c1") + F.col("v"))).alias("__lp")))
+    # "vocab-bounded" is NOT "broadcast-small" at every scale: distinct
+    # bigrams grow ~Heaps-law with the corpus (vocab² upper bound), so a
+    # FORCED broadcast could OOM at 100 TB (r5 advice). Guard with a
+    # driver row count — cheap here because it aggregates the persisted
+    # bigram frame — and fall back to the scale-safe shuffle join on the
+    # (w1, w2) key when the model outgrows the broadcast budget.
+    broadcastable = cnt2.count() <= 1_000_000
+    scoring_model = F.broadcast(probs) if broadcastable else probs
     return (bigrams
-            .join(F.broadcast(probs), ["w1", "w2"])
+            .join(scoring_model, ["w1", "w2"])
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.avg("__lp").alias("mean_log2p"))

@@ -359,7 +359,9 @@ def test_language_id_frame_matches_column_op(spark):
          (5, "la de que un"),            # multi-language tie
          (6, "xyzzy plugh"),
          (7, ""),
-         (8, "   \t\n  ")],
+         (8, "   \t\n  "),
+         (9, None),                      # NULL text → NULL guess/scores
+         (10, "the\x0Band of")],         # vertical tab IS Java-\s
         "doc_id long, text string")
     want = {r.doc_id: (r.g, r.s) for r in df.select(
         "doc_id",
@@ -380,7 +382,9 @@ def test_quality_frame_matches_column_ops(spark):
          (3, "  spaced   out\ttokens \n here  "),
          (4, "supercalifragilisticexpialidocious " * 30),
          (5, ""),
-         (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3)],
+         (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3),
+         (7, None),                      # NULL text → NULL features
+         (8, "the\x0Bcat and\x0C dog")], # Java-\s includes \x0B and \f
         "doc_id long, text string")
     t = F.col("text")
     want = {r.doc_id: (r.n_tok, r.sr, r.pr, r.wl, r.q) for r in df.select(
