@@ -256,10 +256,171 @@ class SqliteModelRegistry(ModelRegistry):
         return [ModelVersion(*r) for r in rows]
 
 
+class DocumentStore:
+    """Minimal document-database surface the registry needs — the
+    MongoDB data model (named collections of dict documents) reduced to
+    the three primitives used below. Implementations: an always-on
+    file-backed engine for this sandbox, and a thin ``pymongo`` adapter
+    for a real MongoDB deployment (the third metadata store the
+    reference's AI Flow stack supports, /root/reference/README.md:39-41;
+    MySQL shares the SQL shape of the SQLite backend above)."""
+
+    def insert_one(self, collection: str, doc: dict) -> None:
+        raise NotImplementedError
+
+    def find(self, collection: str, query: dict) -> list[dict]:
+        raise NotImplementedError
+
+    def update_one(self, collection: str, query: dict, update: dict) -> int:
+        """Set ``update``'s fields on the first match; returns matched
+        count (0 or 1)."""
+        raise NotImplementedError
+
+
+class FileDocumentStore(DocumentStore):
+    """Document store over one JSON file per collection. Mutations
+    rewrite the collection file under an in-process lock — the JSON
+    registry's durability model with MongoDB's data model, which is
+    exactly enough to exercise every registry code path the pymongo
+    adapter runs in production."""
+
+    def __init__(self, root: str):
+        self._root = root
+        self._lock = threading.Lock()
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, collection: str) -> str:
+        return os.path.join(self._root, f"{collection}.json")
+
+    def _load(self, collection: str) -> list[dict]:
+        p = self._path(collection)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _save(self, collection: str, docs: list[dict]) -> None:
+        with open(self._path(collection), "w") as f:
+            json.dump(docs, f, indent=2)
+
+    def insert_one(self, collection: str, doc: dict) -> None:
+        with self._lock:
+            docs = self._load(collection)
+            docs.append(dict(doc))
+            self._save(collection, docs)
+
+    def find(self, collection: str, query: dict) -> list[dict]:
+        with self._lock:
+            return [d for d in self._load(collection)
+                    if all(d.get(k) == v for k, v in query.items())]
+
+    def update_one(self, collection: str, query: dict, update: dict) -> int:
+        with self._lock:
+            docs = self._load(collection)
+            for d in docs:
+                if all(d.get(k) == v for k, v in query.items()):
+                    d.update(update)
+                    self._save(collection, docs)
+                    return 1
+            return 0
+
+
+class MongoDocumentStore(DocumentStore):
+    """``pymongo`` adapter — same three primitives against a real
+    MongoDB. Import is deferred so the sandbox (no mongo client, no
+    server) can still construct registries from other URIs."""
+
+    def __init__(self, uri: str, database: str = "model_registry"):
+        try:
+            import pymongo  # type: ignore
+        except ImportError as e:  # pragma: no cover - no pymongo here
+            raise ImportError(
+                "mongodb:// registry URIs need the pymongo package; in "
+                "this sandbox use docstore:/// (same data model, file-"
+                "backed) or sqlite:///") from e
+        self._db = pymongo.MongoClient(uri)[database]  # pragma: no cover
+
+    def insert_one(self, collection, doc):  # pragma: no cover
+        self._db[collection].insert_one(dict(doc))
+
+    def find(self, collection, query):  # pragma: no cover
+        return [{k: v for k, v in d.items() if k != "_id"}
+                for d in self._db[collection].find(query)]
+
+    def update_one(self, collection, query, update):  # pragma: no cover
+        return self._db[collection].update_one(
+            query, {"$set": update}).matched_count
+
+
+class DocumentModelRegistry(ModelRegistry):
+    """Registry over any :class:`DocumentStore` — collections ``models``
+    and ``model_versions`` hold one document per model / version, the
+    document-database twin of the SQLite backend's two tables. Version
+    allocation is max+1 over the store's view, serialized by the store's
+    own write lock (file store: in-process lock; MongoDB: server-side
+    per-document atomicity — a production deployment would use a counter
+    document with ``find_one_and_update`` for cross-process allocation)."""
+
+    def __init__(self, store: DocumentStore):
+        super().__init__(path=None)
+        self._store = store
+
+    def register_model(self, model_name: str, model_desc: str = "") -> ModelMeta:
+        if not self._store.find("models", {"name": model_name}):
+            self._store.insert_one("models", {"name": model_name,
+                                              "model_desc": model_desc})
+        doc = self._store.find("models", {"name": model_name})[0]
+        meta = ModelMeta(doc["name"], doc.get("model_desc", ""))
+        meta.versions = self.versions(model_name)
+        return meta
+
+    def register_model_version(self, model_name: str, model_path: str) -> ModelVersion:
+        self.register_model(model_name)
+        existing = self._store.find("model_versions",
+                                    {"model_name": model_name})
+        version = max((d["version"] for d in existing), default=0) + 1
+        self._store.insert_one("model_versions", {
+            "model_name": model_name, "version": version,
+            "model_path": model_path,
+            "current_stage": ModelVersionStage.GENERATED})
+        mv = ModelVersion(model_name, version, model_path)
+        self._emit(ModelEvent.MODEL_GENERATED, mv)
+        return mv
+
+    def update_model_version(self, model_name: str, model_version: int,
+                             current_stage: str) -> ModelVersion:
+        matched = self._store.update_one(
+            "model_versions",
+            {"model_name": model_name, "version": model_version},
+            {"current_stage": current_stage})
+        if not matched:
+            raise KeyError(f"{model_name} v{model_version} not registered")
+        doc = self._store.find("model_versions",
+                               {"model_name": model_name,
+                                "version": model_version})[0]
+        mv = ModelVersion(model_name, model_version, doc["model_path"],
+                          current_stage)
+        self._emit(_STAGE_EVENT[current_stage], mv)
+        return mv
+
+    def _versions(self, model_name: str) -> list[ModelVersion]:
+        docs = self._store.find("model_versions", {"model_name": model_name})
+        return [ModelVersion(d["model_name"], d["version"], d["model_path"],
+                             d["current_stage"])
+                for d in sorted(docs, key=lambda d: d["version"])]
+
+
 def open_registry(uri: str) -> ModelRegistry:
-    """Registry factory keyed by the reference's ``db_uri`` convention:
-    ``sqlite:///abs/or/rel/path.db`` → SQLite backend; any other string
-    is a JSON file path."""
+    """Registry factory keyed by the reference's ``db_uri`` convention
+    (README.md:39-41 lists sqlite/MySQL/MongoDB): ``sqlite:///path.db``
+    → SQLite backend; ``mongodb://host/db`` → pymongo-backed document
+    registry; ``docstore:///dir`` → the same document registry over the
+    file-backed store; any other string is a JSON file path."""
     if uri.startswith("sqlite:///"):
         return SqliteModelRegistry(uri[len("sqlite:///"):])
+    if uri.startswith("mongodb://"):
+        return DocumentModelRegistry(MongoDocumentStore(uri))
+    if uri.startswith("docstore://"):
+        return DocumentModelRegistry(
+            FileDocumentStore(uri[len("docstore://"):]))
     return ModelRegistry(uri)
