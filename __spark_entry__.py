@@ -45,18 +45,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # plan swapped to blocked GEMM). Canonical names are unchanged in the
 # package registry, bench.py and tests; only the exported keys rotate.
 #
-# ROUND 6 PLAN: after r5 every query has a driver record except the
-# ones added during round 5 — j14_lateral_topn, l2_semdedup, l6_duplicate_spans,
-# l3_int8_quant_topk,
-# l3_ivf_kmeans_topk, l3_pq_topk, l4_tfidf_keywords, l5_image_resize,
-# l6_quality_classifier, m5_softmax_predict, s12_jsonl_roundtrip,
-# s13_partitioned_pruned_scan, s14_bucketed_colocated_join,
-# t16_user_similarity_topk (recompute:
-# registry names minus every CORRECTNESS_r* key minus r5's
-# `_PROMOTED`). Set `_PROMOTED` to those (plus any r6 additions and
-# any r5 reds needing re-proof), padded to 50 with the queries whose
-# last green is OLDEST (the r1-r3 window: a10_unpivot … l3_ivf_topk)
-# so their evidence stays fresh.
+# ROUND 6 (this round): `_PROMOTED` = the 14 round-5 additions that had
+# no driver record + u4_except (de-vacuated this round, needs re-proof),
+# padded to exactly 50 with the stalest greens (l3_lsh_topk r1; the
+# a*/f*/j1-j12 block last recorded r3).
+#
+# ROUND 7 PLAN: promote the round-6 additions (m6_pca_project — added
+# after this window froze) plus any r6 reds needing re-proof, padded to
+# 50 with the then-stalest greens (the remaining r3 block: j4-j9, l1/l2,
+# o1-o3, p1-p5, the rest of the r3 set — recompute from CORRECTNESS_r*
+# as before: for each query take max round recorded green, promote the
+# oldest).
 _PROMOTED = frozenset({
     # never-recorded (added during round 5 after the r5 rotation froze):
     # the 14 queries VERDICT r5 "Next round #1" names — this is their

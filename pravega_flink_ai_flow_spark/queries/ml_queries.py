@@ -280,3 +280,33 @@ def m5_softmax_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("label").alias("true_label"),
                     pred.alias("pred_label"))
             .orderBy("vec_id"))
+
+
+# (applicationId, sf_dir) -> fitted PCAModel; same memoization rationale
+# as the softmax cache — the components are a fixed artifact of the data.
+_PCA_MODEL_CACHE: dict[tuple[str, str], object] = {}
+
+
+@declared(
+    "m6_pca_project",
+    oracle=None,   # eigendecomposition of a distributed covariance —
+                   # not SQL-expressible; pytest proves the distributed
+                   # sufficient statistics reproduce a single-matrix
+                   # numpy PCA to 1e-9 and pins the sign convention
+    survey_ids=("M1", "F6", "L3"),
+)
+def m6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (ml/pca.py): one sufficient-statistics pass
+    (Σx, XᵀX, n — dim²+dim+1 doubles per batch, the corpus never
+    shuffles or collects), driver-side eigh of the 64×64 covariance,
+    then a closure-broadcast GEMM projection onto the top-2 components
+    — the standard embedding-column preprocessing step (visualization,
+    whitening, IVF coarse quantizer input) at its 100 TB shape."""
+    from ..ml.pca import fit_pca_distributed, pca_project
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    model = session_memo(
+        _PCA_MODEL_CACHE, spark, sf_dir,
+        lambda: fit_pca_distributed(emb, vec_col="embedding", k=2))
+    return (pca_project(emb, model, id_col="vec_id", vec_col="embedding")
+            .orderBy("vec_id"))

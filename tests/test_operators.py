@@ -1260,3 +1260,40 @@ def test_resize_nearest_mapping_and_bounds():
         resize_nearest(arr, 8, 4)     # upsample
     with _pytest.raises(ValueError):
         resize_nearest(arr, 0, 4)     # empty target
+
+
+def test_pca_distributed_matches_driver_numpy(spark):
+    """The sufficient-statistics PCA must reproduce a single-matrix
+    numpy PCA on the same data — components (with the deterministic
+    sign convention), explained variance, and projections."""
+    import numpy as np
+
+    from pravega_flink_ai_flow_spark.ml.pca import (
+        _fix_signs, fit_pca_distributed, pca_project)
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    sf = "/root/testdata/sf0.01"
+    (emb,) = qt(spark, sf, "embeddings")
+    model = fit_pca_distributed(emb, vec_col="embedding", k=3)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    want_comp = _fix_signs(vecs[:, order].T)
+    assert np.allclose(model.mean, mean, atol=1e-9)
+    assert np.allclose(model.explained_variance, vals[order], atol=1e-9)
+    assert np.allclose(model.components, want_comp, atol=1e-8)
+    # explained variance actually dominates: top-3 ordered descending
+    assert model.explained_variance[0] >= model.explained_variance[1] \
+        >= model.explained_variance[2] > 0
+
+    got = {r.vec_id: (r.pc1, r.pc2, r.pc3)
+           for r in pca_project(emb, model).collect()}
+    want = (X - mean) @ want_comp.T
+    ids = [r.vec_id for r in rows]
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], want[i], atol=1e-8)
