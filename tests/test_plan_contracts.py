@@ -136,3 +136,28 @@ def test_s14_bucketed_join_has_no_exchange(spark):
         assert "hashpartitioning" not in arg_line, \
             "bucketed join planned a hash Exchange (shuffle)"
     assert "Bucketed: true" in plan
+
+
+def test_t16_allpairs_is_distributed_no_driver_collect(spark):
+    """t16's all-pairs scoring must stay on the block-pair applyInPandas
+    GEMM (FlatMapGroupsInPandas) — the r5 verdict flagged the previous
+    closure path's 100k driver-collect ceiling. The mean-centering
+    mapInArrow pass must survive too, and nothing may plan a
+    row-at-a-time Python UDF."""
+    plan = _plan(spark, "t16_user_similarity_topk")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m6_pca_projection_is_arrow_map_only(spark):
+    """PCA projection: one MapInArrow pass over the corpus, components
+    in the closure — no shuffle before the final presentation sort."""
+    import re
+    plan = _plan(spark, "m6_pca_project")
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    # only the orderBy's range-partitioning Exchange is allowed
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 1, f"PCA projection plans {n} exchanges"
