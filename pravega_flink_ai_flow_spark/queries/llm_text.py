@@ -758,3 +758,86 @@ def l6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label").alias("true_label"),
                 F.when(score > 0, 1).otherwise(0).alias("pred_label"))
             .orderBy("doc_id"))
+
+
+@declared(
+    "l4_pmi_collocations",
+    oracle="""
+    WITH term AS (
+        SELECT DISTINCT doc_id, lower(t) AS term
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text),
+                                                           '\\s+'),
+                            t -> t != '')) AS t
+              FROM documents)
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    df AS (SELECT term, COUNT(*) AS df FROM term GROUP BY 1),
+    freq AS (SELECT term, df FROM df, n
+             WHERE df >= CAST(0.05 * nd AS BIGINT)),
+    ft AS (SELECT t.doc_id, t.term, f.df
+           FROM term t JOIN freq f USING (term)),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               COUNT(*) AS n_ab,
+               MIN(a.df) AS df_a, MIN(b.df) AS df_b
+        FROM ft a JOIN ft b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n_ab,
+           ln((CAST(n_ab AS DOUBLE) * nd) / (CAST(df_a AS DOUBLE) * df_b))
+               AS pmi
+    FROM pairs, n
+    WHERE n_ab >= 5
+    ORDER BY n_ab DESC, term_a, term_b
+    LIMIT 50
+    """,
+    survey_ids=("L4", "A1", "J1", "O2"),
+)
+def l4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction via pointwise mutual information — the
+    corpus-statistics pass behind phrase mining / tokenizer-merge
+    candidates: PMI(a,b) = ln(P(a,b) / (P(a)·P(b))) over per-document
+    term presence.
+
+    Scale shape: the quadratic pair expansion is VOCAB-PRUNED FIRST —
+    only terms with document frequency ≥ 5% of the corpus (a
+    broadcast-small set by Zipf's law) enter the per-doc pair join, so
+    pair rows per doc are bounded by the frequent-vocab hit count, not
+    the doc length; the pair aggregate map-side combines. Ranking is by
+    the INTEGER pair count (cross-engine exact), not the float PMI —
+    ln() can differ in the last ulp between libm implementations, fine
+    for hashing at 6 dp but not for a LIMIT boundary."""
+    from ..ops.partitioning import spread
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    term = (spread(docs)
+            .select("doc_id",
+                    F.explode(toks).alias("t"))
+            .select("doc_id", F.lower("t").alias("term"))
+            .distinct())
+    n_docs = docs.agg(F.count("*").alias("nd"))
+    df_tbl = term.groupBy("term").agg(F.count("*").alias("df"))
+    freq = (df_tbl.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") >= (0.05 * F.col("nd")).cast("long"))
+            .select("term", "df"))
+    ft = term.join(F.broadcast(freq), "term")
+    a = ft.select("doc_id", F.col("term").alias("term_a"),
+                  F.col("df").alias("df_a"))
+    b = ft.select("doc_id", F.col("term").alias("term_b"),
+                  F.col("df").alias("df_b"))
+    pairs = (a.join(b, (a.doc_id == b.doc_id) & (a.term_a < b.term_b))
+             .groupBy("term_a", "term_b")
+             .agg(F.count("*").alias("n_ab"),
+                  F.min("df_a").alias("__dfa"),
+                  F.min("df_b").alias("__dfb")))
+    pmi = F.log((F.col("n_ab").cast("double") * F.col("nd"))
+                / (F.col("__dfa").cast("double") * F.col("__dfb")))
+    return (pairs.filter(F.col("n_ab") >= 5)
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("pmi", pmi)
+            .select("term_a", "term_b", "n_ab", "pmi")
+            .orderBy(F.col("n_ab").desc(), "term_a", "term_b")
+            .limit(50))

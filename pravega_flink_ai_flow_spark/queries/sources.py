@@ -340,3 +340,75 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.orc(path)
             .select("n_nationkey", "n_name", "n_regionkey")
             .orderBy("n_nationkey"))
+
+
+@declared(
+    "s15_table_profile",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               COUNT(DISTINCT o_orderkey),
+               CAST(MIN(o_orderkey) AS VARCHAR),
+               CAST(MAX(o_orderkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+    ) ORDER BY col_name
+    """,
+    survey_ids=("S7", "A2", "A3"),
+)
+def s15_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (the ANALYZE/summary pass every ingest
+    pipeline runs before training): per-column row count, null count,
+    exact distinct count, and min/max — in ONE scan of the table. Spark
+    computes all four columns' aggregates in a single groupBy-less agg
+    (Catalyst plans the multi-distinct via expand, still one pass over
+    the parquet), then unpivots the wide row to the long (col_name,
+    stats) form in-row with explode — no second scan, no join. Profiled
+    columns are the int/string ones so min/max render identically as
+    strings across engines (double/timestamp formatting differs)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("__n").alias("n_rows"),
+                 F.col(f"__nulls_{c}").alias("n_nulls"),
+                 F.col(f"__nd_{c}").alias("n_distinct"),
+                 F.col(f"__min_{c}").alias("min_str"),
+                 F.col(f"__max_{c}").alias("max_str"))
+        for c in cols])
+    return (wide.select(F.explode(rows).alias("p"))
+            .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
+                    "p.min_str", "p.max_str")
+            .orderBy("col_name"))
