@@ -249,3 +249,63 @@ def l5_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, "doc_id long, new_width int, new_height int, mean_px double, "
              "px_checksum long")
         .orderBy("doc_id"))
+
+
+@declared(
+    "l5_audio_features",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, CAST(n_chars % 50 + 10 AS INTEGER) AS n_samples
+        FROM documents
+    ),
+    s AS (
+        SELECT m.doc_id, m.n_samples, i.r AS i,
+               (m.doc_id * 7 + i.r * 11) % 512 - 256 AS v
+        FROM m, unnest(generate_series(0, m.n_samples - 1)) i(r)
+    )
+    SELECT doc_id, CAST(MAX(n_samples) AS INTEGER) AS n_samples,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n_samples)) AS rms,
+           CAST(SUM(CASE WHEN i > 0 AND
+                    ((v >= 0) != ((doc_id * 7 + (i - 1) * 11) % 512 - 256
+                                  >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_crossings
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey_ids=("L5", "L4"),
+)
+def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION from decoded samples (the step after
+    l5_audio_decode in a real pipeline): RMS energy and zero-crossing
+    count per clip, computed from the samples that come OUT of the RIFF
+    encode→decode round trip inside ``mapInPandas`` — the oracle
+    recomputes both from the generating formula, so any codec bug
+    breaks the hash. RMS is sqrt(mean(v²)): integer sum + one IEEE
+    division + sqrt, and IEEE sqrt is correctly rounded (unlike libm
+    ln/exp), so the doubles are bit-identical across engines.
+    Zero crossings use the sign predicate (v ≥ 0) — exact integers."""
+    from ..ops.multimodal import decode_wav, encode_wav
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "rms": [],
+                   "n_zero_crossings": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 50 + 10
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(doc_id) * 7 + i * 11) % 512 - 256).astype("<i2")
+                _rate, _nch, dec = decode_wav(encode_wav(samples, 8000))
+                d = dec.astype(np.int64)
+                nz = (d >= 0)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(d.size))
+                out["rms"].append(float(np.sqrt((d * d).sum() / d.size)))
+                out["n_zero_crossings"].append(int((nz[1:] != nz[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, n_samples int, rms double, n_zero_crossings long")
+        .orderBy("doc_id"))
