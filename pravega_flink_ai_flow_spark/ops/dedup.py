@@ -201,6 +201,36 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
             .distinct())
 
 
+def lsh_candidate_pairs_between(sig_new: DataFrame, sig_corpus: DataFrame,
+                                num_hashes: int = 64,
+                                bands: int = 16) -> DataFrame:
+    """LSH candidates BETWEEN two signature tables — the incremental
+    form: a fresh batch probes the existing corpus's buckets instead of
+    re-running the corpus×corpus self-join. Both sides band identically
+    (same plan constants as :func:`lsh_candidate_pairs`); candidates are
+    one equi-join on (band_id, band_sig). At 100 TB the corpus side's
+    banded table is a write-once artifact (bucketed by band_sig, the
+    s14 layout), so each incoming crawl batch costs only its own banding
+    plus a co-located join probe — never a corpus rescan.
+
+    Output: distinct (id_new, id_corpus) candidate pairs."""
+    rpb = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        b = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.alias("band_id"),
+                F.xxhash64(F.slice("sig", i * rpb + 1, rpb)).alias("band_sig")))
+        return (sig.select(F.col("id").alias(out_id), F.explode(b).alias("bb"))
+                .select(out_id, "bb.band_id", "bb.band_sig"))
+
+    return (banded(sig_new, "id_new")
+            .join(banded(sig_corpus, "id_corpus"), ["band_id", "band_sig"])
+            .select("id_new", "id_corpus")
+            .distinct())
+
+
 def jaccard_prefix_candidates(arrs: DataFrame, *,
                               threshold: float) -> DataFrame:
     """Exact candidate generation for Jaccard ≥ ``threshold`` via PREFIX

@@ -405,3 +405,58 @@ def l6_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("run").alias("max_dup_run"),
                  (F.max("run") + 7).alias("max_dup_span_tokens"))
             .orderBy("doc_id"))
+
+
+@declared(
+    "l2_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_new, b.id AS id_corpus, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b ON a.shingle = b.shingle
+        WHERE a.id % 10 >= 8 AND b.id % 10 < 8
+        GROUP BY 1, 2
+    )
+    SELECT id_new, id_corpus,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_new
+    JOIN sizes sb ON sb.id = id_corpus
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+    ORDER BY id_new, id_corpus
+    """,
+    survey_ids=("L2", "J1"),
+)
+def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the production shape: a fresh crawl
+    batch (doc_id % 10 ≥ 8 here) is deduped AGAINST the existing corpus
+    (doc_id % 10 < 8) without re-running the corpus×corpus self-join.
+    Both sides MinHash-sign as usual; candidates come from
+    ``lsh_candidate_pairs_between`` — one equi-join of the new batch's
+    banded signatures against the corpus's (at 100 TB the corpus side
+    is a write-once banded table bucketed by band_sig, so each incoming
+    batch costs its own banding plus a co-located probe, never a corpus
+    rescan); exact-Jaccard verification ≥ 0.7 makes the output
+    hash-checkable against the brute-force oracle."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    arrs_c = dedup.shingle_arrays(dedup.spread(corpus), "doc_id", "text", 3) \
+                  .persist()
+    arrs_n = dedup.shingle_arrays(new, "doc_id", "text", 3).persist()
+    sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
+    sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
+    cands = dedup.lsh_candidate_pairs_between(sig_n, sig_c, 64, 16)
+    sa = arrs_n.select(F.col("id").alias("id_new"),
+                       F.col("shingles").alias("__sa"))
+    sb = arrs_c.select(F.col("id").alias("id_corpus"),
+                       F.col("shingles").alias("__sb"))
+    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    return (cands.join(sa, "id_new").join(sb, "id_corpus")
+            .withColumn("jaccard",
+                        n_common /
+                        (F.size("__sa") + F.size("__sb") - n_common))
+            .filter(F.col("jaccard") >= 0.7)
+            .select("id_new", "id_corpus", "jaccard")
+            .orderBy("id_new", "id_corpus"))
