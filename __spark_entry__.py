@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND 7 PLAN: promote the round-6 additions (m6_pca_project,
 # s15_table_profile, l4_pmi_collocations, l5_audio_features,
-# l2_incremental_dedup — added
+# l2_incremental_dedup, u6_merge_upsert — added
 # after this window froze) plus any r6 reds needing re-proof, padded to
 # 50 with the then-stalest greens (the remaining r3 block: j4-j9, l1/l2,
 # o1-o3, p1-p5, the rest of the r3 set — recompute from CORRECTNESS_r*

@@ -134,3 +134,63 @@ def u5_distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (events.select("user_id", "event_type")
             .dropDuplicates(["user_id", "event_type"])
             .orderBy("user_id", "event_type"))
+
+
+@declared(
+    "u6_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey AS custkey,
+               c_name AS name,
+               c_acctbal + 100.0 AS acctbal
+        FROM customer WHERE c_custkey % 10 < 2
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+               0.0
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT COALESCE(ch.custkey, b.c_custkey) AS custkey,
+           COALESCE(ch.name, b.c_name)       AS name,
+           COALESCE(ch.acctbal, b.c_acctbal) AS acctbal,
+           CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+                WHEN ch.custkey IS NULL THEN 'unchanged'
+                ELSE 'updated' END           AS merge_action
+    FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.custkey
+    ORDER BY custkey
+    """,
+    survey_ids=("U1", "J4", "P5"),
+)
+def u6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert (the CDC apply step — WHEN MATCHED THEN
+    UPDATE, WHEN NOT MATCHED THEN INSERT) expressed as one full-outer
+    join + coalesce, with the action tagged per row. The changes feed is
+    derived deterministically from the base table (updates: custkey%10<2
+    gets acctbal+100; inserts: custkey%100==0 spawns a new key) so both
+    engines see identical input. Scale shape: one shuffle on the merge
+    key for both sides (or zero with the s14 bucketed layout — base
+    tables that receive CDC are exactly the tables you bucket by key);
+    at 100 TB this is the standard copy-on-write merge plan."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    updates = (customer.filter(F.col("c_custkey") % 10 < 2)
+               .select(F.col("c_custkey").alias("custkey"),
+                       F.col("c_name").alias("name"),
+                       (F.col("c_acctbal") + 100.0).alias("acctbal")))
+    inserts = (customer.filter(F.col("c_custkey") % 100 == 0)
+               .select((F.col("c_custkey") + 1000000).alias("custkey"),
+                       F.concat(F.lit("NEW#"),
+                                F.col("c_custkey").cast("string"))
+                       .alias("name"),
+                       F.lit(0.0).alias("acctbal")))
+    changes = updates.unionByName(inserts)
+    b = customer.select(F.col("c_custkey"), F.col("c_name"),
+                        F.col("c_acctbal"))
+    merged = b.join(changes, b.c_custkey == changes.custkey, "full_outer")
+    action = (F.when(b.c_custkey.isNull(), "inserted")
+              .when(F.col("custkey").isNull(), "unchanged")
+              .otherwise("updated"))
+    return (merged.select(
+                F.coalesce(F.col("custkey"), b.c_custkey).alias("custkey"),
+                F.coalesce(F.col("name"), b.c_name).alias("name"),
+                F.coalesce(F.col("acctbal"), b.c_acctbal).alias("acctbal"),
+                action.alias("merge_action"))
+            .orderBy("custkey"))
