@@ -217,3 +217,35 @@ def test_text_frames_match_column_ops_fuzz(spark, texts):
                         r.mean_word_len, r.quality)
              for r in text_ops.quality_frame(df).collect()}
     assert got_q == want_q
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.lists(st.sampled_from([-2.0, -1.0, 0.5, 1.0, 3.0]),
+                       min_size=4, max_size=4)),
+    min_size=2, max_size=24, unique_by=lambda t: t[0]))
+def test_allpairs_topk_matches_closure_fuzz(spark, data):
+    """allpairs_topk_blocked (block-pair GEMM, no driver collect) must
+    agree with the closure-broadcast scorer on arbitrary sparse ids,
+    tied cosines, and n < k corpora — same (query, rank) → (candidate,
+    cosine) map under the shared (cosine desc, id asc) order."""
+    from pravega_flink_ai_flow_spark.ops import similarity
+
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec"))
+    c = df.select(F.col("vec_id").alias("c_id"),
+                  F.col("embedding").alias("c_vec"))
+    closure = {(r.q_id, r.rank): (r.c_id, r.cosine)
+               for r in similarity.brute_force_topk_blocked(
+                   q, c, k=4).collect()}
+    dist = {(r.vec_id_a, r.rank): (r.vec_id_b, r.cosine)
+            for r in similarity.allpairs_topk_blocked(
+                df, id_col="vec_id", vec_col="embedding",
+                k=4, n_blocks=3).collect()}
+    assert set(dist) == set(closure)
+    for key, (cid, cos) in closure.items():
+        did, dcos = dist[key]
+        assert did == cid, (key, cid, did)
+        assert abs(dcos - cos) < 1e-9
