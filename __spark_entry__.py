@@ -50,14 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # padded to exactly 50 with the stalest greens (l3_lsh_topk r1; the
 # a*/f*/j1-j12 block last recorded r3).
 #
-# ROUND 7 PLAN: promote the round-6 additions (m6_pca_project,
-# s15_table_profile, l4_pmi_collocations, l5_audio_features,
-# l2_incremental_dedup, u6_merge_upsert — added
-# after this window froze) plus any r6 reds needing re-proof, padded to
-# 50 with the then-stalest greens (the remaining r3 block: j4-j9, l1/l2,
-# o1-o3, p1-p5, the rest of the r3 set — recompute from CORRECTNESS_r*
-# as before: for each query take max round recorded green, promote the
-# oldest).
+# ROUND 7 PLAN: all round-6 additions are recorded THIS round (they
+# displaced six stale pads). Set `_PROMOTED` to any r6 reds needing
+# re-proof plus new r7 queries, padded to 50 with the then-stalest
+# greens (the r3 block: j11/j12/j1-j9, l1/l2, o1-o3, p1-p5, …  —
+# recompute from CORRECTNESS_r*: for each query take max recorded-green
+# round, promote the oldest).
 _PROMOTED = frozenset({
     # never-recorded (added during round 5 after the r5 rotation froze):
     # the 14 queries VERDICT r5 "Next round #1" names — this is their
@@ -71,6 +69,12 @@ _PROMOTED = frozenset({
     # changed in round 6, needs gate re-proof: de-vacuated EXCEPT
     # (real rows) — VERDICT r5 wrong #1
     "u4_except",
+    # ADDED in round 6 — recorded THIS round so no never-recorded
+    # backlog carries into r7 (the r5 verdict's top complaint): PCA
+    # projection, table profiling, PMI collocations, audio features,
+    # incremental dedup, MERGE upsert
+    "m6_pca_project", "s15_table_profile", "l4_pmi_collocations",
+    "l5_audio_features", "l2_incremental_dedup", "u6_merge_upsert",
     # padding to exactly 50 with the queries whose last green record is
     # OLDEST (l3_lsh_topk r1; the rest r3) so their evidence refreshes
     "l3_lsh_topk",
@@ -82,9 +86,9 @@ _PROMOTED = frozenset({
     "f_array", "f_bitwise", "f_cast", "f_conditional", "f_datetime",
     "f_explode_wordcount", "f_json", "f_map", "f_math",
     "f_pandas_udf_normalize", "f_string", "f_vector_dot",
-    "j10_interval_join_batch", "j11_salted_skew_join",
-    "j12_null_safe_join", "j1_inner_join", "j2_broadcast_dim_join",
-    "j3_large_large_join", "j4_full_outer_join",
+    "j10_interval_join_batch",
+    # (j11/j12/j1/j2/j3/j4 pads were displaced by the six round-6
+    # additions above — their r3 greens stand; refresh them in r7)
 })
 
 
