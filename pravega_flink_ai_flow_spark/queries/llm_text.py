@@ -542,6 +542,11 @@ def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# (applicationId, sf_dir) -> whether the bigram probability table fits
+# the broadcast budget (see the guard in l4_bigram_lm_score).
+_BIGRAM_BCAST_CACHE: dict[tuple[str, str], bool] = {}
+
+
 @declared(
     "l4_bigram_lm_score",
     oracle="""
@@ -626,10 +631,14 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "vocab-bounded" is NOT "broadcast-small" at every scale: distinct
     # bigrams grow ~Heaps-law with the corpus (vocab² upper bound), so a
     # FORCED broadcast could OOM at 100 TB (r5 advice). Guard with a
-    # driver row count — cheap here because it aggregates the persisted
-    # bigram frame — and fall back to the scale-safe shuffle join on the
-    # (w1, w2) key when the model outgrows the broadcast budget.
-    broadcastable = cnt2.count() <= 1_000_000
+    # driver row count — aggregated off the persisted bigram frame and
+    # session-memoized (the model size is a fixed artifact of the data;
+    # repeated invocations must not re-pay the probe job) — and fall
+    # back to the scale-safe shuffle join on the (w1, w2) key when the
+    # model outgrows the broadcast budget.
+    broadcastable = session_memo(
+        _BIGRAM_BCAST_CACHE, spark, sf_dir,
+        lambda: cnt2.count() <= 1_000_000)
     scoring_model = F.broadcast(probs) if broadcastable else probs
     return (bigrams
             .join(scoring_model, ["w1", "w2"])
