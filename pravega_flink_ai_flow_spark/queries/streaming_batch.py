@@ -498,3 +498,55 @@ def t16_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
             .orderBy("user_a", "rank"))
+
+
+@declared(
+    "t17_per_key_trend",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS bucket, value
+        FROM events
+    ),
+    r AS (
+        SELECT user_id,
+               CAST(bucket - MIN(bucket) OVER (PARTITION BY user_id)
+                    AS DOUBLE) AS x,
+               value AS y
+        FROM d
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)           AS n_obs,
+           ROUND(regr_slope(y, x), 6)         AS slope,
+           ROUND(regr_intercept(y, x), 6)     AS intercept
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ids=("A7", "T3", "A1"),
+)
+def t17_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend (the grouped-regression primitive behind
+    drift monitors and per-entity forecasts): OLS slope/intercept of
+    event value against days-since-first-activity, via the SQL-standard
+    ``regr_slope``/``regr_intercept`` aggregates — one window pass to
+    recenter x per key, one grouped aggregate, map-side combinable.
+    The x recentering matters twice: numerically (epoch day numbers
+    ~2·10⁴ would push intercepts to a magnitude where cross-engine
+    accumulation-order noise survives 6-dp rounding) and semantically
+    (the intercept becomes the fitted value at each user's FIRST active
+    day). Slope/intercept are order-dependent float accumulations →
+    rounded to 6 dp on both engines (the stddev/corr policy)."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    b = F.expr("unix_micros(ts) div 86400000000")
+    w = Window.partitionBy("user_id")
+    rx = (events.select("user_id", b.alias("bucket"), "value")
+          .withColumn("x", (F.col("bucket")
+                            - F.min("bucket").over(w)).cast("double")))
+    return (rx.groupBy("user_id")
+            .agg(F.count("*").alias("n_obs"),
+                 F.round(F.regr_slope(F.col("value"), F.col("x")), 6)
+                  .alias("slope"),
+                 F.round(F.regr_intercept(F.col("value"), F.col("x")), 6)
+                  .alias("intercept"))
+            .orderBy("user_id"))
