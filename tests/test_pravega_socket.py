@@ -335,8 +335,28 @@ def test_task_retry_no_duplicates(tmp_workdir):
          .option("simulate-task-failure", "first-attempt").save())
         rows = srv.read("s", "out", 0, 10**9)
         print("RESULT " + json.dumps(sorted(e["event_id"] for e in rows)))
+
+        # STREAMING path: same kill-first-attempt through writeStream
+        # (availableNow); the driver-side commit must publish only the
+        # retried attempts' txns
+        srv.append("s", "in", [{"event_id": i} for i in range(40)])
+        sdf = (spark.readStream.format("pravega_socket")
+               .schema("event_id bigint")
+               .option("controller", srv.controller_uri)
+               .option("scope", "s").option("stream", "in").load())
+        q = (sdf.writeStream.format("pravega_socket")
+             .option("controller", srv.controller_uri)
+             .option("scope", "s").option("stream", "sout")
+             .option("schema", "event_id bigint")
+             .option("simulate-task-failure", "first-attempt")
+             .option("checkpointLocation", %r)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        srows = srv.read("s", "sout", 0, 10**9)
+        print("SRESULT " + json.dumps(sorted(e["event_id"] for e in srows)))
         spark.stop()
-    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.path.join(tmp_workdir, "ckpt"))
     out = subprocess.run([sys.executable, "-c", script], timeout=300,
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-3000:]
@@ -347,3 +367,9 @@ def test_task_retry_no_duplicates(tmp_workdir):
     # every row exactly once — no loss from the killed attempts, no
     # duplicates from their staged-but-uncommitted txns
     assert ids == list(range(40))
+    sline = [ln for ln in out.stdout.splitlines() if ln.startswith("SRESULT ")]
+    assert sline, out.stdout[-2000:]
+    sids = json.loads(sline[0][len("SRESULT "):])
+    # streaming path: same exactly-once guarantee through the
+    # micro-batch commit protocol
+    assert sids == list(range(40))
