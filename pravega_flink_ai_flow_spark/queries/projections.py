@@ -190,3 +190,39 @@ def p8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") % 5 == 1)
             .select("doc_id", "lang")
             .orderBy("doc_id"))
+
+
+@declared(
+    "p9_hash_sample_per_group",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id * 2654435761 AS VARCHAR)),
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+    survey_ids=("P7", "O3"),
+)
+def p9_hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling (the reservoir-sampling shape
+    training-data pipelines need reproducible): k docs per source,
+    ranked by a salted-key hash — unbiased in expectation like a random
+    reservoir, but replayable and cross-engine identical. One window
+    shuffle on the group key; at 100 TB the same plan runs with a
+    WindowGroupLimit (each partition keeps ≤ k rows per group before
+    the merge). md5 of the decimal-rendered salted key is the portable
+    hash both engines compute bit-identically."""
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    key = F.md5((F.col("doc_id") * F.lit(2654435761)).cast("string"))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (docs.select("source", "doc_id", "n_chars")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("source", "doc_id", "n_chars")
+            .orderBy("source", "doc_id"))

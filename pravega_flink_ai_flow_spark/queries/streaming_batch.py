@@ -550,3 +550,42 @@ def t17_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.regr_intercept(F.col("value"), F.col("x")), 6)
                   .alias("intercept"))
             .orderBy("user_id"))
+
+
+@declared(
+    "t18_gap_detection",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    )
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_micros
+    FROM o
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > CAST(172800 AS BIGINT) * 1000000
+    ORDER BY user_id, gap_start
+    """,
+    survey_ids=("T5", "W5", "P4"),
+)
+def t18_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data / outage detection over event streams: per-user gaps
+    longer than 2 days, via one lag window — the gaps-and-islands
+    complement of session windows (same single shuffle on the key;
+    monitoring pipelines run exactly this shape per sensor at scale).
+    ((user_id, ts) is unique in the events data, so lag is
+    deterministic.)"""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return (events.select("user_id", "ts")
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .filter(F.col("prev_ts").isNotNull()
+                    & (gap > 2 * 86400 * 1_000_000))
+            .select("user_id", F.col("prev_ts").alias("gap_start"),
+                    F.col("ts").alias("gap_end"),
+                    gap.alias("gap_micros"))
+            .orderBy("user_id", "gap_start"))
