@@ -161,3 +161,11 @@ def test_m6_pca_projection_is_arrow_map_only(spark):
     # only the orderBy's range-partitioning Exchange is allowed
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n <= 1, f"PCA projection plans {n} exchanges"
+
+
+def test_p9_sampling_plans_window_group_limit(spark):
+    """Deterministic per-group sampling must plan WindowGroupLimit —
+    each partition keeps ≤ k rows per group before the shuffle, so the
+    window never sorts whole groups at scale."""
+    plan = _plan(spark, "p9_hash_sample_per_group")
+    assert "WindowGroupLimit" in plan
