@@ -249,7 +249,11 @@ def main() -> None:
         df.schema  # force Catalyst analysis so it's charged to build
         builds[name] = round(time.perf_counter() - t0, 3)
         runs = []
-        for i in range(5):
+        # 9 runs (1 cold + 8 steady), median of the 8: single-JVM
+        # timings on a shared box take ±2× GC/scheduler spikes, and a
+        # median over 4 post-cold samples still moved ±15% run-to-run;
+        # 8 samples halve that spread at ~12 s extra bench wall
+        for i in range(9):
             t0 = time.perf_counter()
             # noop sink: executes the FULL plan (count() would let
             # Catalyst prune projections) without driver materialization
@@ -257,7 +261,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0] + builds[name], 3)
         steady = sorted(runs[1:])
-        timings[name] = round((steady[1] + steady[2]) / 2, 3)
+        timings[name] = round((steady[3] + steady[4]) / 2, 3)
 
     total = round(sum(timings.values()), 3)
 
