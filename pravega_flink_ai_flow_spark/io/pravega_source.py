@@ -224,7 +224,12 @@ class _AppendMixin(_Common):
     def __init__(self, options, schema):
         _Common.__init__(self, options, schema)
         self.col_names = [f.name for f in schema.fields]
-        # identifies this sink for the server's replayed-batch ledger
+        # identifies this sink for the server's replayed-batch ledger.
+        # NOTE: the default (scope/stream) assumes ONE streaming query
+        # per output stream — two queries sharing a sink stream would
+        # share a ledger and suppress each other's batch ids. Set a
+        # distinct 'writer-group' per query in that topology (Pravega
+        # equivalently requires distinct writer ids).
         self.group = options.get("writer-group") \
             or options.get("writergroup") \
             or f"{self.scope}/{self.stream}"

@@ -444,7 +444,8 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 10 >= 8)
     arrs_c = dedup.shingle_arrays(dedup.spread(corpus), "doc_id", "text", 3) \
                   .persist()
-    arrs_n = dedup.shingle_arrays(new, "doc_id", "text", 3).persist()
+    arrs_n = dedup.shingle_arrays(dedup.spread(new), "doc_id", "text", 3) \
+                  .persist()
     sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
     sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
     cands = dedup.lsh_candidate_pairs_between(sig_n, sig_c, 64, 16)
