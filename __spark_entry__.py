@@ -76,6 +76,7 @@ _PROMOTED = frozenset({
     "m6_pca_project", "s15_table_profile", "l4_pmi_collocations",
     "l5_audio_features", "l2_incremental_dedup", "u6_merge_upsert",
     "t17_per_key_trend", "t18_gap_detection", "p9_hash_sample_per_group",
+    "s16_zorder_key",
     # padding to exactly 50 with the queries whose last green record is
     # OLDEST (l3_lsh_topk r1; the rest r3) so their evidence refreshes
     "l3_lsh_topk",
@@ -86,9 +87,9 @@ _PROMOTED = frozenset({
     "a8_having", "a9_pivot",
     "f_array", "f_bitwise", "f_cast", "f_conditional", "f_datetime",
     "f_explode_wordcount", "f_json", "f_map", "f_math",
-    "f_pandas_udf_normalize",
-    # (f_string/f_vector_dot and the j10-j4 pads were displaced by the
-    # nine round-6 additions above — their r3 greens stand; refresh in r7)
+    # (f_pandas_udf_normalize/f_string/f_vector_dot and the j10-j4 pads
+    # were displaced by the ten round-6 additions above — their r3
+    # greens stand; refresh in r7)
 })
 
 

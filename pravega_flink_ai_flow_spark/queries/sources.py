@@ -412,3 +412,81 @@ def s15_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
                     "p.min_str", "p.max_str")
             .orderBy("col_name"))
+
+
+def _zspread(col):
+    """Spread the low 16 bits of ``col`` so a second dimension can
+    interleave into the odd bit positions (classic Morton magic-number
+    cascade, 64-bit arithmetic on both engines)."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+
+@declared(
+    "s16_zorder_key",
+    oracle="""
+    WITH sp AS (
+        SELECT o_orderkey, o_custkey,
+               o_custkey & 65535 AS xa,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) & 65535 AS ya
+        FROM orders
+    ),
+    s1 AS (
+        SELECT o_orderkey,
+               ((xa | (xa << 8)) & 16711935) AS x1,
+               ((ya | (ya << 8)) & 16711935) AS y1
+        FROM sp
+    ),
+    s2 AS (
+        SELECT o_orderkey,
+               ((x1 | (x1 << 4)) & 252645135) AS x2,
+               ((y1 | (y1 << 4)) & 252645135) AS y2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT o_orderkey,
+               ((x2 | (x2 << 2)) & 858993459) AS x3,
+               ((y2 | (y2 << 2)) & 858993459) AS y3
+        FROM s2
+    ),
+    s4 AS (
+        SELECT o_orderkey,
+               ((x3 | (x3 << 1)) & 1431655765) AS x4,
+               ((y3 | (y3 << 1)) & 1431655765) AS y4
+        FROM s3
+    )
+    SELECT o_orderkey, CAST(x4 | (y4 << 1) AS BIGINT) AS zval
+    FROM s4
+    ORDER BY zval, o_orderkey
+    LIMIT 200
+    """,
+    survey_ids=("S7", "O1"),
+)
+def s16_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (custkey, order-day) — the
+    multi-dimensional layout primitive behind Delta/Iceberg Z-ordering:
+    writing a 100 TB table sorted by this key makes parquet row-group
+    min/max stats selective for BOTH dimensions at once, so filters on
+    either column prune file ranges (single-column sorting prunes only
+    its own column). The interleave is the classic 4-step magic-number
+    spread, pure 64-bit integer bit ops on both engines — exact, no
+    floats anywhere. The declared output is the key computation itself
+    (top-200 by zval); the s13/s14 queries cover the write-side layout
+    mechanics this key would feed."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    # day number via DATE arithmetic, not epoch micros: o_orderdate
+    # arrives as TIMESTAMP_NTZ and an NTZ->LTZ cast would reinterpret
+    # wall-clock in the session zone (off-UTC drivers shift the day)
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    z = _zspread(F.col("o_custkey")) \
+        .bitwiseOR(F.shiftleft(_zspread(day), 1))
+    return (orders.select("o_orderkey", z.alias("zval"))
+            .orderBy("zval", "o_orderkey")
+            .limit(200))
