@@ -589,3 +589,104 @@ def t18_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ts").alias("gap_end"),
                     gap.alias("gap_micros"))
             .orderBy("user_id", "gap_start"))
+
+
+@declared(
+    "t19_anomaly_zscore",
+    oracle="""
+    WITH scored AS (
+        SELECT user_id, ts, value,
+               avg(value)         OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma,
+               count(*)           OVER w AS n_hist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts, value,
+           ROUND((value - mu) / sigma, 6) AS zscore
+    FROM scored
+    WHERE n_hist >= 10 AND sigma > 0
+    ORDER BY abs(ROUND((value - mu) / sigma, 6)) DESC, user_id, ts
+    LIMIT 50
+    """,
+    survey_ids=("W6", "W7", "O2"),
+)
+def t19_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection over the event history: each
+    reading is z-scored against the trailing 20 observations of the SAME
+    user (frame ends at ``1 PRECEDING`` so the candidate never skews its
+    own baseline), then the 50 most extreme deviations surface via a
+    global top-k. One shuffle on ``user_id`` for the window pass, then
+    ``TakeOrderedAndProject`` for the limit — per-sensor monitoring at
+    100 TB runs exactly this plan (the baseline state is O(frame) per
+    key, never whole-history). stddev is an order-dependent accumulation
+    → rounded to 6 dp on both sides before ranking; (user_id, ts) is
+    unique so the tie-break is total."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(-20, -1))
+    scored = events.select(
+        "user_id", "ts", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (scored
+            .filter((F.col("n_hist") >= 10) & (F.col("sigma") > 0))
+            .select("user_id", "ts", "value", z.alias("zscore"))
+            .orderBy(F.abs(F.col("zscore")).desc(), "user_id", "ts")
+            .limit(50))
+
+
+@declared(
+    "t20_ewma_smooth",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    )
+    SELECT t.user_id, t.ts, t.value,
+           ROUND(SUM(h.value * power(0.75, t.rn - h.rn))
+                 / SUM(power(0.75, t.rn - h.rn)), 6) AS ewma20
+    FROM seq t JOIN seq h
+      ON t.user_id = h.user_id
+     AND t.rn - h.rn BETWEEN 0 AND 19
+    GROUP BY t.user_id, t.ts, t.value
+    ORDER BY t.user_id, t.ts
+    """,
+    survey_ids=("W5", "J8", "A1"),
+)
+def t20_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.25) per user,
+    truncated to the trailing 20 observations so the recursive
+    definition becomes a CLOSED-FORM band self-join: each row averages
+    its last-20 history with weights 0.75^distance (the dropped tail
+    weighs <= 0.75^20 ~ 0.3% of the mass). Exact EWMA needs a sequential
+    scan per key (the streaming module's stateful path); this is the
+    batch/backfill formulation — a self-join on the partition key plus a
+    row-number band, so it shuffles each side once on ``user_id`` and
+    never materializes more than 20x the input. The weighted sum is
+    order-dependent → rounded to 6 dp on both sides."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id", "ts", "value",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts")).alias("rn"))
+    t = seq.alias("t")
+    h = seq.alias("h")
+    dist = F.col("t.rn") - F.col("h.rn")
+    weight = F.pow(F.lit(0.75), dist)
+    return (t.join(h, (F.col("t.user_id") == F.col("h.user_id"))
+                   & (dist >= 0) & (dist <= 19))
+            .groupBy(F.col("t.user_id").alias("user_id"),
+                     F.col("t.ts").alias("ts"),
+                     F.col("t.value").alias("value"))
+            .agg(F.round(F.sum(F.col("h.value") * weight)
+                         / F.sum(weight), 6).alias("ewma20"))
+            .orderBy("user_id", "ts"))
