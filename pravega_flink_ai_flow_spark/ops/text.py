@@ -410,3 +410,57 @@ def hashed_bow_features(df: DataFrame, *, id_col: str, text_col: str,
                   + (f"{label_col} int, " if label_col else "")
                   + "features array<double>")
     return hashed.mapInArrow(featurize, out_schema)
+
+
+def char_entropy_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
+                       text_col: str = "text") -> DataFrame:
+    """Per-document character (codepoint) Shannon entropy in ONE
+    ``mapInArrow`` pass: ``(*id_cols, n_chars_total, n_unique_chars,
+    char_entropy)``. Low entropy flags keyboard-mash / repeated-char /
+    boilerplate documents; the measure is standard in LLM corpus QC.
+
+    The per-row x per-char work (count every codepoint of every doc)
+    is exactly the shape CLAUDE.md routes to Arrow: the whole batch is
+    decoded to one uint32 codepoint vector (``utf-32-le`` view, zero
+    Python-level loops over chars), doc membership is an ``np.repeat``
+    parent index, and the (doc, codepoint) histogram is a single
+    ``np.unique`` over a packed 64-bit key (codepoint < 2^21). Entropy
+    uses the count form H = log2(n) - sum(c*log2 c)/n so only one
+    divide happens per doc. Rows with NULL/empty text must be filtered
+    upstream (codepoint count 0 has no entropy); callers keep Catalyst
+    filter pushdown by filtering before the Arrow pass. The weighted
+    log2 sum is order-dependent -> callers round before hashing."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}"
+                          for c in id_cols)
+    out_schema = (f"{id_fields}, n_chars_total bigint, "
+                  "n_unique_chars bigint, char_entropy double")
+
+    def entropy_batches(batches):
+        for rb in batches:
+            n = rb.num_rows
+            texts = rb.column(text_col).to_pylist()
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            parents = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keys, counts = np.unique((parents << 21) | cps,
+                                     return_counts=True)
+            owner = (keys >> 21).astype(np.int64)
+            c = counts.astype(np.float64)
+            wsum = np.bincount(owner, weights=c * np.log2(c), minlength=n)
+            uniq = np.bincount(owner, minlength=n).astype(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = np.log2(lens.astype(np.float64)) - wsum / lens
+            cols = ([rb.column(cc) for cc in id_cols]
+                    + [pa.array(lens, pa.int64()),
+                       pa.array(uniq, pa.int64()),
+                       pa.array(ent, pa.float64())])
+            yield pa.record_batch(
+                cols, names=[*id_cols, "n_chars_total", "n_unique_chars",
+                             "char_entropy"])
+
+    return df.select(*id_cols, text_col).mapInArrow(
+        entropy_batches, out_schema)

@@ -850,3 +850,40 @@ def l4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("term_a", "term_b", "n_ab", "pmi")
             .orderBy(F.col("n_ab").desc(), "term_a", "term_b")
             .limit(50))
+
+
+@declared(
+    "l4_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+        FROM documents WHERE length(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)  AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+               AS char_entropy
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey_ids=("L4", "F6"),
+)
+def l4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy corpus QC (low entropy = mash/repetition —
+    standard pretraining filter signal). The oracle explodes every
+    codepoint into rows (a 1-to-n_chars blowup DuckDB can afford at
+    sf0.01); the Spark plan instead histograms each Arrow batch with
+    numpy (ops/text.py char_entropy_frame) — per-doc state only, no
+    explode shuffle, which is the only shape that survives 100 TB of
+    text. length(text) > 0 filters BEFORE the Arrow pass so the
+    parquet scan keeps its pushed filter; entropy is an
+    order-dependent accumulation -> rounded to 6 dp on both sides."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    frame = T.char_entropy_frame(
+        docs.filter(F.length("text") > 0).select("doc_id", "text"))
+    return (frame.select("doc_id", "n_chars_total", "n_unique_chars",
+                         F.round("char_entropy", 6).alias("char_entropy"))
+            .orderBy("doc_id"))
