@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import declared, tables
 
@@ -194,3 +194,81 @@ def u6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("acctbal"), b.c_acctbal).alias("acctbal"),
                 action.alias("merge_action"))
             .orderBy("custkey"))
+
+
+@declared(
+    "u7_scd2_history",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                      OR lag(o_orderpriority) OVER w <> o_orderpriority
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    islands AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               SUM(chg) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM seq
+    ),
+    runs AS (
+        SELECT o_custkey AS custkey, island,
+               min(o_orderpriority)      AS priority,
+               min(o_orderdate)          AS valid_from,
+               CAST(COUNT(*) AS BIGINT)  AS n_orders
+        FROM islands GROUP BY o_custkey, island
+    )
+    SELECT custkey, priority, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey
+                                  ORDER BY island) AS valid_to,
+           n_orders,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY custkey
+                                            ORDER BY island) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM runs
+    ORDER BY custkey, island
+    """,
+    survey_ids=("W5", "A1", "P5"),
+)
+def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (the warehouse
+    maintenance op that pairs with u6's MERGE): each customer's order
+    stream collapses into runs of consecutive identical priority, each
+    run becoming one versioned row with [valid_from, valid_to) effective
+    range and an is_current flag on the open tail. Classic
+    gaps-and-islands — change flag via lag, island id via running sum,
+    run collapse via groupBy, effective-range close via lead. Every
+    window and the groupBy partition on the SAME key (custkey), so the
+    whole history build is ONE shuffle end-to-end at any scale; this is
+    the standard CDC-to-SCD2 compaction plan for a 100 TB dimension.
+    (o_orderdate, o_orderkey) totally orders each customer's stream, so
+    islands are deterministic."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                   "o_orderkey")
+    prev = F.lag("o_orderpriority").over(wseq)
+    chg = F.when(prev.isNull()
+                 | (prev != F.col("o_orderpriority")), 1).otherwise(0)
+    seq = orders.select("o_custkey", "o_orderpriority", "o_orderdate",
+                        "o_orderkey", chg.alias("chg"))
+    wisland = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    islands = seq.withColumn("island", F.sum("chg").over(wisland))
+    runs = (islands.groupBy(F.col("o_custkey").alias("custkey"), "island")
+            .agg(F.min("o_orderpriority").alias("priority"),
+                 F.min("o_orderdate").alias("valid_from"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    wlead = Window.partitionBy("custkey").orderBy("island")
+    valid_to = F.lead("valid_from").over(wlead)
+    return (runs.select(
+                "custkey", "priority", "valid_from",
+                valid_to.alias("valid_to"), "n_orders",
+                F.when(valid_to.isNull(), 1).otherwise(0)
+                 .alias("is_current"))
+            .orderBy("custkey", "island")
+            .drop("island"))
