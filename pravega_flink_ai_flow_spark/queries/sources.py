@@ -490,3 +490,45 @@ def s16_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (orders.select("o_orderkey", z.alias("zval"))
             .orderBy("zval", "o_orderkey")
             .limit(200))
+
+
+@declared(
+    "s17_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           1 AS batch
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch
+    FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("S7",),
+)
+def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a partitioned parquet dataset: an early
+    batch written WITHOUT ``o_orderpriority``, a later batch written
+    WITH it, read back in one scan via ``mergeSchema`` + partition
+    discovery (``batch=N`` directories become the partition column).
+    This is how a long-lived 100 TB corpus actually grows — producers
+    add columns over time and old shards are never rewritten; the
+    footer-merge happens once at planning (driver-side, O(files))
+    while the data path stays columnar, old files yielding NULL for
+    the missing column. The oracle replays the same union with an
+    explicit NULL cast."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    path = _tmpdir("s17_evo_")
+    (orders.filter(F.col("o_orderkey") <= 500)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(path + "/batch=1"))
+    (orders.filter((F.col("o_orderkey") > 500)
+                   & (F.col("o_orderkey") <= 1000))
+     .select("o_orderkey", "o_totalprice", "o_orderpriority")
+     .write.mode("overwrite").parquet(path + "/batch=2"))
+    return (spark.read.option("mergeSchema", "true")
+            .option("basePath", path).parquet(path)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority",
+                    F.col("batch").cast("int").alias("batch"))
+            .orderBy("o_orderkey"))
