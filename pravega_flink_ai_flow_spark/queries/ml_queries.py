@@ -310,3 +310,126 @@ def m6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: fit_pca_distributed(emb, vec_col="embedding", k=2))
     return (pca_project(emb, model, id_col="vec_id", vec_col="embedding")
             .orderBy("vec_id"))
+
+
+# (appId, sf_dir) -> bool: is the NB word-likelihood table broadcast-safe
+_NB_BCAST_CACHE: dict[tuple[str, str], bool] = {}
+
+
+@declared(
+    "m7_naive_bayes_predict",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    train_tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM train
+    ),
+    ttf AS (SELECT lang, word FROM train_tok WHERE word <> ''),
+    wl  AS (SELECT word, lang, CAST(count(*) AS BIGINT) AS c_wl
+            FROM ttf GROUP BY 1, 2),
+    lt  AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+            FROM ttf GROUP BY 1),
+    pr  AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+            FROM train GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS d_tot FROM train),
+    voc AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM ttf),
+    test_tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM test
+    ),
+    tw   AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m
+             FROM test_tok WHERE word <> '' GROUP BY 1, 2),
+    ntok AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n
+             FROM tw GROUP BY 1),
+    hits AS (SELECT tw.doc_id, wl.lang,
+                    SUM(tw.m * ln(wl.c_wl + 1)) AS h
+             FROM tw JOIN wl ON tw.word = wl.word GROUP BY 1, 2),
+    scores AS (
+        SELECT t.doc_id, t.lang AS actual_lang, pr.lang AS cand,
+               ntok.n AS n_tokens,
+               ROUND(ln(pr.d_l) - ln(tot.d_tot) + COALESCE(hits.h, 0)
+                     - ntok.n * ln(lt.c_l + voc.v), 6) AS score
+        FROM test t
+        CROSS JOIN tot CROSS JOIN voc
+        CROSS JOIN pr
+        JOIN lt   ON lt.lang = pr.lang
+        JOIN ntok ON ntok.doc_id = t.doc_id
+        LEFT JOIN hits ON hits.doc_id = t.doc_id AND hits.lang = pr.lang
+    ),
+    ranked AS (
+        SELECT doc_id, actual_lang, cand AS pred_lang, n_tokens,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scores
+    )
+    SELECT doc_id, actual_lang, pred_lang, n_tokens,
+           CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END
+               AS is_correct
+    FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+    survey_ids=("M1", "M2", "F1"),
+)
+def m7_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    fully declaratively — unlike the iterative m5 softmax (rows-only by
+    necessity), NB's sufficient statistics are plain aggregates, so the
+    whole train->predict flow is one hash-checkable plan. Train split
+    (doc_id%5 != 0): word-given-lang counts, per-lang token totals,
+    doc priors, Laplace vocab size — each ONE map-side-combined groupBy
+    over the token stream. Score split: per-doc word counts join the
+    likelihood table (guarded broadcast — vocab-bounded but Heaps-law
+    growing, same fallback discipline as l4_bigram_lm_score), missing
+    (word, lang) pairs contribute exactly 0 via the count form
+    score = prior + sum m*ln(c+1) - n*ln(c_l + V), so no outer join on
+    the corpus stream. argmax per doc by 6-dp-rounded score with
+    lexicographic tie-break (the log-sum is order-dependent; rounding
+    makes the ranking engine-stable). The corpus-side stream shuffles
+    once (per-doc aggregate); model tables ride broadcasts — the shape
+    a 100 TB corpus needs."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    ttf = train.select("lang", F.explode(words).alias("word"))
+    wl = ttf.groupBy("word", "lang").agg(F.count(F.lit(1)).alias("c_wl"))
+    lt = ttf.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
+    pr = train.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
+    tot = train.agg(F.count(F.lit(1)).alias("d_tot"))
+    voc = ttf.agg(F.countDistinct("word").alias("v"))
+
+    tw = (test.select("doc_id", F.explode(words).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m")))
+    ntok = tw.groupBy("doc_id").agg(F.sum("m").alias("n_tokens"))
+    broadcastable = session_memo(
+        _NB_BCAST_CACHE, spark, sf_dir, lambda: wl.count() <= 1_000_000)
+    model = F.broadcast(wl) if broadcastable else wl
+    hits = (tw.join(model, "word")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum(F.col("m") * F.log(F.col("c_wl") + 1)).alias("h")))
+
+    # lang-level constants fold into one tiny broadcast frame
+    langs = (pr.join(lt, "lang").crossJoin(F.broadcast(tot))
+             .crossJoin(F.broadcast(voc))
+             .select(F.col("lang").alias("cand"),
+                     (F.log("d_l") - F.log("d_tot")).alias("prior"),
+                     F.log(F.col("c_l") + F.col("v")).alias("ln_denom")))
+    score = F.round(F.col("prior") + F.coalesce(F.col("h"), F.lit(0.0))
+                    - F.col("n_tokens") * F.col("ln_denom"), 6)
+    scores = (test.select("doc_id", F.col("lang").alias("actual_lang"))
+              .join(ntok, "doc_id")
+              .crossJoin(F.broadcast(langs))
+              .join(hits.withColumnRenamed("lang", "cand"),
+                    ["doc_id", "cand"], "left")
+              .select("doc_id", "actual_lang", "cand", "n_tokens",
+                      score.alias("score")))
+    wrank = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                                 "cand")
+    return (scores
+            .withColumn("rk", F.row_number().over(wrank))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "actual_lang",
+                    F.col("cand").alias("pred_lang"), "n_tokens",
+                    F.when(F.col("cand") == F.col("actual_lang"), 1)
+                     .otherwise(0).alias("is_correct"))
+            .orderBy("doc_id"))
