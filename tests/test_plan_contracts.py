@@ -169,3 +169,42 @@ def test_p9_sampling_plans_window_group_limit(spark):
     window never sorts whole groups at scale."""
     plan = _plan(spark, "p9_hash_sample_per_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_t19_anomaly_is_single_shuffle_topk(spark):
+    """t19: one hash exchange for the per-user window, then a global
+    top-k via TakeOrderedAndProject — never a full sort of the scored
+    stream."""
+    import re
+    plan = _plan(spark, "t19_anomaly_zscore")
+    assert "TakeOrderedAndProject" in plan
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 1, f"t19: {n} exchanges"
+
+
+def test_char_entropy_is_arrow_not_explode(spark):
+    """l4_char_entropy: the per-char histogram must stay one Arrow pass;
+    a Generate (explode) node means the per-codepoint blowup shuffles."""
+    plan = _plan(spark, "l4_char_entropy")
+    assert "MapInArrow" in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_u7_scd2_is_single_key_shuffle(spark):
+    """u7: lag, island sum, run collapse and lead all partition on
+    custkey — one hash exchange end-to-end plus the presentation sort."""
+    import re
+    plan = _plan(spark, "u7_scd2_history")
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 2, f"u7: {n} exchanges (expected 1 hash + 1 range)"
+
+
+def test_m7_nb_model_joins_broadcast_and_grouplimit(spark):
+    """m7: the likelihood/lang model tables ride broadcasts (corpus
+    stream never shuffles for scoring) and the per-doc argmax plans a
+    WindowGroupLimit, not a full rank materialization."""
+    plan = _plan(spark, "m7_naive_bayes_predict")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
