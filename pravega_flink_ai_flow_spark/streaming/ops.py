@@ -321,3 +321,43 @@ def read_rollup(spark, out_dir: str, keys: list[str] = None) -> DataFrame:
             .agg(F.sum("partial_n").alias("n"),
                  F.sum("partial_sum").alias("total"),
                  (F.sum("partial_sum") / F.sum("partial_n")).alias("mean")))
+
+
+def stateful_ewma(df: DataFrame, key_col: str = "user_id",
+                  value_col: str = "value", ts_col: str = "ts",
+                  alpha: float = 0.25):
+    """T8: EXACT per-key exponentially-weighted moving average across
+    micro-batches — the sequential recursion e = alpha*x + (1-alpha)*e
+    that the batch corpus can only approximate (t20_ewma_smooth's
+    truncated band-join form; the tail this keeps weighs <= (1-a)^20 of
+    the mass there). State per key is ONE float (the last smoothed
+    value), so an unbounded key universe costs one row each — the only
+    EWMA formulation that works on an always-on stream. Rows are sorted
+    by ``ts_col`` inside each micro-batch (state groups arrive
+    unordered); cross-batch order is the source's arrival order, as for
+    every sequential stateful op. Emits one row per input event with
+    its smoothed value (output_mode=append)."""
+    import pandas as pd
+    out_schema = (f"{key_col} long, {ts_col} timestamp, "
+                  f"{value_col} double, ewma double")
+
+    def update(key, pdfs, state: GroupState):
+        (prev,) = state.get if state.exists else (None,)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            out = []
+            for x in pdf[value_col].astype(float):
+                prev = x if prev is None else alpha * x + (1 - alpha) * prev
+                out.append(prev)
+            frames.append(pd.DataFrame({
+                key_col: pdf[key_col].values, ts_col: pdf[ts_col].values,
+                value_col: pdf[value_col].astype(float).values,
+                "ewma": out}))
+        state.update((prev,))
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            columns=[key_col, ts_col, value_col, "ewma"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, "ewma double",
+                                    "append", GroupStateTimeout.NoTimeout))

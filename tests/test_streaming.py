@@ -430,3 +430,35 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_workdir):
     # watermark advanced to ~595min by event 3, so keys 1/2 (t<=2min)
     # are evicted; only key 3 can remain in state
     assert state is None or state["numRowsTotal"] <= 1
+
+
+def test_stateful_ewma_exact_across_batches(spark, tmp_workdir):
+    """T8: the streaming EWMA carries its recursion across micro-batches
+    — the drained result must equal a single sequential numpy replica
+    over the full event order (the exact form t20's truncated batch
+    band-join approximates)."""
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 1, 1, 5.0),
+                                     (3, 0, 2, 10.0)]))
+    stream.append(_mk_events(spark, [(4, 2, 1, 9.0), (5, 1, 2, 2.0)]))
+    sdf = stream.read_stream(spark, max_files_per_trigger=1)
+    out = st.stateful_ewma(sdf, "user_id", "value", "ts", alpha=0.25)
+    st.run_available_now(out, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="ewma_out", output_mode="append")
+    got = {(r.user_id, r.value): r.ewma
+           for r in spark.sql("SELECT * FROM ewma_out").collect()}
+
+    def replay(xs):
+        e, res = None, []
+        for x in xs:
+            e = x if e is None else 0.25 * x + 0.75 * e
+            res.append(e)
+        return res
+
+    exp_u1 = replay([1.0, 5.0, 9.0])   # event-time order, across batches
+    exp_u2 = replay([10.0, 2.0])
+    assert got[(1, 1.0)] == exp_u1[0]
+    assert got[(1, 5.0)] == exp_u1[1]
+    assert abs(got[(1, 9.0)] - exp_u1[2]) < 1e-12   # crossed the batch seam
+    assert got[(2, 10.0)] == exp_u2[0]
+    assert abs(got[(2, 2.0)] - exp_u2[1]) < 1e-12
