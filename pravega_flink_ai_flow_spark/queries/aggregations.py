@@ -537,3 +537,48 @@ def a5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_status, g_priority,
                  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """)
+
+
+@declared(
+    "a16_equidepth_histogram",
+    oracle="""
+    WITH binned AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        FROM orders
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT)          AS n_rows,
+           min(o_totalprice)                 AS lo,
+           max(o_totalprice)                 AS hi,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS mass
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    survey_ids=("A1", "W2", "O1"),
+)
+def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order value — the
+    statistic query optimizers and data-skipping indexes build per
+    column: ntile(10) assigns each row to a decile, then one hash
+    aggregate summarizes each bucket's range and mass. (o_orderkey
+    breaks price ties so decile membership is engine-stable.) The
+    unpartitioned ntile is a single-sort global window — fine for a
+    profiling pass; at 100 TB the same result comes from
+    approx-percentile cut points (a13's sketch path) without the global
+    sort, the standard exact-vs-sketch tradeoff pairing. SUM of doubles
+    is order-dependent but decile masses differ at integer scale, and
+    the driver hash canonicalizes doubles at 1e-6 — same contract as
+    every money SUM in the TPC-H block."""
+    from pyspark.sql import Window
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    binned = orders.select(
+        "o_totalprice",
+        F.ntile(10).over(
+            Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.sum("o_totalprice").cast("double").alias("mass"))
+            .orderBy("bin"))
