@@ -82,6 +82,7 @@ _PROMOTED = frozenset({
     # schema-evolution read, closed-form Naive Bayes
     "t19_anomaly_zscore", "t20_ewma_smooth", "l4_char_entropy",
     "u7_scd2_history", "s17_schema_evolution", "m7_naive_bayes_predict",
+    "a16_equidepth_histogram",
     # padding to exactly 50 with the queries whose last green record is
     # OLDEST (l3_lsh_topk r1; the rest r3) so their evidence refreshes
     "l3_lsh_topk",
@@ -90,11 +91,11 @@ _PROMOTED = frozenset({
     "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
     "a5_grouping_sets", "a5_rollup", "a6_positional_aggs", "a7_stats",
     "a8_having", "a9_pivot",
-    "f_array", "f_bitwise", "f_cast",
-    # (f_conditional/f_datetime/f_explode_wordcount/f_json/f_map/f_math/
-    # f_pandas_udf_normalize/f_string/f_vector_dot and the j10-j4 pads
-    # were displaced by the sixteen round-6 additions above — their r3
-    # greens stand; refresh in r7)
+    "f_array", "f_bitwise",
+    # (f_cast/f_conditional/f_datetime/f_explode_wordcount/f_json/f_map/
+    # f_math/f_pandas_udf_normalize/f_string/f_vector_dot and the j10-j4
+    # pads were displaced by the seventeen round-6 additions above —
+    # their r3 greens stand; refresh in r7)
 })
 
 
