@@ -666,7 +666,8 @@ def t20_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition becomes a CLOSED-FORM band self-join: each row averages
     its last-20 history with weights 0.75^distance (the dropped tail
     weighs <= 0.75^20 ~ 0.3% of the mass). Exact EWMA needs a sequential
-    scan per key (the streaming module's stateful path); this is the
+    scan per key (``streaming.ops.stateful_ewma`` — one float of state
+    per key via applyInPandasWithState); this is the
     batch/backfill formulation — a self-join on the partition key plus a
     row-number band, so it shuffles each side once on ``user_id`` and
     never materializes more than 20x the input. The weighted sum is
