@@ -249,3 +249,33 @@ def test_allpairs_topk_matches_closure_fuzz(spark, data):
         did, dcos = dist[key]
         assert did == cid, (key, cid, did)
         assert abs(dcos - cos) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(
+    st.text(alphabet="abAB01 \t\n.,!ä東🎉", min_size=1, max_size=40),
+    min_size=1, max_size=12))
+def test_char_entropy_frame_matches_counter_fuzz(spark, texts):
+    """char_entropy_frame's packed-key numpy histogram must equal a
+    naive per-doc Counter replica on arbitrary unicode (incl. astral
+    chars — the utf-32 view counts CODEPOINTS, exactly what the
+    oracle's per-codepoint regexp explode counts), with the entropy
+    equal to the same count formula up to float noise."""
+    import collections
+    import math
+
+    from pravega_flink_ai_flow_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_ops.char_entropy_frame(df).collect()}
+    for doc_id, t in enumerate(texts):
+        c = collections.Counter(t)
+        n = len(t)
+        want_h = (math.log2(n)
+                  - sum(v * math.log2(v) for v in c.values()) / n)
+        r = got[doc_id]
+        assert r.n_chars_total == n
+        assert r.n_unique_chars == len(c)
+        assert abs(r.char_entropy - want_h) < 1e-9
