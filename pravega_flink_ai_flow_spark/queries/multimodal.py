@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import declared, tables
 
@@ -309,3 +309,84 @@ def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (meta.mapInPandas(
         run, "doc_id long, n_samples int, rms double, n_zero_crossings long")
         .orderBy("doc_id"))
+
+
+@declared(
+    "l5_image_phash",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 7 + 2 AS INTEGER) AS w,
+               CAST(doc_id % 5 + 2 AS INTEGER)  AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT m.doc_id, m.w, m.h, x.r AS x, y.r AS y,
+               (m.doc_id * 31 + x.r * 7 + y.r * 13) % 256 AS v
+        FROM m,
+             unnest(generate_series(0, m.w - 1)) x(r),
+             unnest(generate_series(0, m.h - 1)) y(r)
+    ),
+    stats AS (
+        SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS mean_v
+        FROM px GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT px.doc_id, px.w AS width, px.h AS height,
+               CAST(SUM(CASE WHEN CAST(px.v AS DOUBLE) > s.mean_v
+                             THEN (CAST(1 AS BIGINT) << (px.y * px.w + px.x))
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+        FROM px JOIN stats s ON s.doc_id = px.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, width, height, phash,
+           CAST(COUNT(*) OVER (PARTITION BY width, height, phash)
+                AS BIGINT) AS bucket_n
+    FROM hashes ORDER BY doc_id
+    """,
+    survey_ids=("L5", "L2", "F6"),
+)
+def l5_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash for image near-dedup: every image runs
+    the REAL PNG encode→decode round-trip, then each DECODED pixel
+    contributes one bit (above the image mean) to a packed 64-bit
+    signature; images bucket by (dims, phash) exactly like text docs
+    bucket by MinHash band — the multimodal leg of the dedup family
+    (constant-size signature per image, bucket-join instead of
+    pairwise compare; at 100 TB of images only the 8-byte signatures
+    shuffle). The oracle recomputes the bit-pack from the generating
+    formula, so a codec or bit-order bug flips the hash. Grids here
+    are <= 8x6, so the native-resolution pack fits 48 bits; real-photo
+    aHash downsamples to 8x8 first (the l5_image_resize machinery)."""
+    from ..ops.multimodal import decode_png, encode_png
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "phash": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 7 + 2
+                h = int(doc_id) % 5 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((int(doc_id) * 31 + x * 7 + y * 13) % 256
+                      ).astype(np.uint8)
+                dw, dh, _c, arr = decode_png(encode_png(px))
+                flat = arr.reshape(-1).astype(np.float64)
+                bits = flat > flat.mean()
+                phash = int((bits.astype(np.int64)
+                             << np.arange(flat.size, dtype=np.int64)).sum())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["phash"].append(phash)
+            yield pd.DataFrame(out)
+
+    hashes = meta.mapInPandas(
+        run, "doc_id long, width int, height int, phash long")
+    wb = Window.partitionBy("width", "height", "phash")
+    return (hashes
+            .withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+            .orderBy("doc_id"))
