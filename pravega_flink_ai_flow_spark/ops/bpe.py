@@ -1,0 +1,143 @@
+"""Corpus-trained BPE tokenizer (Sennrich 2016 / GPT-2 greedy encode).
+
+The 100 TB shape: BPE never trains on the corpus directly — it trains on
+the WORD-FREQUENCY DICTIONARY, which one map-side-combined shuffle
+produces and which is vocab-bounded (Heaps-law sublinear in corpus
+size). So the pipeline is: corpus → (word, freq) aggregate (the only
+corpus-wide stage) → merge-table training on the compact dict →
+broadcast the learned merge ranks → Arrow-batched encode pass over the
+corpus (map-only). The dict collect is guarded like every other model
+fit in this repo (ops/similarity.py, ml/ops.py): it RAISES past the
+ceiling rather than OOM-ing the driver; past that ceiling you train on
+the dict's top-N by frequency (standard practice — merges learned from
+the head are near-identical because pair counts are frequency-weighted)
+— truncation is explicit via ``max_dict_rows`` + ``truncate=True``,
+never silent.
+
+No external tokenizer library is used: training and encoding are exact
+replicas of the published algorithm, pytest-checked against the classic
+worked example and for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+END = "</w>"
+
+# guarded-collect ceiling for the word-frequency dict
+MAX_DICT_ROWS = 1_000_000
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — ONE map-side-combined shuffle on
+    the word key; this is the only stage that touches every row."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != F.lit(""))
+    return (docs.select(F.explode(words).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def train_bpe(freq_df: DataFrame, n_merges: int = 50, *,
+              max_dict_rows: int = MAX_DICT_ROWS,
+              truncate: bool = False) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) frame.
+
+    Deterministic: best pair = max by (weighted count, then
+    lexicographically SMALLEST pair) — ties cannot flip between runs
+    or partitionings because counts are exact integers. Raises past
+    ``max_dict_rows`` unless ``truncate=True`` (then trains on the
+    top-``max_dict_rows`` by (freq desc, word) — explicit head
+    truncation, the standard large-corpus practice)."""
+    if truncate:
+        rows = (freq_df.orderBy(F.col("freq").desc(), "word")
+                .limit(max_dict_rows).collect())
+    else:
+        rows = freq_df.limit(max_dict_rows + 1).collect()
+        if len(rows) > max_dict_rows:
+            raise ValueError(
+                f"word dict exceeds {max_dict_rows} rows; pass "
+                f"truncate=True to train on the frequency head")
+    vocab = {}
+    for r in rows:
+        syms = tuple(r["word"]) + (END,)
+        vocab[syms] = vocab.get(syms, 0) + int(r["freq"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style greedy encode: repeatedly merge the present pair
+    with the LOWEST learned rank until none applies."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode_frame(docs: DataFrame, merges: list[tuple[str, str]],
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Tokenize every doc with the learned merges in ONE Arrow-batched
+    pass (``mapInPandas``; merge ranks ride the task closure — the
+    broadcast-model pattern of every scorer in this repo). Output:
+    (id, n_words, n_pieces, pieces_sha) — the piece stream is
+    fingerprinted (sha256 of the '\\x1f'-joined pieces) so tests and
+    oracles can hash-compare tokenizations without array columns."""
+    import hashlib
+
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def run(batches):
+        for pdf in batches:
+            out = {id_col: [], "n_words": [], "n_pieces": [],
+                   "pieces_sha": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").split() if w]
+                pieces = []
+                for w in words:
+                    pieces.extend(encode_word(w, ranks))
+                out[id_col].append(did)
+                out["n_words"].append(len(words))
+                out["n_pieces"].append(len(pieces))
+                out["pieces_sha"].append(hashlib.sha256(
+                    "\x1f".join(pieces).encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_words long, n_pieces long, "
+             f"pieces_sha string")

@@ -887,3 +887,33 @@ def l4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (frame.select("doc_id", "n_chars_total", "n_unique_chars",
                          F.round("char_entropy", 6).alias("char_entropy"))
             .orderBy("doc_id"))
+
+
+# (appId, sf_dir) -> learned BPE merge list (fixed artifact of the data)
+_BPE_MERGES_CACHE: dict[tuple[str, str], object] = {}
+
+
+@declared(
+    "l4_bpe_trained_tokenize",
+    oracle=None,   # iterative merge learning is not SQL-expressible;
+                   # rows-only gate + tests/test_bpe.py (worked-example
+                   # merges, determinism, frame == per-row replica)
+    survey_ids=("L4", "M1", "F6"),
+)
+def l4_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-TRAINED BPE tokenizer (Sennrich 2016), train + apply:
+    the real-tokenizer counterpart of l4_bpe_token_count's fixed regex.
+    Training touches the corpus exactly once (word-frequency aggregate,
+    map-side combined); the merge table is learned from that compact
+    vocab-bounded dict (guarded collect, explicit head-truncation past
+    the ceiling — ops/bpe.py) and broadcast into one Arrow encode pass.
+    Output fingerprints each doc's piece stream (sha256) so the
+    tokenization itself is regression-hashable without array columns."""
+    from ..ops import bpe
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    merges = session_memo(
+        _BPE_MERGES_CACHE, spark, sf_dir,
+        lambda: bpe.train_bpe(bpe.word_freq(docs), n_merges=40))
+    return (bpe.encode_frame(docs.select("doc_id", "text"), merges)
+            .orderBy("doc_id"))
