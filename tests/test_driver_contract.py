@@ -51,11 +51,12 @@ def test_promoted_rows_only_set_is_intentional():
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
     # round 6: approximate ANN (ivf-kmeans, pq), the corpus-trained
-    # quality classifier, softmax predict, PCA projection and the two
-    # sketch/percentile pads are rows-only BY DESIGN (no exact SQL
-    # equivalent)
+    # quality classifier, softmax predict, PCA projection, the two
+    # sketch/percentile pads, and the trained-BPE tokenizer (iterative
+    # merge learning) are rows-only BY DESIGN (no exact SQL equivalent)
     assert rows_only == {"a13_approx_percentile", "a4_approx_count_distinct",
                          "l3_ivf_kmeans_topk", "l3_pq_topk",
+                         "l4_bpe_trained_tokenize",
                          "l6_quality_classifier", "m5_softmax_predict",
                          "m6_pca_project"}, \
         sorted(rows_only)
