@@ -438,9 +438,14 @@ def test_stateful_ewma_exact_across_batches(spark, tmp_workdir):
     over the full event order (the exact form t20's truncated batch
     band-join approximates)."""
     stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    # coalesce(1): ONE file per append, so the file-stream source's
+    # mtime ordering delivers batches in append order — multi-file
+    # appends interleave arbitrarily (that run surfaced the op's
+    # chunk-order hardening: concat a group's chunks, THEN sort)
     stream.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 1, 1, 5.0),
-                                     (3, 0, 2, 10.0)]))
-    stream.append(_mk_events(spark, [(4, 2, 1, 9.0), (5, 1, 2, 2.0)]))
+                                     (3, 0, 2, 10.0)]).coalesce(1))
+    stream.append(_mk_events(spark,
+                             [(4, 2, 1, 9.0), (5, 1, 2, 2.0)]).coalesce(1))
     sdf = stream.read_stream(spark, max_files_per_trigger=1)
     out = st.stateful_ewma(sdf, "user_id", "value", "ts", alpha=0.25)
     st.run_available_now(out, checkpoint=os.path.join(tmp_workdir, "ck"),
