@@ -481,3 +481,66 @@ def j14_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
     """)
+
+
+@declared(
+    "j15_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE h AS (
+        SELECT c_custkey AS custkey, 0 AS depth, c_custkey AS root,
+               CAST(c_custkey AS VARCHAR) AS path
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, h.depth + 1, h.root,
+               h.path || '/' || CAST(c.c_custkey AS VARCHAR)
+        FROM customer c JOIN h ON c.c_custkey // 10 = h.custkey
+        WHERE c.c_custkey >= 10
+    )
+    SELECT custkey, depth, root, path FROM h ORDER BY custkey
+    """,
+    survey_ids=("J1", "J2", "U1"),
+)
+def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical / recursive-CTE traversal (org charts, bills of
+    materials, folder trees) — the one relational shape Spark has no
+    native construct for, expressed Spark-first as ITERATIVE level-wise
+    BFS: each round broadcast-joins the (small) frontier onto the edge
+    table to derive the next level's depth/root/path, unioning levels
+    until the frontier empties. Rounds = tree DEPTH (not size) — a
+    100 TB edge table with a 12-level hierarchy is 12 broadcast-join
+    jobs, each map-only over the edges; frontiers are localCheckpointed
+    so the lineage (and replay cost) never compounds. The synthetic
+    hierarchy is parent = custkey div 10 (exactly the digits-prefix
+    tree, 3-4 levels at these SFs); the oracle is DuckDB's native
+    WITH RECURSIVE. A max-depth guard raises on cycles rather than
+    looping forever."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    edges = (customer
+             .select(F.col("c_custkey").alias("custkey"),
+                     F.expr("c_custkey div 10").alias("parent"))
+             .filter(F.col("custkey") >= 10))
+    frontier = (customer.filter(F.col("c_custkey") < 10)
+                .select(F.col("c_custkey").alias("custkey"),
+                        F.lit(0).alias("depth"),
+                        F.col("c_custkey").alias("root"),
+                        F.col("c_custkey").cast("string").alias("path")))
+    levels = [frontier]
+    for depth in range(1, 12):   # cycle guard: digits-tree depth << 12
+        frontier = (edges.join(F.broadcast(
+                        frontier.select(F.col("custkey").alias("pk"),
+                                        "root", "path")),
+                        edges.parent == F.col("pk"))
+                    .select("custkey", F.lit(depth).alias("depth"), "root",
+                            F.concat_ws("/", "path",
+                                        F.col("custkey").cast("string"))
+                            .alias("path"))
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+    else:
+        raise ValueError("hierarchy deeper than guard — cycle?")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.orderBy("custkey")
