@@ -691,3 +691,73 @@ def t20_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("h.value") * weight)
                          / F.sum(weight), 6).alias("ewma20"))
             .orderBy("user_id", "ts"))
+
+
+@declared(
+    "t21_session_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST(1800 AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_no
+        FROM seq
+    )
+    SELECT user_id, session_no,
+           min(ts)                  AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS converted
+    FROM sess GROUP BY 1, 2 ORDER BY user_id, session_no
+    """,
+    survey_ids=("T5", "A6", "W4"),
+)
+def t21_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: sessionize each user's events (30-min
+    inactivity gap), then emit every session's ORDERED event-type path
+    ('view>click>purchase') plus a conversion flag — the navigation-
+    pattern query behind funnel diagnostics. Gaps-and-islands session
+    ids (one lag + one running sum, both on the user key), then one
+    grouped aggregate whose ordered concatenation is array_sort over
+    (ts, event_id, type) structs — (ts, event_id) is unique so the
+    path string is total-order deterministic in both engines. Session
+    state is one struct per event within a session (bounded by the gap
+    horizon), the same single-key single-shuffle shape as t5; at 100 TB
+    the path strings stay short because sessions are inactivity-bounded
+    by construction."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    new_s = F.when(prev_ts.isNull() | (gap > 1800 * 1_000_000), 1) \
+             .otherwise(0)
+    sess = (events.select("user_id", "ts", "event_id", "event_type")
+            .withColumn("new_s", new_s)
+            .withColumn("session_no",
+                        F.sum("new_s").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long")))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type")))
+    path = F.array_join(
+        F.transform(ordered, lambda x: x["event_type"]), ">")
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 path.alias("path"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("int").alias("converted"))
+            .orderBy("user_id", "session_no"))
