@@ -532,3 +532,57 @@ def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_totalprice", "o_orderpriority",
                     F.col("batch").cast("int").alias("batch"))
             .orderBy("o_orderkey"))
+
+
+@declared(
+    "s18_permissive_csv",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(trunc(o_totalprice) AS BIGINT) END AS price_int,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN CAST(o_orderkey AS VARCHAR) || ',X'
+                ELSE NULL END AS corrupt_line,
+           CAST(o_orderkey % 10 = 0 AS INT) AS is_malformed
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("S1", "S6"),
+)
+def s18_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion: a feed where every 10th record is
+    malformed (non-numeric price), read back under PERMISSIVE mode with
+    an explicit ``_corrupt_record`` column — at 100 TB, malformed rows
+    are ROUTINE and a scan that either crashes (FAILFAST) or silently
+    drops them (DROPMALFORMED) is operationally wrong; quarantining the
+    raw line per record is the standard dead-letter pattern. Spark's
+    documented PERMISSIVE semantics are exercised exactly: parseable
+    fields of a bad row are KEPT (the key still parses), the bad field
+    nulls out, and the verbatim line lands in the corrupt column. The
+    oracle reconstructs all three from the generating rule."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    lines = (orders.filter(F.col("o_orderkey") <= 300)
+             .select(F.concat_ws(
+                 ",",
+                 F.col("o_orderkey"),
+                 F.when(F.col("o_orderkey") % 10 == 0, F.lit("X"))
+                  .otherwise(F.expr(
+                      # Spark CAST(double AS BIGINT) truncates toward
+                      # zero == DuckDB trunc()+cast (DuckDB's bare CAST
+                      # rounds — the FIXTURES parity trap)
+                      "CAST(CAST(o_totalprice AS BIGINT) AS STRING)"))
+                 ).alias("value")))
+    path = _tmpdir("s18_badcsv_")
+    lines.write.mode("overwrite").text(path)
+    parsed = (spark.read
+              .schema("o_orderkey LONG, price_int LONG, "
+                      "_corrupt_record STRING")
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .csv(path))
+    return (parsed.select(
+                "o_orderkey", "price_int",
+                F.col("_corrupt_record").alias("corrupt_line"),
+                F.col("_corrupt_record").isNotNull().cast("int")
+                 .alias("is_malformed"))
+            .orderBy("o_orderkey"))
