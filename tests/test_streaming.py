@@ -467,3 +467,31 @@ def test_stateful_ewma_exact_across_batches(spark, tmp_workdir):
     assert abs(got[(1, 9.0)] - exp_u1[2]) < 1e-12   # crossed the batch seam
     assert got[(2, 10.0)] == exp_u2[0]
     assert abs(got[(2, 2.0)] - exp_u2[1]) < 1e-12
+
+
+def test_stateful_topk_modern_api_or_documented_seam(spark, tmp_workdir):
+    """T8 via transformWithStateInPandas where the environment supports
+    it (protobuf-backed state protocol); otherwise the op must raise
+    the documented NotImplementedError seam — never the opaque
+    python-runner crash."""
+    import pytest
+
+    stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
+    stream.append(_mk_events(spark, [(1, 0, 1, 5.0), (2, 1, 1, 9.0),
+                                     (3, 2, 1, 1.0)]).coalesce(1))
+    stream.append(_mk_events(spark, [(4, 3, 1, 8.0)]).coalesce(1))
+    sdf = stream.read_stream(spark, max_files_per_trigger=1)
+    if not st.tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            st.stateful_topk(sdf)
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    out = st.stateful_topk(sdf, k=3)
+    st.run_available_now(out, checkpoint=os.path.join(tmp_workdir, "ck"),
+                         memory_table="tws_tk", output_mode="update")
+    rows = spark.sql("SELECT * FROM tws_tk").collect()
+    last = {r.user_id: r.topk for r in rows}
+    assert last[1] == "9,8,5"   # running top-3 across both batches
