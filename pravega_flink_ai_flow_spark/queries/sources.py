@@ -586,3 +586,35 @@ def s18_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_corrupt_record").isNotNull().cast("int")
                  .alias("is_malformed"))
             .orderBy("o_orderkey"))
+
+
+@declared(
+    "s19_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("S7", "O1"),
+)
+def s19_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE maintenance op): a feed that
+    arrived as ~40 tiny files is rewritten as a few key-range-sorted
+    files — at 100 TB, streaming ingest leaves millions of small files
+    whose per-file open/footer overhead dominates scans, and periodic
+    range-compaction both fixes that and bakes in min/max data-skipping
+    order (each output file covers a disjoint o_orderkey range). The
+    oracle checks bit-exact data preservation through both rewrites;
+    the file-count/layout contract (40 in, <= 4 out, disjoint ranges)
+    is asserted in tests/test_plan_contracts.py."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    sel = (orders.filter(F.col("o_orderkey") <= 2000)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    small = _tmpdir("s19_small_")
+    sel.repartition(40).write.mode("overwrite").parquet(small)
+    compacted = _tmpdir("s19_compact_")
+    (spark.read.parquet(small)
+     .repartitionByRange(4, "o_orderkey")
+     .sortWithinPartitions("o_orderkey")
+     .write.mode("overwrite").parquet(compacted))
+    return spark.read.parquet(compacted).orderBy("o_orderkey")

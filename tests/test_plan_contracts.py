@@ -208,3 +208,29 @@ def test_m7_nb_model_joins_broadcast_and_grouplimit(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_s19_compaction_layout_contract(spark):
+    """s19's value is the LAYOUT: ~40 input files must become <= 4
+    range-sorted parquet files with pairwise-disjoint o_orderkey
+    ranges (the data-skipping contract a min/max index needs)."""
+    import glob
+    import os
+
+    from pravega_flink_ai_flow_spark.queries import load_all
+    from pravega_flink_ai_flow_spark.queries.sources import _SCRATCH
+
+    load_all()["s19_compaction"].fn(spark, SF).collect()
+    small = glob.glob(os.path.join(_SCRATCH, "s19_small_*", "*.parquet"))
+    out = glob.glob(os.path.join(_SCRATCH, "s19_compact_*", "*.parquet"))
+    assert len(small) >= 30
+    assert 1 <= len(out) <= 4
+    ranges = []
+    for f in out:
+        df = spark.read.parquet(f)
+        lo, hi = df.agg({"o_orderkey": "min"}).first()[0], \
+            df.agg({"o_orderkey": "max"}).first()[0]
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, f"overlapping file ranges {ranges}"
