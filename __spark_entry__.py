@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # padded to exactly 50 with the stalest greens (l3_lsh_topk r1; the
 # a*/f*/j1-j12 block last recorded r3).
 #
-# ROUND 7 PLAN: all 22 round-6 additions are recorded THIS round
+# ROUND 7 PLAN: all 23 round-6 additions are recorded THIS round
 # (they displaced stale pads). Set `_PROMOTED` to any r6 reds needing
 # re-proof plus new r7 queries, padded to 50 with the then-stalest
 # greens (the r3 block: j11/j12/j1-j9, l1/l2, o1-o3, p1-p5, …  —
@@ -84,16 +84,16 @@ _PROMOTED = frozenset({
     "u7_scd2_history", "s17_schema_evolution", "m7_naive_bayes_predict",
     "a16_equidepth_histogram", "l5_image_phash", "l4_bpe_trained_tokenize",
     "j15_recursive_hierarchy", "t21_session_paths", "s18_permissive_csv",
+    "s19_compaction",
     # padding to exactly 50 with the queries whose last green record is
     # OLDEST (l3_lsh_topk r1; the rest r3) so their evidence refreshes
     "l3_lsh_topk",
     "a10_unpivot", "a11_string_agg", "a12_corr_covar",
     "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
     "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
-    "a5_grouping_sets", "a5_rollup", "a6_positional_aggs",
-    # (a7_stats, a8_having, a9_pivot, f_array/f_bitwise/f_cast/f_conditional/f_datetime/f_explode_wordcount/f_json/f_map/
+    "a5_grouping_sets", "a5_rollup",     # (a6_positional_aggs, a7_stats, a8_having, a9_pivot, f_array/f_bitwise/f_cast/f_conditional/f_datetime/f_explode_wordcount/f_json/f_map/
     # f_math/f_pandas_udf_normalize/f_string/f_vector_dot and the j10-j4
-    # pads were displaced by the 22 round-6 additions above —
+    # pads were displaced by the 23 round-6 additions above —
     # their r3 greens stand; refresh in r7)
 })
 
