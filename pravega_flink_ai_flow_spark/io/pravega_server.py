@@ -129,21 +129,32 @@ class PravegaEmulatorServer:
                    group: str | None = None,
                    batch_id: int | None = None) -> dict:
         with self._lock:
-            staged = [self._pending.pop((scope, stream, t), None)
-                      for t in txns]
             if group is not None and batch_id is not None:
                 key = (scope, stream, group)
                 last = self._committed.get(key)
                 if last is not None and batch_id <= last:
-                    # replayed micro-batch: already durable — drop
+                    # replayed micro-batch: already durable — drop the
+                    # re-staged txns too (they were applied under the
+                    # original commit), and a replay never reports
+                    # missing ids: the first commit consumed them
+                    for t in txns:
+                        self._pending.pop((scope, stream, t), None)
                     return {"tail": len(self._streams.get((scope, stream), [])),
-                            "duplicate": True}
+                            "duplicate": True, "missing": []}
                 self._committed[key] = batch_id
+            # committing an unknown/expired txn id is DATA LOSS, not a
+            # no-op: real Pravega fails such a commit. Surface the ids so
+            # the driver-side committer fails the batch instead of acking
+            # silently dropped rows (r6 ADVICE).
+            missing = [t for t in txns
+                       if (scope, stream, t) not in self._pending]
+            staged = [self._pending.pop((scope, stream, t), None)
+                      for t in txns]
             log = self._streams.setdefault((scope, stream), [])
             for ev in staged:
                 if ev:
                     log.extend(ev)
-            return {"tail": len(log), "duplicate": False}
+            return {"tail": len(log), "duplicate": False, "missing": missing}
 
     def txn_abort(self, scope: str, stream: str, txns: list) -> None:
         with self._lock:

@@ -277,11 +277,20 @@ class _AppendMixin(_Common):
         txns = self._txns(messages)
         if not txns and batch_id is None:
             return
-        pravega_rpc(self.host, self.port,
-                    {"op": "txn_commit", "scope": self.scope,
-                     "stream": self.stream, "txns": txns,
-                     "group": self.group if batch_id is not None else None,
-                     "batch": batch_id})
+        resp = pravega_rpc(self.host, self.port,
+                           {"op": "txn_commit", "scope": self.scope,
+                            "stream": self.stream, "txns": txns,
+                            "group": self.group
+                            if batch_id is not None else None,
+                            "batch": batch_id})
+        missing = resp.get("missing") or []
+        if missing and not resp.get("duplicate"):
+            # a named txn had no staged payload server-side (expired or
+            # lost): acking would silently drop rows — fail the batch so
+            # Spark retries it instead (Pravega fails such commits too)
+            raise RuntimeError(
+                f"txn_commit: {len(missing)} transaction(s) unknown to "
+                f"the server, data would be lost: {missing}")
 
     def _abort(self, messages) -> None:
         txns = self._txns(messages)

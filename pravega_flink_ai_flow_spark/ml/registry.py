@@ -300,8 +300,18 @@ class FileDocumentStore(DocumentStore):
             return json.load(f)
 
     def _save(self, collection: str, docs: list[dict]) -> None:
-        with open(self._path(collection), "w") as f:
+        # temp-file + os.replace: a crash mid-write must never leave a
+        # half-written (corrupt) collection behind — readers see either
+        # the old file or the new one (r6 ADVICE). The threading.Lock
+        # serializes writers WITHIN this process only; cross-process
+        # visibility is read-level (each op reloads the file) —
+        # concurrent cross-process WRITERS are out of scope and
+        # last-replace-wins, the documented limitation.
+        p = self._path(collection)
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(docs, f, indent=2)
+        os.replace(tmp, p)
 
     def insert_one(self, collection: str, doc: dict) -> None:
         with self._lock:

@@ -231,6 +231,47 @@ def lsh_candidate_pairs_between(sig_new: DataFrame, sig_corpus: DataFrame,
             .distinct())
 
 
+def jaccard_prefix_candidates_between(arrs_new: DataFrame,
+                                      arrs_corpus: DataFrame, *,
+                                      threshold: float) -> DataFrame:
+    """Exact (provably lossless) candidate generation BETWEEN a fresh
+    batch and the corpus for Jaccard ≥ ``threshold`` — the prefix-filter
+    counterpart of :func:`lsh_candidate_pairs_between`. Both sides'
+    shingles are ordered by ONE shared global order (document frequency
+    over the union, then shingle — prefix filtering only needs the
+    order to be consistent across sides); each doc keeps its first
+    ``floor((1−t)·n)+1`` shingles, and candidates are the batch-prefix ×
+    corpus-prefix equi-join on the shingle. Unlike MinHash banding
+    (which misses a true pair at j≈t with small probability), this is
+    exact, so a declared query backed by it hash-matches a brute-force
+    oracle at every SF. Same scale shape as the self-join variant: one
+    df aggregate, one window per doc, one skinny prefix join.
+
+    Input: two (id, shingles) frames. Output: distinct
+    (id_new, id_corpus) pairs."""
+    tagged = (arrs_new.select(F.lit(1).alias("__new"), "id", "shingles")
+              .unionByName(
+                  arrs_corpus.select(F.lit(0).alias("__new"),
+                                     "id", "shingles")))
+    shingled = tagged.select("__new", "id",
+                             F.size("shingles").alias("__n"),
+                             F.explode("shingles").alias("shingle"))
+    dfreq = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("__new", "id").orderBy("__df", "shingle")
+    prefix = (shingled.join(dfreq, "shingle")
+              .withColumn("__pos", F.row_number().over(w))
+              .filter(F.col("__pos")
+                      <= F.floor((1.0 - threshold) * F.col("__n")) + 1)
+              .select("__new", "id", "shingle"))
+    return (prefix.filter(F.col("__new") == 1)
+            .select(F.col("id").alias("id_new"), "shingle")
+            .join(prefix.filter(F.col("__new") == 0)
+                  .select(F.col("id").alias("id_corpus"), "shingle"),
+                  "shingle")
+            .select("id_new", "id_corpus")
+            .distinct())
+
+
 def jaccard_prefix_candidates(arrs: DataFrame, *,
                               threshold: float) -> DataFrame:
     """Exact candidate generation for Jaccard ≥ ``threshold`` via PREFIX

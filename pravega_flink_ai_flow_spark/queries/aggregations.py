@@ -548,10 +548,10 @@ def a5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT bin,
-           CAST(COUNT(*) AS BIGINT)          AS n_rows,
-           min(o_totalprice)                 AS lo,
-           max(o_totalprice)                 AS hi,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS mass
+           CAST(COUNT(*) AS BIGINT)              AS n_rows,
+           min(o_totalprice)                     AS lo,
+           max(o_totalprice)                     AS hi,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS mass
     FROM binned GROUP BY bin ORDER BY bin
     """,
     survey_ids=("A1", "W2", "O1"),
@@ -559,26 +559,67 @@ def a5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of order value — the
     statistic query optimizers and data-skipping indexes build per
-    column: ntile(10) assigns each row to a decile, then one hash
-    aggregate summarizes each bucket's range and mass. (o_orderkey
-    breaks price ties so decile membership is engine-stable.) The
-    unpartitioned ntile is a single-sort global window — fine for a
-    profiling pass; at 100 TB the same result comes from
-    approx-percentile cut points (a13's sketch path) without the global
-    sort, the standard exact-vs-sketch tradeoff pairing. SUM of doubles
-    is order-dependent but decile masses differ at integer scale, and
-    the driver hash canonicalizes doubles at 1e-6 — same contract as
-    every money SUM in the TPC-H block."""
-    from pyspark.sql import Window
+    column. The oracle is DuckDB's exact global ntile(10); the Spark
+    plan computes the SAME exact decile assignment WITHOUT a global
+    single-partition sort (the r6 verdict's scale-killer #3):
 
-    (orders,) = tables(spark, sf_dir, "orders")
-    binned = orders.select(
-        "o_totalprice",
-        F.ntile(10).over(
-            Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"))
-    return (binned.groupBy("bin")
+      1. repartitionByRange + sortWithinPartitions on (price, orderkey)
+         — the distributed total order; every partition holds a
+         contiguous, internally sorted key range.
+      2. monotonically_increasing_id() stamps each row; per Spark's
+         documented layout the low bits are the record number within
+         the partition, so (mid - min(mid) per partition) is the local
+         rank, entirely JVM-side — no window, no Python.
+      3. One statistics-sized aggregate (rows = #partitions) yields
+         per-partition counts; cumulative offsets computed on the
+         driver (32 rows, guarded) and broadcast-joined back, giving
+         the exact global rank = offset + local rank + 1.
+      4. ntile's documented bucket split (first n%k buckets get one
+         extra row) is a closed-form expression of (rank, n) — applied
+         as a CASE, then one hash aggregate per bucket.
+
+    At 100 TB this is one range shuffle + a map-only pass — the same
+    cost as any total sort, with no single-reducer stage. (o_orderkey
+    breaks price ties so decile membership is engine-stable.) mass is
+    an order-dependent double accumulation → rounded to 2 dp on both
+    sides per repo policy; the true sum is an exact multiple of 0.01
+    (2-dp money), so the rounding is half-boundary-safe (r6 ADVICE)."""
+    (orders,) = tables(spark, sf_dir, "orders"); k = 10
+    ranked = (orders.select("o_totalprice", "o_orderkey")
+              .repartitionByRange(32, "o_totalprice", "o_orderkey")
+              .sortWithinPartitions("o_totalprice", "o_orderkey")
+              .select("o_totalprice",
+                      F.spark_partition_id().alias("__pid"),
+                      F.monotonically_increasing_id().alias("__mid"))
+              .localCheckpoint(eager=True))  # pin ids across the two uses
+    # statistics-sized: one row per partition (32), never data-sized
+    part_stats = sorted(ranked.groupBy("__pid")
+                        .agg(F.count(F.lit(1)).alias("c"),
+                             F.min("__mid").alias("m"))
+                        .collect())
+    n = sum(r["c"] for r in part_stats)
+    q, rem = divmod(n, k)
+    offsets, acc = [], 0
+    for r in part_stats:
+        offsets.append((r["__pid"], acc, r["m"]))
+        acc += r["c"]
+    off = F.broadcast(ranked.sparkSession.createDataFrame(
+        offsets, "__pid int, __off long, __minmid long"))
+    head = rem * (q + 1)   # rows living in the (q+1)-sized buckets
+    # integer-exact bucket math (repo rule: div, never double division)
+    bin_expr = F.expr(
+        f"CAST(CASE WHEN {rem} > 0 AND __r0 < {head} "
+        f"     THEN __r0 DIV {q + 1} + 1 "
+        f"     ELSE {rem} + (__r0 - {head}) DIV {max(q, 1)} + 1 "
+        f"END AS INT)").alias("bin")
+    return (ranked.join(off, "__pid")
+            .withColumn("__r0",
+                        F.col("__off") + (F.col("__mid") - F.col("__minmid")))
+            .select("o_totalprice", bin_expr)
+            .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi"),
-                 F.sum("o_totalprice").cast("double").alias("mass"))
+                 F.round(F.sum("o_totalprice").cast("double"), 2)
+                  .alias("mass"))
             .orderBy("bin"))

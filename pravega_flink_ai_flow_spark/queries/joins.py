@@ -20,6 +20,12 @@ from pyspark.sql import types as T
 from . import declared, tables
 from ..ops.relational import asof_join, asof_merge
 
+# Per-level broadcast budget for j15's BFS frontier; rows above this
+# take the shuffle-join fallback. Module-level so the fallback pytest
+# (tests/test_operators.py) can monkeypatch it down and drive a wide
+# level through the non-broadcast path.
+_BFS_BROADCAST_MAX_ROWS = 1_000_000
+
 
 @declared(
     "j1_inner_join",
@@ -513,7 +519,16 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchy is parent = custkey div 10 (exactly the digits-prefix
     tree, 3-4 levels at these SFs); the oracle is DuckDB's native
     WITH RECURSIVE. A max-depth guard raises on cycles rather than
-    looping forever."""
+    looping forever.
+
+    Broadcast guard (r6 verdict wrong #2): a real-world hierarchy can
+    have ONE corpus-scale level (e.g. a flat fan-out of billions of
+    leaves), so the frontier broadcast is gated per round on the
+    frontier's row count — known for free, because each checkpointed
+    frontier is counted anyway for the emptiness test — and falls back
+    to a plain shuffled equi-join on the parent key when a level
+    outgrows the broadcast budget (same guarded-broadcast pattern as
+    l4_bigram_lm_score)."""
     (customer,) = tables(spark, sf_dir, "customer")
     edges = (customer
              .select(F.col("c_custkey").alias("custkey"),
@@ -523,19 +538,23 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("c_custkey").alias("custkey"),
                         F.lit(0).alias("depth"),
                         F.col("c_custkey").alias("root"),
-                        F.col("c_custkey").cast("string").alias("path")))
+                        F.col("c_custkey").cast("string").alias("path"))
+                .localCheckpoint(eager=True))
+    frontier_rows = frontier.count()
     levels = [frontier]
     for depth in range(1, 12):   # cycle guard: digits-tree depth << 12
-        frontier = (edges.join(F.broadcast(
-                        frontier.select(F.col("custkey").alias("pk"),
-                                        "root", "path")),
-                        edges.parent == F.col("pk"))
+        parents = frontier.select(F.col("custkey").alias("pk"),
+                                  "root", "path")
+        if frontier_rows <= _BFS_BROADCAST_MAX_ROWS:
+            parents = F.broadcast(parents)
+        frontier = (edges.join(parents, edges.parent == F.col("pk"))
                     .select("custkey", F.lit(depth).alias("depth"), "root",
                             F.concat_ws("/", "path",
                                         F.col("custkey").cast("string"))
                             .alias("path"))
                     .localCheckpoint(eager=True))
-        if frontier.isEmpty():
+        frontier_rows = frontier.count()
+        if frontier_rows == 0:
             break
         levels.append(frontier)
     else:

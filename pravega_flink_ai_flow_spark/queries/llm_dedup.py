@@ -432,13 +432,17 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dedup — the production shape: a fresh crawl
     batch (doc_id % 10 ≥ 8 here) is deduped AGAINST the existing corpus
     (doc_id % 10 < 8) without re-running the corpus×corpus self-join.
-    Both sides MinHash-sign as usual; candidates come from
-    ``lsh_candidate_pairs_between`` — one equi-join of the new batch's
-    banded signatures against the corpus's (at 100 TB the corpus side
-    is a write-once banded table bucketed by band_sig, so each incoming
+    Candidates come from ``jaccard_prefix_candidates_between`` — the
+    provably LOSSLESS prefix filter, so the exact-Jaccard-verified
+    output hash-matches the brute-force oracle at EVERY SF (MinHash
+    banding, the previous generator, misses a true pair at j≈0.7 with
+    ~1% probability — a latent hash red, r6 ADVICE). The ops layer
+    keeps ``lsh_candidate_pairs_between`` as the alternative
+    constant-work-per-batch scale path (at 100 TB the corpus side is a
+    write-once banded table bucketed by band_sig, so each incoming
     batch costs its own banding plus a co-located probe, never a corpus
-    rescan); exact-Jaccard verification ≥ 0.7 makes the output
-    hash-checkable against the brute-force oracle."""
+    rescan); tests/test_operators.py pins its recall against this exact
+    generator."""
     (docs,) = tables(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 < 8)
     new = docs.filter(F.col("doc_id") % 10 >= 8)
@@ -446,9 +450,8 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .persist()
     arrs_n = dedup.shingle_arrays(dedup.spread(new), "doc_id", "text", 3) \
                   .persist()
-    sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
-    sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
-    cands = dedup.lsh_candidate_pairs_between(sig_n, sig_c, 64, 16)
+    cands = dedup.jaccard_prefix_candidates_between(
+        arrs_n, arrs_c, threshold=0.7)
     sa = arrs_n.select(F.col("id").alias("id_new"),
                        F.col("shingles").alias("__sa"))
     sb = arrs_c.select(F.col("id").alias("id_corpus"),

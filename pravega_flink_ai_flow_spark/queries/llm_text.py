@@ -783,7 +783,7 @@ def l6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS nd FROM documents),
     df AS (SELECT term, COUNT(*) AS df FROM term GROUP BY 1),
     freq AS (SELECT term, df FROM df, n
-             WHERE df >= CAST(0.05 * nd AS BIGINT)),
+             WHERE df * 20 >= nd),
     ft AS (SELECT t.doc_id, t.term, f.df
            FROM term t JOIN freq f USING (term)),
     pairs AS (
@@ -830,7 +830,11 @@ def l4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count("*").alias("nd"))
     df_tbl = term.groupBy("term").agg(F.count("*").alias("df"))
     freq = (df_tbl.crossJoin(F.broadcast(n_docs))
-            .filter(F.col("df") >= (0.05 * F.col("nd")).cast("long"))
+            # df >= 5% of nd as the INTEGER-EXACT df * 20 >= nd: a
+            # float 0.05*nd CAST would round-to-nearest in DuckDB but
+            # truncate in Spark, flipping term membership whenever
+            # 0.05*nd has fraction >= .5 (r6 ADVICE)
+            .filter(F.col("df") * 20 >= F.col("nd"))
             .select("term", "df"))
     ft = term.join(F.broadcast(freq), "term")
     a = ft.select("doc_id", F.col("term").alias("term_a"),

@@ -1297,3 +1297,62 @@ def test_pca_distributed_matches_driver_numpy(spark):
     ids = [r.vec_id for r in rows]
     for i, vid in enumerate(ids):
         assert np.allclose(got[vid], want[i], atol=1e-8)
+
+
+def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
+    """The between-variant prefix filter must be a SUPERSET of the true
+    batch-vs-corpus pairs (lossless — it backs the hash-checked
+    l2_incremental_dedup), and the LSH banding probe (the ops-layer
+    scale path) must recover nearly all of them (recall pinned so a
+    banding regression is caught even though no declared query rides
+    on it anymore)."""
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    (docs,) = qt(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    arrs_c = dedup.shingle_arrays(corpus, "doc_id", "text", 3).persist()
+    arrs_n = dedup.shingle_arrays(new, "doc_id", "text", 3).persist()
+
+    def verified(cands):
+        sa = arrs_n.select(F.col("id").alias("id_new"),
+                           F.col("shingles").alias("__sa"))
+        sb = arrs_c.select(F.col("id").alias("id_corpus"),
+                           F.col("shingles").alias("__sb"))
+        n_common = F.size(F.array_intersect("__sa", "__sb"))
+        j = n_common / (F.size("__sa") + F.size("__sb") - n_common)
+        return {(r.id_new, r.id_corpus) for r in
+                cands.join(sa, "id_new").join(sb, "id_corpus")
+                     .filter(j >= 0.7).select("id_new", "id_corpus")
+                     .collect()}
+
+    exact = verified(dedup.jaccard_prefix_candidates_between(
+        arrs_n, arrs_c, threshold=0.7))
+    # losslessness vs brute force: every true >=0.7 pair must be found
+    brute = arrs_n.select(F.col("id").alias("id_new"), "shingles") \
+        .crossJoin(arrs_c.select(F.col("id").alias("id_corpus"),
+                                 F.col("shingles").alias("__sb")))
+    n_common = F.size(F.array_intersect("shingles", "__sb"))
+    j = n_common / (F.size("shingles") + F.size("__sb") - n_common)
+    truth = {(r.id_new, r.id_corpus) for r in
+             brute.filter(j >= 0.7).select("id_new", "id_corpus").collect()}
+    assert exact == truth and truth
+
+    sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
+    sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
+    lsh = verified(dedup.lsh_candidate_pairs_between(sig_n, sig_c, 64, 16))
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_j15_frontier_fallback_matches_broadcast_path(spark, monkeypatch):
+    """j15's per-level broadcast guard: forcing every level through the
+    shuffle-join fallback must produce the identical hierarchy."""
+    from pravega_flink_ai_flow_spark.queries import joins as J
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    q = load_all()["j15_recursive_hierarchy"].fn
+    want = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    monkeypatch.setattr(J, "_BFS_BROADCAST_MAX_ROWS", 0)
+    got = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    assert got == want and len(want) > 100

@@ -234,3 +234,16 @@ def test_s19_compaction_layout_contract(spark):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo, f"overlapping file ranges {ranges}"
+
+
+def test_a16_no_global_window_sort(spark):
+    """a16's r6 re-plan: the equi-depth histogram must NOT contain a
+    Window at all (the old unpartitioned ntile was a single-reducer
+    global sort — the declared plan that dies at 100×); ranks come from
+    range repartition + monotonic ids + a statistics-sized offset
+    broadcast."""
+    plan = _plan(spark, "a16_equidepth_histogram")
+    assert "Window" not in plan
+    assert "ntile" not in plan
+    # the offsets table (one row per partition) rides in as a broadcast
+    assert "BroadcastHashJoin" in plan

@@ -283,7 +283,7 @@ def test_txn_protocol_exactly_once(server):
     r = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s",
                                  "stream": "t", "txns": ["attempt1"],
                                  "group": "g", "batch": 0})
-    assert r == {"tail": 5, "duplicate": False}
+    assert r == {"tail": 5, "duplicate": False, "missing": []}
     # checkpoint-recovery replay of batch 0: freshly staged txn, same
     # (group, batch) → server drops it instead of appending twice
     pravega_rpc(host, port, {"op": "txn_write", "scope": "s", "stream": "t",
@@ -291,7 +291,7 @@ def test_txn_protocol_exactly_once(server):
     r = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s",
                                  "stream": "t", "txns": ["replay"],
                                  "group": "g", "batch": 0})
-    assert r == {"tail": 5, "duplicate": True}
+    assert r == {"tail": 5, "duplicate": True, "missing": []}
     # abort: staged rows never become visible
     pravega_rpc(host, port, {"op": "txn_write", "scope": "s", "stream": "t",
                              "txn": "doomed", "events": ev})
@@ -373,3 +373,20 @@ def test_task_retry_no_duplicates(tmp_workdir):
     # streaming path: same exactly-once guarantee through the
     # micro-batch commit protocol
     assert sids == list(range(40))
+
+
+def test_txn_commit_of_unknown_txn_reports_missing(server):
+    """Committing a txn id with no staged payload is DATA LOSS, not a
+    no-op: the server reports the missing ids so the driver-side
+    committer fails the batch (Pravega fails such commits too). A
+    replayed (group, batch) commit stays a clean duplicate — its txns
+    were consumed by the first commit."""
+    host, port = parse_controller_uri(server.controller_uri)
+    ev = _events(0, 3)
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s2", "stream": "t",
+                             "txn": "ok", "events": ev})
+    r = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s2",
+                                 "stream": "t", "txns": ["ok", "ghost"]})
+    assert r["missing"] == ["ghost"] and r["tail"] == 3
+    # the staged txn still landed exactly once
+    assert server.tail("s2", "t") == 3
