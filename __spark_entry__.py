@@ -50,51 +50,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # padded to exactly 50 with the stalest greens (l3_lsh_topk r1; the
 # a*/f*/j1-j12 block last recorded r3).
 #
-# ROUND 7 PLAN: all 23 round-6 additions are recorded THIS round
-# (they displaced stale pads). Set `_PROMOTED` to any r6 reds needing
-# re-proof plus new r7 queries, padded to 50 with the then-stalest
-# greens (the r3 block: j11/j12/j1-j9, l1/l2, o1-o3, p1-p5, …  —
-# recompute from CORRECTNESS_r*: for each query take max recorded-green
-# round, promote the oldest).
+# ROUND 6 recorded its window clean: 42 hash-green + 8 rows-only-by-
+# design, 0 red (CORRECTNESS_r06). After r6 the staleness census
+# (latest green per query across CORRECTNESS_r01-r06) is: 50 @ r6,
+# 50 @ r5, 47 @ r4, 38 @ r3, 0 never-recorded.
+#
+# ROUND 7 (this round): no reds to re-prove, so `_PROMOTED` =
+#   (a) the 4 queries whose DECLARED PLAN changed this round and whose
+#       r6 green therefore no longer covers the shipped code:
+#       a16 (ntile → distributed rank re-plan), j15 (guarded frontier
+#       broadcast), l2_incremental_dedup (LSH banding → lossless prefix
+#       filter), l4_pmi_collocations (integer-exact df threshold);
+#   (b) all 38 r3-stale queries (the f_* scalar families, j-block,
+#       l1/l2/l3 core, a6-a9);
+#   (c) padded to exactly 50 with the 8 name-ordered oldest r4 greens.
+# ROUND 8 PLAN: promote any r7 reds + new queries, pad with the
+# then-stalest (the remaining r4 block: o/p/t3-t7/tpch/u/w).
 _PROMOTED = frozenset({
-    # never-recorded (added during round 5 after the r5 rotation froze):
-    # the 14 queries VERDICT r5 "Next round #1" names — this is their
-    # first time inside the 50-query window
-    "j14_lateral_topn", "l2_semdedup", "l6_duplicate_spans",
-    "l3_int8_quant_topk", "l3_ivf_kmeans_topk", "l3_pq_topk",
-    "l4_tfidf_keywords", "l5_image_resize", "l6_quality_classifier",
-    "m5_softmax_predict", "s12_jsonl_roundtrip",
-    "s13_partitioned_pruned_scan", "s14_bucketed_colocated_join",
-    "t16_user_similarity_topk",
-    # changed in round 6, needs gate re-proof: de-vacuated EXCEPT
-    # (real rows) — VERDICT r5 wrong #1
-    "u4_except",
-    # ADDED in round 6 — recorded THIS round so no never-recorded
-    # backlog carries into r7 (the r5 verdict's top complaint): PCA
-    # projection, table profiling, PMI collocations, audio features,
-    # incremental dedup, MERGE upsert
-    "m6_pca_project", "s15_table_profile", "l4_pmi_collocations",
-    "l5_audio_features", "l2_incremental_dedup", "u6_merge_upsert",
-    "t17_per_key_trend", "t18_gap_detection", "p9_hash_sample_per_group",
-    "s16_zorder_key",
-    # second round-6 batch (continuation session) — also recorded THIS
-    # round: anomaly top-k, truncated EWMA, char entropy, SCD2 history,
-    # schema-evolution read, closed-form Naive Bayes
-    "t19_anomaly_zscore", "t20_ewma_smooth", "l4_char_entropy",
-    "u7_scd2_history", "s17_schema_evolution", "m7_naive_bayes_predict",
-    "a16_equidepth_histogram", "l5_image_phash", "l4_bpe_trained_tokenize",
-    "j15_recursive_hierarchy", "t21_session_paths", "s18_permissive_csv",
-    "s19_compaction",
-    # padding to exactly 50 with the queries whose last green record is
-    # OLDEST (l3_lsh_topk r1; the rest r3) so their evidence refreshes
-    "l3_lsh_topk",
-    "a10_unpivot", "a11_string_agg", "a12_corr_covar",
-    "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
-    "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
-    "a5_grouping_sets", "a5_rollup",     # (a6_positional_aggs, a7_stats, a8_having, a9_pivot, f_array/f_bitwise/f_cast/f_conditional/f_datetime/f_explode_wordcount/f_json/f_map/
-    # f_math/f_pandas_udf_normalize/f_string/f_vector_dot and the j10-j4
-    # pads were displaced by the 23 round-6 additions above —
-    # their r3 greens stand; refresh in r7)
+    # (a) plans changed in round 7 — gate must re-prove the new code
+    "a16_equidepth_histogram", "j15_recursive_hierarchy",
+    "l2_incremental_dedup", "l4_pmi_collocations",
+    # (b) last driver record r3
+    "a6_positional_aggs", "a7_stats", "a8_having", "a9_pivot",
+    "f_array", "f_bitwise", "f_cast", "f_conditional", "f_datetime",
+    "f_explode_wordcount", "f_json", "f_map", "f_math",
+    "f_pandas_udf_normalize", "f_string", "f_vector_dot",
+    "j10_interval_join_batch", "j11_salted_skew_join",
+    "j12_null_safe_join", "j1_inner_join", "j2_broadcast_dim_join",
+    "j3_large_large_join", "j4_full_outer_join", "j4_outer_join",
+    "j5_semi_join", "j6_anti_join", "j7_cross_join", "j8_band_join",
+    "j9_asof_join", "l1_exact_dedup", "l2_dedup_clusters",
+    "l2_dedup_keep", "l2_edit_distance_pairs", "l2_minhash_lsh_pairs",
+    "l2_ngram_jaccard_pairs", "l2_simhash_pairs", "l3_brute_force_topk",
+    "l3_ivf_topk",
+    # (c) pads: name-ordered oldest r4 greens
+    "m2_knn_predict", "m3_model_accuracy", "o1_multi_key_sort",
+    "o2_top_n", "o3_topk_per_group", "p1_expression_select",
+    "p2_identity_stage", "p3_column_split",
 })
 
 
