@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Scaling proof: time the headline bench set PLUS the slowest
+full-corpus queries at sf0.1 AND at the derived sf1
+(tools/make_sf_scale.py, 10× rows), in ONE Spark session so both scales
+see identical box/JVM state, and record the per-query scaling ratio.
+
+The number that matters is t(sf1)/t(sf0.1) against the 10× data growth:
+
+- ratio ≈ 10  → the query is compute/scan-bound and scales linearly;
+- ratio < 10  → at sf0.1 the fixed per-job scheduling floor (~0.1 s)
+  dominates; real work is still linear (this is the common case for
+  sub-300 ms queries);
+- ratio > 10  → SUPER-linear: a hidden driver collect, broadcast of a
+  growing side, quadratic candidate blow-up, or a single-reducer stage
+  — exactly the failure mode a 100 TB deployment hits. The artifact
+  exists so none of these hide behind the sf0.1 job floor.
+
+Writes BENCH_sf1.json at the repo root.
+
+Usage: python tools/bench_scale.py [sf_small] [sf_big]
+Defaults: /root/testdata/sf0.1  <repo>/testdata_scale/sf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (HEADLINE, normalize_layout, BENCH_CONF)
+
+# the slowest full-corpus queries by TIMINGS.json — every one argues a
+# "this is the scale-safe plan" story in its docstring; this artifact
+# is where that story is measured instead of asserted
+SLOWEST = [
+    "l4_bigram_lm_score", "a4_approx_count_distinct",
+    "l4_pmi_collocations", "l2_incremental_dedup",
+    "t16_user_similarity_topk", "l6_benchmark_decontam", "l3_ivf_topk",
+    "l2_semdedup", "l3_cosine_near_dup", "l3_lsh_topk",
+    "l6_duplicate_spans", "a7_stats", "j15_recursive_hierarchy",
+    "a16_equidepth_histogram",
+]
+
+
+def time_queries(spark, registry, names, sf_dir, runs=4):
+    out = {}
+    for name in names:
+        df = registry[name].fn(spark, sf_dir)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        # median of post-cold runs (bench.py's steady-state convention)
+        steady = sorted(samples[1:])
+        out[name] = round(steady[len(steady) // 2], 3)
+    return out
+
+
+def main() -> None:
+    sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "testdata_scale", "sf1")
+    if not os.path.isdir(sf_big):
+        sys.exit(f"{sf_big} missing — run tools/make_sf_scale.py first")
+
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    registry = load_all()
+    names = list(dict.fromkeys(bench.HEADLINE + SLOWEST))
+
+    # same session confs as the recorded bench, except shuffle
+    # parallelism follows the data (a production session sizes
+    # partitions to volume; pinning sf0.1's 8 at 10× the data would
+    # measure a misconfiguration, not the plans)
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.sql.shuffle.partitions"] = "32"
+    spark = get_spark("bench-scale", extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    small = bench.normalize_layout(sf_small)
+    big = bench.normalize_layout(sf_big)
+
+    # one untimed pass per query per scale: codegen + AQE-shape warmup
+    for d in (small, big):
+        for name in names:
+            try:
+                registry[name].fn(spark, d) \
+                    .write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+
+    t_small = time_queries(spark, registry, names, small)
+    t_big = time_queries(spark, registry, names, big)
+
+    rows = {}
+    for name in names:
+        ts, tb = t_small[name], t_big[name]
+        rows[name] = {"sf0.1_sec": ts, "sf1_sec": tb,
+                      "ratio_10x_data": round(tb / ts, 2) if ts else None}
+    flagged = {n: r for n, r in rows.items()
+               if r["ratio_10x_data"] and r["ratio_10x_data"] > 10.0}
+    out = {
+        "metric": "scaling_10x",
+        "data_growth": 10.0,
+        "sf_small": sf_small,
+        "sf_big": sf_big,
+        "total_sf0.1_sec": round(sum(t_small.values()), 3),
+        "total_sf1_sec": round(sum(t_big.values()), 3),
+        "total_ratio": round(sum(t_big.values()) / sum(t_small.values()), 2),
+        "super_linear": sorted(flagged),
+        "queries": rows,
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in ("total_sf0.1_sec", "total_sf1_sec",
+                                          "total_ratio", "super_linear")}))
+    for name, r in sorted(rows.items(), key=lambda kv: -kv[1]["ratio_10x_data"]):
+        print(f"  {r['ratio_10x_data']:6.2f}x  {r['sf0.1_sec']:7.3f}s -> "
+              f"{r['sf1_sec']:7.3f}s  {name}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
