@@ -141,20 +141,29 @@ class PravegaEmulatorServer:
                         self._pending.pop((scope, stream, t), None)
                     return {"tail": len(self._streams.get((scope, stream), [])),
                             "duplicate": True, "missing": []}
-                self._committed[key] = batch_id
             # committing an unknown/expired txn id is DATA LOSS, not a
             # no-op: real Pravega fails such a commit. Surface the ids so
             # the driver-side committer fails the batch instead of acking
-            # silently dropped rows (r6 ADVICE).
+            # silently dropped rows (r6 ADVICE). The failure must be
+            # ATOMIC (r7 ADVICE): if any id is missing, leave the ledger
+            # unset and every staged txn in place — otherwise Spark's
+            # retry of the failed batch hits the duplicate-ledger path
+            # above and drops the re-staged txns, so the recovery the
+            # failure exists to enable could never succeed.
             missing = [t for t in txns
                        if (scope, stream, t) not in self._pending]
+            if missing:
+                return {"tail": len(self._streams.get((scope, stream), [])),
+                        "duplicate": False, "missing": missing}
+            if group is not None and batch_id is not None:
+                self._committed[(scope, stream, group)] = batch_id
             staged = [self._pending.pop((scope, stream, t), None)
                       for t in txns]
             log = self._streams.setdefault((scope, stream), [])
             for ev in staged:
                 if ev:
                     log.extend(ev)
-            return {"tail": len(log), "duplicate": False, "missing": missing}
+            return {"tail": len(log), "duplicate": False, "missing": []}
 
     def txn_abort(self, scope: str, stream: str, txns: list) -> None:
         with self._lock:

@@ -356,16 +356,24 @@ class MySQLModelRegistry(ModelRegistry):
                              current_stage: str) -> ModelVersion:
         with self._conn() as con:
             cur = con.cursor()
+            # existence check by SELECT ... FOR UPDATE, NOT by the
+            # UPDATE's rowcount: MySQL drivers report CHANGED rows by
+            # default (not matched rows, unlike sqlite), so an
+            # idempotent re-set of a version to its current stage would
+            # report rowcount 0 and spuriously raise on a real server
+            # (r7 ADVICE). The row lock also serializes concurrent
+            # stage transitions on the same version.
+            cur.execute("SELECT model_path FROM model_versions "
+                        "WHERE model_name = %s AND version = %s"
+                        + self._FOR_UPDATE, (model_name, model_version))
+            row = cur.fetchone()
+            if row is None:
+                con.rollback()
+                raise KeyError(f"{model_name} v{model_version} not registered")
+            (model_path,) = row
             cur.execute("UPDATE model_versions SET current_stage = %s "
                         "WHERE model_name = %s AND version = %s",
                         (current_stage, model_name, model_version))
-            if cur.rowcount == 0:
-                con.rollback()
-                raise KeyError(f"{model_name} v{model_version} not registered")
-            cur.execute("SELECT model_path FROM model_versions "
-                        "WHERE model_name = %s AND version = %s",
-                        (model_name, model_version))
-            (model_path,) = cur.fetchone()
             con.commit()
         mv = ModelVersion(model_name, model_version, model_path, current_stage)
         self._emit(_STAGE_EVENT[current_stage], mv)
@@ -557,16 +565,18 @@ def open_registry(uri: str) -> ModelRegistry:
     if uri.startswith("sqlite:///"):
         return SqliteModelRegistry(uri[len("sqlite:///"):])
     if uri.startswith("mysql://"):
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
         u = urlparse(uri)
         kwargs = {"host": u.hostname or "localhost",
                   "database": (u.path or "/model_registry").lstrip("/")}
         if u.port:
             kwargs["port"] = u.port
+        # urlparse returns credentials still percent-encoded — decode so
+        # e.g. a password containing %40 (@) authenticates (r7 ADVICE)
         if u.username:
-            kwargs["user"] = u.username
+            kwargs["user"] = unquote(u.username)
         if u.password:
-            kwargs["password"] = u.password
+            kwargs["password"] = unquote(u.password)
         return MySQLModelRegistry(**kwargs)
     if uri.startswith("mongodb://"):
         return DocumentModelRegistry(MongoDocumentStore(uri))

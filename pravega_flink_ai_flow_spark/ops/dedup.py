@@ -201,6 +201,46 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64,
             .distinct())
 
 
+def lsh_band_table(sig: DataFrame, num_hashes: int = 64, bands: int = 16,
+                   out_id: str = "id") -> DataFrame:
+    """Banded LSH bucket table of a MinHash signature frame —
+    ``(out_id, band_id, band_sig)``, one row per (doc, band). Plan
+    constants identical to :func:`lsh_candidate_pairs`.
+
+    This is the WRITE-ONCE corpus artifact of the incremental probe
+    path: persist it (parquet, bucketed by ``band_sig`` — the s14
+    layout) when the corpus is ingested, and every later crawl batch is
+    deduped by banding ONLY the batch and equi-joining the stored
+    table (:func:`lsh_probe_banded`) — the corpus documents, shingles
+    and signatures are never touched again."""
+    rpb = num_hashes // bands
+    b = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.alias("band_id"),
+            F.xxhash64(F.slice("sig", i * rpb + 1, rpb)).alias("band_sig")))
+    return (sig.select(F.col("id").alias(out_id), F.explode(b).alias("bb"))
+            .select(out_id, "bb.band_id", "bb.band_sig"))
+
+
+def lsh_probe_banded(sig_new: DataFrame, corpus_banded: DataFrame,
+                     num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Probe a PRE-BANDED (persisted) corpus bucket table with a fresh
+    batch's signatures — the constant-work-per-batch half of the
+    incremental dedup split: per batch the only work that scales with
+    the corpus is the equi-join probe itself, which at 100 TB is
+    co-located by the table's ``band_sig`` bucketing (no corpus-side
+    shuffle). ``corpus_banded`` must come from :func:`lsh_band_table`
+    with the SAME (num_hashes, bands) constants, carrying columns
+    ``(id_corpus, band_id, band_sig)``.
+
+    Output: distinct (id_new, id_corpus) candidate pairs."""
+    return (lsh_band_table(sig_new, num_hashes, bands, out_id="id_new")
+            .join(corpus_banded, ["band_id", "band_sig"])
+            .select("id_new", "id_corpus")
+            .distinct())
+
+
 def lsh_candidate_pairs_between(sig_new: DataFrame, sig_corpus: DataFrame,
                                 num_hashes: int = 64,
                                 bands: int = 16) -> DataFrame:
@@ -208,27 +248,16 @@ def lsh_candidate_pairs_between(sig_new: DataFrame, sig_corpus: DataFrame,
     form: a fresh batch probes the existing corpus's buckets instead of
     re-running the corpus×corpus self-join. Both sides band identically
     (same plan constants as :func:`lsh_candidate_pairs`); candidates are
-    one equi-join on (band_id, band_sig). At 100 TB the corpus side's
-    banded table is a write-once artifact (bucketed by band_sig, the
-    s14 layout), so each incoming crawl batch costs only its own banding
-    plus a co-located join probe — never a corpus rescan.
+    one equi-join on (band_id, band_sig). At 100 TB the corpus side is
+    the persisted :func:`lsh_band_table` artifact probed via
+    :func:`lsh_probe_banded`; this convenience form bands the corpus
+    in-flight for the case where no stored table exists yet.
 
     Output: distinct (id_new, id_corpus) candidate pairs."""
-    rpb = num_hashes // bands
-
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        b = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda i: F.struct(
-                i.alias("band_id"),
-                F.xxhash64(F.slice("sig", i * rpb + 1, rpb)).alias("band_sig")))
-        return (sig.select(F.col("id").alias(out_id), F.explode(b).alias("bb"))
-                .select(out_id, "bb.band_id", "bb.band_sig"))
-
-    return (banded(sig_new, "id_new")
-            .join(banded(sig_corpus, "id_corpus"), ["band_id", "band_sig"])
-            .select("id_new", "id_corpus")
-            .distinct())
+    return lsh_probe_banded(
+        sig_new, lsh_band_table(sig_corpus, num_hashes, bands,
+                                out_id="id_corpus"),
+        num_hashes, bands)
 
 
 def jaccard_prefix_candidates_between(arrs_new: DataFrame,

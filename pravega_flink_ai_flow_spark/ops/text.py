@@ -464,3 +464,77 @@ def char_entropy_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
 
     return df.select(*id_cols, text_col).mapInArrow(
         entropy_batches, out_schema)
+
+
+def word_ngram_hash_frame(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8) -> DataFrame:
+    """Positional word n-grams collapsed to 64-bit hashes in ONE
+    ``mapInArrow`` pass — columns ``(id_col, pos, gh)``, one row per
+    n-gram start position per document.
+
+    Built for :func:`~..queries.llm_dedup.l6_duplicate_spans`, the r7
+    measured scale-killer (13.9×–17× wall at 10× data): the Catalyst
+    plan (``posexplode(word_ngrams(text, 8))`` → ``xxhash64``) runs the
+    per-gram ``slice``/``concat_ws`` HOF lambdas INTERPRETED per
+    element — per doc that is ~tokens × n interpreted calls, and it
+    dominated the sf1 wall. Here tokenization is one Arrow
+    ``split_pattern_regex`` kernel (the explicit Java ``\\s`` class,
+    same as :func:`language_id_frame`), empty edge tokens are dropped
+    (``tokens()``'s filter), per-token 64-bit hashes come from pandas'
+    vectorized siphash (fixed key — deterministic across executors),
+    and each n-gram hash is n shifted multiply-adds over the flat token
+    array with distinct odd uint64 multipliers (wraparound arithmetic,
+    position-sensitive, bijective per term).
+
+    The hash REPLACES the gram string entirely: downstream only ever
+    groups/flags by gram equality, so shuffles move 8-byte longs and
+    the ~60-char string never leaves the Arrow batch. Two distinct
+    grams colliding requires a 64-bit birthday hit (~n_grams²/2⁶⁵ —
+    negligible at any tested SF). NULL/empty text yields no rows, same
+    as ``posexplode`` of an empty/NULL gram array."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pos int, gh long"
+    # distinct odd multipliers (odd powers of the 64-bit golden ratio)
+    mults = np.array([pow(0x9E3779B97F4A7C15, j + 1, 1 << 64)
+                      for j in range(n)], dtype=np.uint64)
+
+    def gram_batches(batches):
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            texts = pc.coalesce(rb.column(text_col), "")
+            lists = pc.split_pattern_regex(texts,
+                                           pattern=r"[ \t\n\x0B\f\r]+")
+            flat = pc.list_flatten(lists)
+            lengths = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False)
+            parents = np.repeat(np.arange(nrows), lengths)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            toks = flat.to_numpy(zero_copy_only=False)[keep]
+            parents = parents[keep]
+            total = len(toks)
+            if total < n:
+                continue
+            th = pd.util.hash_array(toks)            # uint64, fixed key
+            counts = np.bincount(parents, minlength=nrows)
+            starts = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            m = total - n + 1
+            gh = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                gh += th[j:m + j] * mults[j]
+            valid = parents[:m] == parents[n - 1:]   # window within one doc
+            pos = (np.arange(m) - starts[parents[:m]])[valid]
+            ids = rb.column(id_col).take(pa.array(parents[:m][valid]))
+            yield pa.record_batch(
+                [ids, pa.array(pos.astype(np.int32), pa.int32()),
+                 pa.array(gh[valid].view(np.int64), pa.int64())],
+                names=[id_col, "pos", "gh"])
+
+    return df.select(id_col, text_col).mapInArrow(gram_batches, out_schema)

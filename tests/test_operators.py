@@ -1345,6 +1345,56 @@ def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
     assert len(lsh) >= 0.9 * len(exact)
 
 
+def test_incremental_probe_of_persisted_band_table(spark, tmp_workdir):
+    """The TRUE production shape of incremental dedup (r7 advice #6):
+    the corpus's banded bucket table is a write-once parquet artifact;
+    each crawl batch is deduped by banding ONLY the batch and probing
+    the stored table. Asserts (a) the probe's candidates equal the
+    in-flight between-variant's (same plan constants), and (b) the
+    probe plan structurally does constant work per batch — it scans the
+    banded parquet, NOT the corpus documents/shingles (no re-banding,
+    no corpus-side tokenization)."""
+    import os
+
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    (docs,) = qt(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    arrs_c = dedup.shingle_arrays(corpus, "doc_id", "text", 3)
+    sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
+
+    # ingest-time, ONCE: band the corpus and persist the bucket table
+    band_path = os.path.join(tmp_workdir, "corpus_bands")
+    dedup.lsh_band_table(sig_c, 64, 16, out_id="id_corpus") \
+        .write.mode("overwrite").parquet(band_path)
+    stored = spark.read.parquet(band_path)
+
+    # per-batch, FOREVER AFTER: two successive crawl batches (persisted
+    # as their own parquet, as a crawler would land them) probe the
+    # stored artifact
+    for lo, hi in ((8, 9), (9, 10)):
+        batch_path = os.path.join(tmp_workdir, f"crawl_{lo}")
+        docs.filter((F.col("doc_id") % 10 >= lo)
+                    & (F.col("doc_id") % 10 < hi)) \
+            .write.mode("overwrite").parquet(batch_path)
+        batch = spark.read.parquet(batch_path)
+        sig_n = dedup.minhash_signatures_arrow(
+            dedup.shingle_arrays(batch, "doc_id", "text", 3), 64)
+        probe = dedup.lsh_probe_banded(sig_n, stored, 64, 16)
+        got = {(r.id_new, r.id_corpus) for r in probe.collect()}
+        want = {(r.id_new, r.id_corpus) for r in
+                dedup.lsh_candidate_pairs_between(sig_n, sig_c, 64, 16)
+                .collect()}
+        assert got == want and want
+        # constant work per batch, structurally: the probe plan reads
+        # the banded parquet and the batch parquet — the corpus
+        # documents are NEVER rescanned, re-shingled, or re-banded
+        srcs = set(probe.inputFiles())
+        assert any("corpus_bands" in f for f in srcs)
+        assert any(f"crawl_{lo}" in f for f in srcs)
+        assert all("corpus_bands" in f or f"crawl_{lo}" in f for f in srcs)
+
+
 def test_j15_frontier_fallback_matches_broadcast_path(spark, monkeypatch):
     """j15's per-level broadcast guard: forcing every level through the
     shuffle-join fallback must produce the identical hierarchy."""

@@ -378,15 +378,34 @@ def test_task_retry_no_duplicates(tmp_workdir):
 def test_txn_commit_of_unknown_txn_reports_missing(server):
     """Committing a txn id with no staged payload is DATA LOSS, not a
     no-op: the server reports the missing ids so the driver-side
-    committer fails the batch (Pravega fails such commits too). A
-    replayed (group, batch) commit stays a clean duplicate — its txns
-    were consumed by the first commit."""
+    committer fails the batch (Pravega fails such commits too). The
+    failure is ATOMIC (r7 ADVICE): nothing lands, the ledger stays
+    unset, and every staged txn stays staged — so the retried batch
+    (re-staging the lost txn) commits ALL rows exactly once instead of
+    hitting the duplicate-ledger path and dropping them forever."""
     host, port = parse_controller_uri(server.controller_uri)
-    ev = _events(0, 3)
     pravega_rpc(host, port, {"op": "txn_write", "scope": "s2", "stream": "t",
-                             "txn": "ok", "events": ev})
+                             "txn": "ok", "events": _events(0, 3)})
     r = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s2",
-                                 "stream": "t", "txns": ["ok", "ghost"]})
-    assert r["missing"] == ["ghost"] and r["tail"] == 3
-    # the staged txn still landed exactly once
-    assert server.tail("s2", "t") == 3
+                                 "stream": "t", "txns": ["ok", "ghost"],
+                                 "group": "g", "batch": 7})
+    assert r["missing"] == ["ghost"]
+    # atomic: NOTHING visible, "ok" still staged, ledger not advanced
+    assert r["tail"] == 0 and server.tail("s2", "t") == 0
+    # the driver fails the batch; Spark's retry re-stages the lost txn
+    # (and re-delivers "ok" idempotently) and re-commits the SAME
+    # (group, batch_id) — it must NOT be treated as a duplicate
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s2", "stream": "t",
+                             "txn": "ok", "events": _events(0, 3)})
+    pravega_rpc(host, port, {"op": "txn_write", "scope": "s2", "stream": "t",
+                             "txn": "ghost", "events": _events(3, 5)})
+    r2 = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s2",
+                                  "stream": "t", "txns": ["ok", "ghost"],
+                                  "group": "g", "batch": 7})
+    assert r2 == {"tail": 5, "duplicate": False, "missing": []}
+    assert server.tail("s2", "t") == 5
+    # and the NEXT replay of the now-committed batch is a clean duplicate
+    r3 = pravega_rpc(host, port, {"op": "txn_commit", "scope": "s2",
+                                  "stream": "t", "txns": ["ok", "ghost"],
+                                  "group": "g", "batch": 7})
+    assert r3["duplicate"] is True and server.tail("s2", "t") == 5

@@ -28,6 +28,7 @@ from pravega_flink_ai_flow_spark.ml.registry import ModelEvent
 class _StubCursor:
     def __init__(self, cur, log):
         self._cur, self._log = cur, log
+        self._rowcount_override = None
 
     @staticmethod
     def _translate(sql: str) -> str:
@@ -41,7 +42,23 @@ class _StubCursor:
 
     def execute(self, sql, params=()):
         self._log.append(sql)
+        # emulate MySQL's default rowcount semantics for the stage
+        # UPDATE: CHANGED rows, not matched rows (CLIENT_FOUND_ROWS is
+        # off by default) — sqlite counts matched rows, which masked a
+        # real-server bug where an idempotent stage re-set raised
+        # KeyError (r7 ADVICE)
+        self._rowcount_override = None
+        is_stage_update = sql.startswith(
+            "UPDATE model_versions SET current_stage")
+        if is_stage_update:
+            self._cur.execute(
+                "SELECT COUNT(*) FROM model_versions WHERE model_name = ?"
+                " AND version = ? AND current_stage = ?",
+                (params[1], params[2], params[0]))
+            unchanged = self._cur.fetchone()[0]
         self._cur.execute(self._translate(sql), params)
+        if is_stage_update:
+            self._rowcount_override = self._cur.rowcount - unchanged
         return self
 
     def fetchone(self):
@@ -52,6 +69,8 @@ class _StubCursor:
 
     @property
     def rowcount(self):
+        if self._rowcount_override is not None:
+            return self._rowcount_override
         return self._cur.rowcount
 
 
@@ -115,6 +134,25 @@ def test_mysql_lifecycle_and_events(driver):
                                  ModelVersionStage.DEPLOYED)
 
 
+def test_mysql_idempotent_stage_reset_does_not_raise(driver):
+    """Re-setting a version to its CURRENT stage must be a no-op, not a
+    KeyError: MySQL's UPDATE rowcount counts CHANGED rows by default
+    (the stub emulates that), so an existence check keyed on rowcount
+    spuriously saw 'not registered' on a real server while passing on
+    sqlite's matched-rows semantics (r7 ADVICE)."""
+    reg = MySQLModelRegistry(driver=driver, host="h2", database="aiflow")
+    reg.register_model_version("m", "/models/v1")
+    mv = reg.update_model_version("m", 1, ModelVersionStage.DEPLOYED)
+    assert mv.current_stage == ModelVersionStage.DEPLOYED
+    # idempotent re-set: 0 changed rows on MySQL, still a success
+    mv2 = reg.update_model_version("m", 1, ModelVersionStage.DEPLOYED)
+    assert mv2.current_stage == ModelVersionStage.DEPLOYED
+    assert reg.get_deployed_model_version("m").version == 1
+    # a genuinely unknown version still raises
+    with pytest.raises(KeyError):
+        reg.update_model_version("m", 99, ModelVersionStage.DEPLOYED)
+
+
 def test_mysql_emits_mysql_dialect_not_sqlite(driver):
     """The statements sent to the driver must be MySQL SQL: format
     placeholders, INSERT IGNORE, FOR UPDATE on the version allocator —
@@ -170,3 +208,8 @@ def test_open_registry_mysql_uri_routing(monkeypatch, driver):
                     "password": "secret", "database": "aiflow"}
     reg.register_model_version("m", "/p")
     assert reg.versions("m")[0].version == 1
+    # percent-encoded credentials decode before reaching the driver —
+    # a password containing '@' or ':' must authenticate (r7 ADVICE)
+    seen.clear()
+    open_registry("mysql://a%40corp:p%40ss%3Aw@db:3306/aiflow")
+    assert seen["user"] == "a@corp" and seen["password"] == "p@ss:w"

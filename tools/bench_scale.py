@@ -120,9 +120,12 @@ def main() -> None:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in ("total_sf0.1_sec", "total_sf1_sec",
                                           "total_ratio", "super_linear")}))
-    for name, r in sorted(rows.items(), key=lambda kv: -kv[1]["ratio_10x_data"]):
-        print(f"  {r['ratio_10x_data']:6.2f}x  {r['sf0.1_sec']:7.3f}s -> "
-              f"{r['sf1_sec']:7.3f}s  {name}")
+    # ratio can be None when a sub-ms steady median rounds to 0.0 —
+    # don't let the report print crash after the artifact is written
+    for name, r in sorted(rows.items(),
+                          key=lambda kv: -(kv[1]["ratio_10x_data"] or 0.0)):
+        print(f"  {r['ratio_10x_data'] or 0.0:6.2f}x  "
+              f"{r['sf0.1_sec']:7.3f}s -> {r['sf1_sec']:7.3f}s  {name}")
     spark.stop()
 
 

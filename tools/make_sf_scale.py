@@ -104,8 +104,12 @@ def _copy(tbl_name: str, t: pa.Table, k: int, off: dict[str, int]) -> pa.Table:
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO,
-                                                             "testdata_sf1")
+    # default matches bench_scale.py's expectation (and the gitignored
+    # testdata_scale/ prefix) — the tools previously disagreed, so the
+    # documented default workflow generated into a dir the bench never
+    # read (r7 ADVICE)
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "testdata_scale", "sf1")
     k_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     off = _offsets(src)
