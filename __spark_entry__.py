@@ -64,29 +64,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) all 38 r3-stale queries (the f_* scalar families, j-block,
 #       l1/l2/l3 core, a6-a9);
 #   (c) padded to exactly 50 with the 8 name-ordered oldest r4 greens.
-# ROUND 8 PLAN: promote any r7 reds + new queries, pad with the
-# then-stalest (the remaining r4 block: o/p/t3-t7/tpch/u/w).
+# ROUND 7 recorded its window clean: 49 hash-green + 1 rows-only-by-
+# design (l2_simhash_pairs, no_oracle), 0 red (CORRECTNESS_r07). After
+# r7 the staleness census is: 50 @ r7, 46 @ r6, 50 @ r5, 39 @ r4.
+#
+# ROUND 8 (this round): no r7 reds to re-prove, so `_PROMOTED` =
+#   (a) l6_duplicate_spans, whose DECLARED PLAN changed this round
+#       (the r7 measured scale-killer: single Arrow gram-hash pass +
+#       window min≠max dup flag replaces the agg+join double-compute) —
+#       its r6 green no longer covers the shipped code;
+#   (b) all 39 r4-stale queries (the TPC-H block, w1-w8, u-block,
+#       p4/p5, t3/t4/t7);
+#   (c) padded to exactly 50 with the 10 name-ordered oldest r5 greens.
+# ROUND 9 PLAN: promote any r8 reds + new/re-planned queries, pad with
+# the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
+# o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4).
 _PROMOTED = frozenset({
-    # (a) plans changed in round 7 — gate must re-prove the new code
-    "a16_equidepth_histogram", "j15_recursive_hierarchy",
-    "l2_incremental_dedup", "l4_pmi_collocations",
-    # (b) last driver record r3
-    "a6_positional_aggs", "a7_stats", "a8_having", "a9_pivot",
-    "f_array", "f_bitwise", "f_cast", "f_conditional", "f_datetime",
-    "f_explode_wordcount", "f_json", "f_map", "f_math",
-    "f_pandas_udf_normalize", "f_string", "f_vector_dot",
-    "j10_interval_join_batch", "j11_salted_skew_join",
-    "j12_null_safe_join", "j1_inner_join", "j2_broadcast_dim_join",
-    "j3_large_large_join", "j4_full_outer_join", "j4_outer_join",
-    "j5_semi_join", "j6_anti_join", "j7_cross_join", "j8_band_join",
-    "j9_asof_join", "l1_exact_dedup", "l2_dedup_clusters",
-    "l2_dedup_keep", "l2_edit_distance_pairs", "l2_minhash_lsh_pairs",
-    "l2_ngram_jaccard_pairs", "l2_simhash_pairs", "l3_brute_force_topk",
-    "l3_ivf_topk",
-    # (c) pads: name-ordered oldest r4 greens
-    "m2_knn_predict", "m3_model_accuracy", "o1_multi_key_sort",
-    "o2_top_n", "o3_topk_per_group", "p1_expression_select",
-    "p2_identity_stage", "p3_column_split",
+    # (a) plan changed in round 8 — gate must re-prove the new code
+    "l6_duplicate_spans",
+    # (b) last driver record r4
+    "p4_filter_predicates", "p5_case_when", "t3_tumbling_window",
+    "t4_sliding_window", "t7_dedup_by_key", "tpch_q10", "tpch_q11",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21",
+    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "u1_union_all", "u2_union_distinct",
+    "u3_intersect", "u3_intersect_all", "u4_except_all",
+    "u5_distinct_dropdup", "w1_row_number", "w2_rank_dense_ntile",
+    "w3_lag_lead", "w4_running_sum", "w5_moving_avg", "w6_range_frame",
+    "w7_first_last_value", "w8_percent_rank_cume_dist",
+    # (c) pads: name-ordered oldest r5 greens
+    "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
+    "f_regex", "j13_asof_tolerance", "l3_cosine_near_dup",
+    "l4_bigram_lm_score", "l4_bpe_token_count", "l4_doc_chunking",
+    "l4_fingerprint",
 })
 
 

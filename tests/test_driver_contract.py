@@ -50,13 +50,9 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 6: approximate ANN (ivf-kmeans, pq), the corpus-trained
-    # quality classifier, softmax predict, PCA projection, the two
-    # sketch/percentile pads, and the trained-BPE tokenizer (iterative
-    # merge learning) are rows-only BY DESIGN (no exact SQL equivalent)
-    assert rows_only == {"a13_approx_percentile", "a4_approx_count_distinct",
-                         "l3_ivf_kmeans_topk", "l3_pq_topk",
-                         "l4_bpe_trained_tokenize",
-                         "l6_quality_classifier", "m5_softmax_predict",
-                         "m6_pca_project"}, \
-        sorted(rows_only)
+    # round 8 window: only the mergeable-HLL sketch pad is rows-only BY
+    # DESIGN (approximate cardinality, no exact SQL equivalent). Any
+    # commit that touches _PROMOTED must update this set in the SAME
+    # commit and re-run the suite — r7 shipped red by skipping that
+    # (VERDICT r7 wrong #1).
+    assert rows_only == {"a14_hll_mergeable_sketch"}, sorted(rows_only)
