@@ -1,0 +1,620 @@
+"""Pure-python/numpy baseline JPEG codec (SURVEY.md L5) — closes the
+multimodal seam the L5 row carried since round 5: image decode no
+longer requires an external codec library for JFIF/baseline files.
+
+Scope (ITU-T T.81 baseline sequential DCT):
+
+- ``decode_jpeg``: JFIF/EXIF baseline files — 8-bit samples, Huffman
+  entropy coding, 1 or 3 components, any sampling factors up to 2×2
+  (4:4:4, 4:2:2, 4:2:0), restart intervals, multi-table DQT/DHT
+  segments. Huffman + quant tables are read FROM THE FILE (decoding
+  does not assume the encoder's table constants). Progressive,
+  arithmetic-coded and 12-bit files raise ``NotImplementedError`` —
+  they are a different coding process, not baseline.
+- ``encode_jpeg``: baseline encoder used to synthesize test fixtures
+  and declared-query payloads — Annex K quant tables scaled by the
+  libjpeg quality formula, Annex K Huffman tables, grayscale or
+  JFIF-YCbCr color, optional 4:2:0 subsampling and restart intervals.
+
+Determinism contract (what the hash-checked declared query rides on):
+at quality 100 every quantizer step is 1, so a grayscale image whose
+8×8 blocks are each CONSTANT round-trips bit-exactly — the DCT of a
+constant block is DC-only, integer DC survives quantization exactly,
+and the DC-only IDCT reconstructs the constant (float noise ~1e-13
+cannot flip the final integer rounding). Color images additionally
+round through YCbCr, so they are near-exact, not exact.
+
+The per-block entropy loops are python-speed — the decode path is for
+Arrow-batched ``mapInPandas`` over SMALL media payloads (thumbnails,
+fixtures). A production 100 TB ingest would swap this seam for a
+native codec via the same ``decode_image`` entry point; the Spark-side
+plumbing (binary columns, batch sizing, UDF signatures) is identical.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag position -> raster index (T.81 Figure A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 base quantization tables (raster order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: forward F = M·B·Mᵀ, inverse
+    B = Mᵀ·F·M."""
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def quality_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality → quant-table scaling (jcparam.c formula)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """JPEG canonical Huffman assignment (T.81 C.2): symbol →
+    (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:            # byte stuffing
+                self.buf.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)   # pad with 1-bits
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Amplitude coding (T.81 F.1.2.1): value → (ssss size, appended
+    bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, dc_pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    zz = block.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - dc_pred
+    s, amp = _magnitude(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(amp, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, ln = ac_codes[0x00]          # EOB
+                bw.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_codes[0xF0]          # ZRL
+                bw.write(code, ln)
+                run = 0
+            continue
+        s, amp = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(amp, s)
+        run = 0
+    return int(zz[0])
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    payload = bytes([tq]) + bytes(int(v) for v in table.reshape(-1)[ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) → (h/8, w/8, 8, 8) view-ish block array (h, w multiples
+    of 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _pad_to(arr: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (mh, mw) — the standard MCU pad."""
+    h, w = arr.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    return arr
+
+
+def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 array (h×w grayscale, h×w×1, or h×w×3 RGB) → baseline JFIF
+    JPEG bytes. ``subsample=True`` uses 4:2:0 chroma (2×2 luma sampling);
+    ``restart_interval`` > 0 inserts RSTn markers every that many MCUs."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qluma = quality_quant(QUANT_LUMA, quality)
+    qchroma = quality_quant(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        if arr.shape[2] != 3:
+            raise ValueError("expected h×w, h×w×1 or h×w×3 pixels")
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # 2×2 box-average chroma (pad odd dims by edge first)
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                  + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2]
+                  + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad each plane to its own MCU-aligned size
+    qtabs = [qluma, qchroma]
+    comp_blocks = []
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        ph = -(-h * sv // vmax)     # ceil of the plane's natural height
+        pw = -(-w * sh // hmax)
+        p = p[:ph, :pw] if p.shape == (ph, pw) else p
+        p = _pad_to(p, 8 * sv, 8 * sh)
+        blocks = _plane_blocks(p - 128.0)
+        coefs = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, blocks, _DCT_M)
+        q = qtabs[qsel[ci]].astype(np.float64)
+        comp_blocks.append(np.round(coefs / q).astype(np.int64))
+
+    dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+                _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+                _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    mcu_i = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                sh, sv = samp[ci]
+                tsel = qsel[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw, blk, preds[ci],
+                            dc_codes[tsel], ac_codes[tsel])
+            mcu_i += 1
+    bw.pad_to_byte()
+
+    out = bytearray(b"\xff\xd8")                                # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += _dqt_segment(0, qluma)
+    if not gray:
+        out += _dqt_segment(1, qchroma)
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tsel = qsel[ci]
+        sos += bytes([ci + 1, (tsel << 4) | tsel])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw.buf
+    out += b"\xff\xd9"                                          # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-stuffing marker (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker: entropy data ends here — per T.81 the
+                # decoder may need trailing pad bits; feed 1-bits
+                self.marker = nxt
+                self._acc = (self._acc << 8) | 0xFF
+                self._n += 8
+                return
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, which: int) -> None:
+        """Skip to the RSTn marker at a restart boundary and consume
+        it."""
+        self._acc = 0
+        self._n = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                if 0xD0 <= m <= 0xD7:
+                    if m - 0xD0 != which:
+                        raise ValueError("restart marker out of sequence")
+                    self.pos += 2
+                    self.marker = None
+                    return
+                raise ValueError(f"expected RST marker, found {m:02x}")
+            self.pos += 1
+        raise ValueError("truncated JPEG: missing restart marker")
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) → symbol decode map, keyed as (length, code)."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s appended bits back to a signed
+    value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG bytes → (width, height, channels, uint8 array
+    h×w×channels). See module docstring for scope."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(content)
+
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", content[pos:pos + 2])
+        seg = content[pos + 2:pos + seglen]
+        if marker == 0xDB:                       # DQT (possibly several)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                sp += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables (12-bit "
+                                              "JPEG) are not baseline")
+                if len(seg) < sp + 64:
+                    raise ValueError("truncated JPEG DQT segment")
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = np.frombuffer(seg[sp:sp + 64], np.uint8)
+                qtabs[tq] = t.reshape(8, 8)
+                sp += 64
+        elif marker == 0xC4:                     # DHT (possibly several)
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                bits = list(seg[sp + 1:sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17:sp + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decoder(bits,
+                                                                      vals)
+                sp += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+            depth = seg[0]
+            if depth != 8:
+                raise NotImplementedError("only 8-bit JPEG is supported")
+            fh, fw = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sampling >> 4,
+                              "v": sampling & 0x0F, "tq": tq})
+            frame = (fw, fh, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/lossless JPEG is not baseline "
+                f"(SOF marker ff{marker:02x})")
+        elif marker == 0xDD:                     # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                     # SOS → entropy data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fw, fh, comps = frame
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tsel = seg[1 + 2 * si:3 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tsel >> 4, tsel & 0x0F))
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            planes = {}
+            for c in comps:
+                planes[c["id"]] = np.zeros(
+                    (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                    dtype=np.float64)
+            br = _BitReader(content, pos + seglen)
+            preds = {c["id"]: 0 for c in comps}
+            rst = 0
+            mcu_i = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (restart_interval and mcu_i
+                            and mcu_i % restart_interval == 0):
+                        br.align_and_expect_rst(rst)
+                        rst = (rst + 1) % 8
+                        preds = {c["id"]: 0 for c in comps}
+                    for comp, tdc, tac in scan:
+                        q = qtabs[comp["tq"]].astype(np.float64)
+                        dct = huff_dc[tdc]
+                        act = huff_ac[tac]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                zz = np.zeros(64, dtype=np.float64)
+                                s = _read_symbol(br, dct)
+                                diff = _extend(br.bits(s), s) if s else 0
+                                preds[comp["id"]] += diff
+                                zz[0] = preds[comp["id"]]
+                                k = 1
+                                while k < 64:
+                                    rs = _read_symbol(br, act)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break          # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC index overflow")
+                                    zz[k] = _extend(br.bits(s), s)
+                                    k += 1
+                                blk = np.zeros(64, dtype=np.float64)
+                                blk[ZIGZAG] = zz
+                                blk = blk.reshape(8, 8) * q
+                                px = _DCT_M.T @ blk @ _DCT_M + 128.0
+                                p = planes[comp["id"]]
+                                y0 = (my * comp["v"] + by) * 8
+                                x0 = (mx * comp["h"] + bx) * 8
+                                p[y0:y0 + 8, x0:x0 + 8] = px
+                    mcu_i += 1
+            # upsample sub-sampled planes by pixel replication, crop
+            out_planes = []
+            for c in comps:
+                p = planes[c["id"]]
+                ry, rx = vmax // c["v"], hmax // c["h"]
+                if ry > 1 or rx > 1:
+                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+                out_planes.append(p[:fh, :fw])
+            if len(out_planes) == 1:
+                pix = np.clip(np.round(out_planes[0]), 0, 255) \
+                    .astype(np.uint8)[:, :, None]
+                return fw, fh, 1, pix
+            if len(out_planes) == 3:
+                y, cb, cr = out_planes
+                r = y + 1.402 * (cr - 128.0)
+                g = (y - 0.344136 * (cb - 128.0)
+                     - 0.714136 * (cr - 128.0))
+                b = y + 1.772 * (cb - 128.0)
+                pix = np.clip(np.round(np.stack([r, g, b], axis=2)),
+                              0, 255).astype(np.uint8)
+                return fw, fh, 3, pix
+            raise NotImplementedError(
+                f"{len(out_planes)}-component JPEG (CMYK?) not supported")
+        pos += seglen
+    raise ValueError("JPEG contained no scan (missing SOS)")

@@ -1,0 +1,153 @@
+"""Pure-python baseline JPEG codec (SURVEY.md L5 — the r7 verdict's one
+remaining seam). No reference codec ships in this container, so the
+suite leans on properties a paired encoder/decoder bug could NOT fake:
+the quality-100 DC-only exactness contract (integer arithmetic survives
+the float DCT round-trip), format invariants (restart markers, byte
+stuffing, table-from-file decoding), and decode-side rejection of
+non-baseline processes.
+"""
+
+import numpy as np
+import pytest
+
+from pravega_flink_ai_flow_spark.ops.jpeg import (
+    QUANT_LUMA, decode_jpeg, encode_jpeg, quality_quant,
+)
+from pravega_flink_ai_flow_spark.ops.multimodal import decode_image
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return (96 + 60 * np.sin(x / 20.0)
+            + 50 * np.cos(y / 15.0)).clip(0, 255).astype(np.uint8)
+
+
+def test_quality100_block_constant_grayscale_is_exact():
+    """The declared-query contract: at quality 100 every quantizer step
+    is 1, a constant 8×8 block is DC-only, and grayscale skips the
+    YCbCr rounding — so block-constant images round-trip BIT-exactly."""
+    rng = np.random.RandomState(7)
+    blocks = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    w, h, c, arr = decode_jpeg(encode_jpeg(px, 100))
+    assert (w, h, c) == (24, 40, 1)
+    assert np.array_equal(arr[:, :, 0], px)
+
+
+def test_quality100_exactness_holds_at_non_mcu_sizes():
+    """Edge-replication padding must not leak into the cropped output:
+    the same exactness at sizes that are not multiples of 8 — provided
+    each (possibly partial) 8×8 tile is still constant."""
+    blocks = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:19, :27]
+    w, h, c, arr = decode_jpeg(encode_jpeg(px, 100))
+    assert (w, h) == (27, 19)
+    assert np.array_equal(arr[:, :, 0], px)
+
+
+def test_smooth_grayscale_error_bounds_by_quality():
+    """Reconstruction error must shrink with quality and stay tiny for
+    a band-limited image — the standard codec sanity curve."""
+    px = _gradient(48, 64)
+    last = None
+    for q in (50, 75, 90, 100):
+        _, _, _, arr = decode_jpeg(encode_jpeg(px, q))
+        err = np.abs(arr[:, :, 0].astype(int) - px.astype(int))
+        assert err.max() <= 8 and err.mean() <= 2.0
+        if last is not None:
+            assert err.mean() <= last + 0.05   # monotone-ish in quality
+        last = err.mean()
+    assert last <= 0.1                          # q=100 is near-lossless
+
+
+def test_rgb_roundtrip_444_and_420():
+    px = np.stack([_gradient(40, 56), np.roll(_gradient(40, 56), 9, 0),
+                   255 - _gradient(40, 56)], axis=2)
+    _, _, c, a444 = decode_jpeg(encode_jpeg(px, 90))
+    assert c == 3
+    err = np.abs(a444.astype(int) - px.astype(int))
+    assert err.mean() <= 3.0
+    # 4:2:0 at an odd size: dims survive, luma stays close, chroma is
+    # box-averaged so the bound is looser
+    odd = px[:37, :51]
+    w, h, c, a420 = decode_jpeg(encode_jpeg(odd, 90, subsample=True))
+    assert (w, h, c) == (51, 37, 3) and a420.shape == (37, 51, 3)
+    err = np.abs(a420.astype(int) - odd.astype(int))
+    assert err.mean() <= 6.0
+
+
+def test_restart_intervals_decode_identically():
+    """DRI/RSTn handling: restarts change the byte stream (markers +
+    DC-predictor resets) but must not change the decoded pixels."""
+    px = _gradient(40, 64)
+    plain = encode_jpeg(px, 85)
+    with_rst = encode_jpeg(px, 85, restart_interval=2)
+    assert plain != with_rst
+    assert any(0xD0 <= with_rst[i + 1] <= 0xD7
+               for i in range(len(with_rst) - 1) if with_rst[i] == 0xFF)
+    _, _, _, a = decode_jpeg(plain)
+    _, _, _, b = decode_jpeg(with_rst)
+    assert np.array_equal(a, b)
+
+
+def test_decoder_reads_tables_from_file_not_constants():
+    """A custom (non-Annex-K) quant table must round-trip through the
+    DQT segment: doubling the table halves the coefficients the decoder
+    reconstructs — provable via the q-100-vs-q-50 DC step on a constant
+    image 8 grey levels apart."""
+    # quality 50 keeps the Annex K table verbatim; quality 100 is all-1s
+    assert np.array_equal(quality_quant(QUANT_LUMA, 50), QUANT_LUMA)
+    assert quality_quant(QUANT_LUMA, 100).max() == 1
+    # DC quant step at q50 is 16: constant images 8 apart (half a step)
+    # can decode to the same plane, while q100 must distinguish ALL
+    a = np.full((8, 8), 100, dtype=np.uint8)
+    b = np.full((8, 8), 104, dtype=np.uint8)   # 8(104-100)/16 rounds away
+    _, _, _, da100 = decode_jpeg(encode_jpeg(a, 100))
+    _, _, _, db100 = decode_jpeg(encode_jpeg(b, 100))
+    assert da100[0, 0, 0] == 100 and db100[0, 0, 0] == 104
+    _, _, _, da50 = decode_jpeg(encode_jpeg(a, 50))
+    assert abs(int(da50[0, 0, 0]) - 100) <= 2   # quantized to the 16-grid
+
+
+def test_byte_stuffing_survives():
+    """Entropy bytes equal to 0xFF must be stuffed (FF 00) and
+    unstuffed — exercised by an image tuned to emit many 1-bits."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    enc = encode_jpeg(px, 95)
+    _, _, _, arr = decode_jpeg(enc)
+    # noise at q95: not exact, but bounded — and decode must not desync
+    err = np.abs(arr[:, :, 0].astype(int) - px.astype(int))
+    assert err.mean() <= 12.0
+
+
+def test_decode_image_routes_jpeg_and_rejects_junk():
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    w, h, c, arr = decode_image(encode_jpeg(px, 100))
+    assert (w, h, c) == (8, 8, 1) and arr[0, 0, 0] == 77
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBP")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_non_baseline_processes_raise_not_implemented():
+    """Flipping SOF0 to SOF2 (progressive) must raise
+    NotImplementedError, not mis-decode."""
+    enc = bytearray(encode_jpeg(np.full((8, 8), 50, np.uint8), 90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(enc))
+
+
+def test_truncated_stream_raises_value_error():
+    enc = encode_jpeg(_gradient(16, 16), 90)
+    for cut in (10, 40, len(enc) - 6):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(enc[:cut])
+
+
+def test_encode_is_deterministic():
+    px = _gradient(32, 32)
+    assert encode_jpeg(px, 80) == encode_jpeg(px, 80)
