@@ -204,27 +204,41 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                          num_hashes: int = 64, bands: int = 16,
                          threshold: float = 0.7):
     """Streaming near-duplicate suppression (T7 × L2): per micro-batch,
-    MinHash-sign the new documents, LSH-join them against the accumulated
-    signature store, drop docs whose near-dup (verified Jaccard ≥
-    threshold) already arrived, append survivors' signatures+shingles to
-    the store.
+    MinHash-sign the new documents, find candidates within the batch AND
+    against the accumulated store, drop docs whose near-dup (verified
+    Jaccard ≥ threshold) already arrived, append survivors'
+    signatures+shingles to the store.
 
-    The store is a parquet table of (id, shingles, sig) — at scale,
-    partition it by a band hash so the per-batch candidate join prunes to
-    matching buckets; state never lives in executor memory. Within-batch
-    dups resolve to the smallest id (deterministic); a new doc paired
-    with a stored doc always loses regardless of id (arrival order
-    wins). Runs with ``availableNow`` for the bounded-drain semantics
-    the reference uses (processor.py:108).
+    Re-planned r8 to the PROBE shape (the incremental-dedup split the
+    r7 advice asked to make production-real): alongside the
+    ``(id, shingles, sig)`` verify store the sink maintains a
+    ``<store>_bands`` parquet of pre-banded bucket rows
+    (:func:`~..ops.dedup.lsh_band_table`), so each batch bands ONLY
+    itself and equi-joins the stored table
+    (:func:`~..ops.dedup.lsh_probe_banded`). The previous plan unioned
+    the batch with the FULL store and re-ran the self-join banding over
+    both — O(corpus) of re-banding plus old×old candidate work per
+    batch, exactly the per-batch corpus rescan the banded artifact
+    exists to kill. Per-batch work is now O(batch + matched buckets +
+    candidate verifies); at 100 TB bucket the bands parquet by
+    ``band_sig`` and the store by ``id`` (the s14 layout) so both
+    per-batch joins are co-located.
+
+    Within-batch dups resolve to the smallest id (deterministic); a new
+    doc paired with a stored doc always loses regardless of id (arrival
+    order wins). Runs with ``availableNow`` for the bounded-drain
+    semantics the reference uses (processor.py:108).
 
     Store writes are at-least-once: a batch retried after the parquet
     append but before the checkpoint commit re-appends its survivors —
-    harmless for suppression (duplicate signatures only add candidates
-    that verify against themselves) but dedupe the store by id before
-    using it as an output corpus.
+    harmless for suppression (duplicate signatures/bands only add
+    candidates that verify against themselves) but dedupe the store by
+    id before using it as an output corpus.
     """
     import os
     from ..ops import dedup
+
+    bands_dir = store_dir.rstrip("/") + "_bands"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -235,43 +249,51 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
 
         store_exists = os.path.isdir(store_dir) and any(
             f.endswith(".parquet") for f in os.listdir(store_dir))
-        tagged_new = new.withColumn("__old", F.lit(False))
+        # within-batch candidates: batch-sized self-join (id_a < id_b)
+        cands = (dedup.lsh_candidate_pairs(new.select("id", "sig"),
+                                           num_hashes, bands)
+                 .select("id_a", "id_b", F.lit(False).alias("__ob")))
+        sh_old = None
         if store_exists:
-            old = (spark.read.parquet(store_dir)
-                   .withColumn("__old", F.lit(True)))
-            frame = tagged_new.unionByName(old)
-        else:
-            frame = tagged_new
-        cands = dedup.lsh_candidate_pairs(frame.select("id", "sig"),
-                                          num_hashes, bands)
-        sa = frame.select(F.col("id").alias("id_a"),
-                          F.col("shingles").alias("__sa"),
-                          F.col("__old").alias("__oa"))
-        sb = frame.select(F.col("id").alias("id_b"),
-                          F.col("shingles").alias("__sb"),
-                          F.col("__old").alias("__ob"))
+            # batch × store candidates: probe the pre-banded table —
+            # the store itself is never re-banded or self-joined
+            probe = dedup.lsh_probe_banded(
+                new.select("id", "sig"), spark.read.parquet(bands_dir),
+                num_hashes, bands)
+            cands = cands.unionByName(
+                probe.select(F.col("id_new").alias("id_a"),
+                             F.col("id_corpus").alias("id_b"),
+                             F.lit(True).alias("__ob")))
+            sh_old = spark.read.parquet(store_dir).select("id", "shingles")
+        sh = new.select("id", "shingles")
+        sh_b = sh.unionByName(sh_old) if sh_old is not None else sh
+        sa = sh.select(F.col("id").alias("id_a"),
+                       F.col("shingles").alias("__sa"))
+        sb = sh_b.select(F.col("id").alias("id_b"),
+                         F.col("shingles").alias("__sb"))
         n_common = F.size(F.array_intersect("__sa", "__sb"))
         verified = (cands.join(sa, "id_a").join(sb, "id_b")
                     .withColumn("j", n_common /
                                 (F.size("__sa") + F.size("__sb") - n_common))
                     .filter(F.col("j") >= threshold))
-        # arrival order wins: a NEW doc paired with an OLD doc is the dup
-        # regardless of ids; between two new docs the larger id loses
-        # (cands guarantee id_a < id_b)
+        # arrival order wins: id_a is always NEW; a new doc paired with
+        # a stored doc (__ob) is the dup regardless of ids; between two
+        # new docs the larger id loses (cands guarantee id_a < id_b)
         dup_ids = (verified.select(
-            F.when(F.col("__oa") & ~F.col("__ob"), F.col("id_b"))
-             .when(~F.col("__oa") & F.col("__ob"), F.col("id_a"))
-             .when(~F.col("__oa") & ~F.col("__ob"), F.col("id_b"))
-             .alias("id"))
-            .filter(F.col("id").isNotNull())
+            F.when(F.col("__ob"), F.col("id_a"))
+             .otherwise(F.col("id_b")).alias("id"))
             .distinct())
-        survivors = new.join(dup_ids, "id", "left_anti")
+        survivors = new.join(dup_ids, "id", "left_anti").persist()
         survivors.select("id", "shingles", "sig") \
             .write.mode("append").parquet(store_dir)
+        dedup.lsh_band_table(survivors.select("id", "sig"),
+                             num_hashes, bands, out_id="id_corpus") \
+            .write.mode("append").parquet(bands_dir)
         if out_table is not None:
             kept = batch_df.join(
                 survivors.select(F.col("id").alias(id_col)), id_col, "left_semi")
             kept.write.mode("append").saveAsTable(out_table)
+        survivors.unpersist()
         new.unpersist()
 
     return (stream_df.writeStream

@@ -327,14 +327,31 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
     stream.append(spark.createDataFrame([(1, d1)], doc_schema))
     drain("ck")
     # same checkpoint → second run processes only the new files
+    d3 = "completely unrelated text about query engines and shuffles here"
     stream.append(spark.createDataFrame(
         [(2, d1.replace("morning", "evening")),            # near-dup of 1
-         (3, "completely unrelated text about query engines and shuffles here")],
+         (3, d3)],
         doc_schema))
     drain("ck")
 
     kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert kept == {1, 3}
+    # r8 probe shape: the sink maintains a pre-banded bucket table so
+    # later batches band only themselves and probe it (never re-band
+    # the store); its ids are exactly the kept ids
+    banded = spark.read.parquet(store + "_bands")
+    assert set(banded.columns) == {"id_corpus", "band_id", "band_sig"}
+    assert {r.id_corpus for r in banded.select("id_corpus")
+            .distinct().collect()} == {1, 3}
+    # a third drain dedups against keepers from BOTH earlier batches
+    stream.append(spark.createDataFrame(
+        [(4, d3.replace("here", "today")),                 # near-dup of 3
+         (5, d1.replace("morning", "evening")),            # near-dup of 1
+         (6, "fresh subject matter entirely about window frames and sorts")],
+        doc_schema))
+    drain("ck")
+    kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert kept == {1, 3, 6}
 
 
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
