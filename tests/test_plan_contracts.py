@@ -247,3 +247,23 @@ def test_a16_no_global_window_sort(spark):
     assert "ntile" not in plan
     # the offsets table (one row per partition) rides in as a broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_l6_duplicate_spans_single_arrow_gram_pass(spark):
+    """l6's r8 re-plan (the r7 measured scale-killer, 13.9-17x wall at
+    10x data): grams must be built by ONE MapInArrow tokenize+hash pass
+    — no Generate/posexplode of an interpreted HOF gram array (the old
+    plan built it twice, once per side of its agg+join), no Python row
+    UDF — and the whole query fits an exchange budget of 4 (spread
+    repartition, gram-hash window, per-doc island window, final
+    order)."""
+    import re
+    plan = _plan(spark, "l6_duplicate_spans")
+    assert "MapInArrow" in plan
+    assert "Generate" not in plan          # no posexplode re-compute
+    assert "BatchEvalPython" not in plan
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 4, f"{n} exchanges > 4"
+    # and only ONE Arrow pass: the gram frame is never recomputed
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan,
+                          re.MULTILINE)) == 1
