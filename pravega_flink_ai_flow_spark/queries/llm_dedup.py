@@ -417,6 +417,108 @@ def l6_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l6_dup_span_removal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+              FROM toks)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + d.r AS tpos
+        FROM dpos, unnest(generate_series(0, 7)) d(r)
+    ),
+    tok_pos AS (
+        SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.tpos, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = tp.doc_id
+                            AND c.tpos = tp.tpos)
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT)                 AS n_tokens,
+           CAST(len(t.t) - COUNT(k.tok) AS BIGINT)  AS n_removed,
+           sha256(COALESCE(string_agg(k.tok, ' ' ORDER BY k.tpos), ''))
+                                                    AS cleaned_sha
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.t)
+    ORDER BY t.doc_id
+    """,
+    survey_ids=("L2", "L4", "F6"),
+)
+def l6_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb 'remove duplicated substrings' — the TRANSFORM
+    companion of :func:`l6_duplicate_spans` (which only detects): every
+    token covered by any cross-document duplicate word-8-gram is
+    dropped and the cleaned document is reassembled from the surviving
+    tokens in order. Emits ``(doc_id, n_tokens, n_removed,
+    cleaned_sha)`` — sha256 of the cleaned text rather than the text
+    itself so the driver hashes a fixed-width value, making any
+    reconstruction bug (ordering, off-by-one span edges, dropped
+    all-covered docs) flip the gate.
+
+    Scale shape: the same single Arrow gram-hash pass as
+    l6_duplicate_spans (8-byte keys, one window min≠max dup flag);
+    covered token positions explode from flagged gram starts only
+    (≤ 8× the duplicated-gram count, not the corpus); the kept-token
+    anti-join and the per-doc ordered reassembly
+    (``array_sort(collect_list(struct(pos, tok)))``) shuffle skinny
+    (doc_id, pos, token) rows once. No doc×doc comparison anywhere."""
+    from ..ops.text import tokens, word_ngram_hash_frame
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    spread_docs = dedup.spread(docs)
+    grams = word_ngram_hash_frame(spread_docs, id_col="doc_id",
+                                  text_col="text", n=8)
+    from pyspark.sql import Window
+    gw = Window.partitionBy("gh")
+    dpos = (grams
+            .withColumn("__dup",
+                        F.min("doc_id").over(gw) != F.max("doc_id").over(gw))
+            .filter(F.col("__dup"))
+            .select("doc_id", "pos"))
+    covered = (dpos.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tpos"))
+        .distinct())
+    toks = spread_docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("tpos", "tok"))
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    cleaned = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("__n_kept"),
+                    F.sha2(F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("tpos", "tok"))),
+                            lambda s: s["tok"]), " "), 256)
+                    .alias("__sha")))
+    base = docs.select("doc_id",
+                       F.size(tokens(F.col("text"))).cast("long")
+                       .alias("n_tokens"))
+    return (base.join(cleaned, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("__n_kept"), F.lit(0)))
+                    .alias("n_removed"),
+                    F.coalesce(F.col("__sha"), F.sha2(F.lit(""), 256))
+                    .alias("cleaned_sha"))
+            .orderBy("doc_id"))
+
+
+@declared(
     "l2_incremental_dedup",
     oracle=f"""
     WITH {_SHINGLES_CTE},
