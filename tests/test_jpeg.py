@@ -151,3 +151,27 @@ def test_truncated_stream_raises_value_error():
 def test_encode_is_deterministic():
     px = _gradient(32, 32)
     assert encode_jpeg(px, 80) == encode_jpeg(px, 80)
+
+
+def test_quality100_exactness_fuzz():
+    """Property form of the declared-query contract: ANY block-constant
+    grayscale image round-trips bit-exactly at quality 100 — arbitrary
+    block grids, values, and crops (partial edge tiles stay constant
+    under edge-replication padding)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 7),
+           st.integers(0, 7), st.integers(0, 2**31 - 1))
+    def check(bw, bh, cut_x, cut_y, seed):
+        rng = np.random.RandomState(seed)
+        blocks = rng.randint(0, 256, (bh, bw), dtype=np.uint8)
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        h = bh * 8 - cut_y
+        w = bw * 8 - cut_x
+        px = px[:h, :w]
+        dw, dh, c, arr = decode_jpeg(encode_jpeg(px, 100))
+        assert (dw, dh, c) == (w, h, 1)
+        assert np.array_equal(arr[:, :, 0], px)
+
+    check()
