@@ -545,6 +545,7 @@ def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (applicationId, sf_dir) -> whether the bigram probability table fits
 # the broadcast budget (see the guard in l4_bigram_lm_score).
 _BIGRAM_BCAST_CACHE: dict[tuple[str, str], bool] = {}
+_DSIR_BCAST_CACHE: dict[tuple[str, str], bool] = {}
 
 
 @declared(
@@ -645,6 +646,109 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.avg("__lp").alias("mean_log2p"))
+            .orderBy("doc_id"))
+
+
+@declared(
+    "l6_dsir_importance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t != ''),
+                   t -> lower(t)) AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(ws, (w, i) ->
+                           struct_pack(w1 := w, w2 := ws[i + 1])),
+                       b -> b.w2 IS NOT NULL) AS bs
+            FROM toks WHERE len(ws) >= 2
+        ) t, unnest(t.bs) AS u(b)
+    ),
+    cnt AS (
+        SELECT w1, w2,
+               COUNT(*) FILTER (WHERE doc_id % 10 = 0)  AS tc,
+               COUNT(*) FILTER (WHERE doc_id % 10 != 0) AS sc
+        FROM bigrams GROUP BY w1, w2
+    ),
+    tot AS (SELECT SUM(tc) AS tt, SUM(sc) AS st, COUNT(*) AS v FROM cnt)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           AVG(log2(CAST(c.tc + 1 AS DOUBLE) / (t.tt + t.v))
+               - log2(CAST(c.sc + 1 AS DOUBLE) / (t.st + t.v)))
+             AS importance
+    FROM bigrams b
+    JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+    CROSS JOIN tot t
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    survey_ids=("L4", "L6", "A1", "J1"),
+)
+def l6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, arXiv:2302.03169 — "Data Selection for Language Models via
+    Importance Resampling"): fit two add-one-smoothed bigram LMs — one
+    on the TARGET domain (here the doc_id % 10 == 0 split, the same
+    convention as the decontam benchmark split) and one on the SOURCE
+    (the rest) — and score every document by its mean per-bigram
+    log-importance ``log p_target(b) − log p_source(b)``. High scores
+    mark raw documents that look like the target domain; a sampler
+    keeps source docs with probability ∝ exp(importance). (The paper
+    hashes n-grams into buckets; here the bigram IS the bucket so the
+    DuckDB oracle shares the feature space exactly — hashing only
+    changes the count-table key, the selection math is identical.)
+
+    Scale shape mirrors :func:`l4_bigram_lm_score`: one pass builds the
+    corpus bigram stream (persisted — it feeds the count aggregate and
+    the scoring probe), both LMs come from ONE groupBy with filtered
+    counts (vocab-bounded tables), the smoothed log-ratio folds into a
+    single model table joined broadcast (guarded — falls back to a
+    shuffle join past the budget), and the per-doc score is one
+    map-side-combinable aggregate."""
+    from ..ops.partitioning import spread
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    ws = F.transform(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t))
+    toks = (spread(docs).select("doc_id", ws.alias("ws"))
+            .filter(F.size("ws") >= 2))
+    pairs = F.filter(
+        F.transform("ws", lambda w, i:
+                    F.struct(w.alias("w1"), F.get("ws", i + 1).alias("w2"))),
+        lambda b: b["w2"].isNotNull())
+    bigrams = (toks.select("doc_id", F.explode(pairs).alias("b"))
+               .select("doc_id", "b.w1", "b.w2").persist())
+    is_t = (F.col("doc_id") % 10 == 0).cast("long")
+    cnt = (bigrams
+           .groupBy("w1", "w2")
+           .agg(F.sum(is_t).alias("tc"),
+                F.sum(1 - is_t).alias("sc")))
+    tot = cnt.agg(F.sum("tc").alias("tt"), F.sum("sc").alias("st"),
+                  F.count("*").alias("v"))
+    model = (cnt.join(F.broadcast(tot))
+             .select("w1", "w2",
+                     (F.log2((F.col("tc") + 1).cast("double")
+                             / (F.col("tt") + F.col("v")))
+                      - F.log2((F.col("sc") + 1).cast("double")
+                               / (F.col("st") + F.col("v"))))
+                     .alias("__li")))
+    broadcastable = session_memo(
+        _DSIR_BCAST_CACHE, spark, sf_dir,
+        lambda: cnt.count() <= 1_000_000)
+    scoring_model = F.broadcast(model) if broadcastable else model
+    return (bigrams
+            .join(scoring_model, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.avg("__li").alias("importance"))
             .orderBy("doc_id"))
 
 
