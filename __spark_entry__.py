@@ -75,18 +75,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #       its r6 green no longer covers the shipped code — plus the two
 #       NEW queries (never recorded): l5_jpeg_decode (baseline-JPEG
 #       codec, closes the r7 verdict's one remaining seam),
-#       l6_dup_span_removal (C4 duplicated-span REMOVAL transform) and
-#       l6_dsir_importance (DSIR importance weighting);
+#       l6_dup_span_removal (C4 duplicated-span REMOVAL transform),
+#       l6_dsir_importance (DSIR importance weighting) and
+#       l5_mixed_codec_decode (magic-byte codec routing);
 #   (b) all 39 r4-stale queries (the TPC-H block, w1-w8, u-block,
 #       p4/p5, t3/t4/t7);
-#   (c) padded to exactly 50 with the 7 name-ordered oldest r5 greens.
+#   (c) padded to exactly 50 with the 6 name-ordered oldest r5 greens.
 # ROUND 9 PLAN: promote any r8 reds + new/re-planned queries, pad with
 # the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
 # o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4).
 _PROMOTED = frozenset({
     # (a) plan changed / new in round 8 — gate must (re-)prove the code
     "l6_duplicate_spans", "l5_jpeg_decode", "l6_dup_span_removal",
-    "l6_dsir_importance",
+    "l6_dsir_importance", "l5_mixed_codec_decode",
     # (b) last driver record r4
     "p4_filter_predicates", "p5_case_when", "t3_tumbling_window",
     "t4_sliding_window", "t7_dedup_by_key", "tpch_q10", "tpch_q11",
@@ -101,7 +102,6 @@ _PROMOTED = frozenset({
     # (c) pads: name-ordered oldest r5 greens
     "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
     "f_regex", "j13_asof_tolerance", "l3_cosine_near_dup",
-    "l4_bigram_lm_score",
 })
 
 

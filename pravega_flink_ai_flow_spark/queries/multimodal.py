@@ -176,6 +176,79 @@ def l5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l5_mixed_codec_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+               CAST((n_chars % 3 + 1) * 8 AS INTEGER)      AS width,
+               CAST(((doc_id // 2) % 2 + 1) * 8 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT m.doc_id, m.codec, m.width, m.height,
+           (SELECT AVG(CAST((m.doc_id * 41 + (x.r // 8) * 13
+                             + (y.r // 8) * 29) % 256 AS DOUBLE))
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS mean_px,
+           (SELECT CAST(SUM(((m.doc_id * 41 + (x.r // 8) * 13
+                              + (y.r // 8) * 29) % 256)
+                            * (y.r * m.width + x.r)) AS BIGINT)
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS px_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5", "F6"),
+)
+def l5_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format ingest through the ONE decode seam: per doc the
+    payload is encoded as PNG (even doc_id) or baseline JPEG (odd),
+    then decoded by ``ops.multimodal.decode_image`` — which must route
+    by the payload's own magic bytes, exactly how a real binary-column
+    ingest handles a crawl of mixed formats. Block-constant grayscale
+    at JPEG quality 100 keeps BOTH codecs bit-exact, so the formula
+    oracle hash-checks the decoded stats; a routing bug (wrong codec,
+    signature misread) or either codec regressing flips the gate."""
+    from ..ops.jpeg import encode_jpeg
+    from ..ops.multimodal import decode_image, encode_png
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "codec": [], "width": [], "height": [],
+                   "mean_px": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                bw = n_chars % 3 + 1
+                bh = (doc_id // 2) % 2 + 1
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = ((doc_id * 41 + bx * 13 + by * 29)
+                          % 256).astype(np.uint8)
+                px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                if doc_id % 2 == 0:
+                    payload, codec = encode_png(px), "png"
+                else:
+                    payload, codec = encode_jpeg(px, 100), "jpeg"
+                dw, dh, _c, arr = decode_image(payload)
+                flat = arr.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["codec"].append(codec)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["mean_px"].append(float(flat.mean()))
+                out["px_checksum"].append(
+                    int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, codec string, width int, height int, "
+             "mean_px double, px_checksum long")
+        .orderBy("doc_id"))
+
+
+@declared(
     "l5_audio_decode",
     oracle="""
     WITH m AS (
