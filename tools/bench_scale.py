@@ -43,6 +43,9 @@ SLOWEST = [
     "l2_semdedup", "l3_cosine_near_dup", "l3_lsh_topk",
     "l6_duplicate_spans", "a7_stats", "j15_recursive_hierarchy",
     "a16_equidepth_histogram",
+    # r8 additions: every new corpus-heavy query enters the scaling
+    # gate the round it is born
+    "l6_dup_span_removal", "l6_dsir_importance",
 ]
 
 
