@@ -81,6 +81,59 @@ def l3_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "c_id", "cosine", "rank"))
 
 
+@declared(
+    "l3_allpairs_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                     6) AS cosine
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id != b.vec_id
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """,
+    survey_ids=("L3", "O3", "W1"),
+)
+def l3_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine top-k where the query set IS the corpus — the
+    direct declared entry for ``ops/similarity.allpairs_topk_blocked``
+    (previously gate-covered only through t16's correlation wrapper;
+    the r8 ulp-tie determinism fix deserves its own gate). Every
+    unordered block pair lands in one applyInPandas GEMM, each side
+    emits its local top-k, and a window merge yields the global ranking
+    — nothing is collected or broadcast, so the plan holds when the
+    corpus is 100 TB of embeddings. Ranking and emitted scores use
+    ``round_dp=6`` (ties → ascending id), matching the oracle's
+    ``ROUND(cosine, 6)`` ranking exactly; self-pairs are dropped and
+    ranks recomputed over the rounded scores."""
+    from pyspark.sql import Window
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    top = similarity.allpairs_topk_blocked(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=_TOP_K + 1, n_blocks=8, round_dp=6)
+    top = (top.filter(F.col("vec_id_a") != F.col("vec_id_b"))
+           .select(F.col("vec_id_a").alias("q_id"),
+                   F.col("vec_id_b").alias("c_id"), "cosine"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOP_K)
+            .orderBy("q_id", "rank"))
+
+
 def _lsh_oracle(n_tables: int = 16, n_planes: int = 3, dim: int = 64,
                 k: int = _TOP_K) -> str:
     """The LSH pipeline is DETERMINISTIC (fixed hyperplane sign matrix,
