@@ -22,7 +22,7 @@ Construction (copy k = 0..K-1; copy 0 is byte-identical to the input):
   no exact cross-copy duplicate vectors exist.
 
 Usage: python tools/make_sf_scale.py [src_dir] [dst_dir] [K]
-Defaults: /root/testdata/sf0.1  <repo>/testdata_sf1  10
+Defaults: /root/testdata/sf0.1  <repo>/testdata_scale/sf1  10
 """
 
 from __future__ import annotations
