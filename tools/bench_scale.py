@@ -45,7 +45,7 @@ SLOWEST = [
     "a16_equidepth_histogram",
     # r8 additions: every new corpus-heavy query enters the scaling
     # gate the round it is born
-    "l6_dup_span_removal", "l6_dsir_importance",
+    "l6_dup_span_removal", "l6_dsir_importance", "l3_allpairs_topk",
 ]
 
 
