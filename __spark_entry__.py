@@ -77,12 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #       codec, closes the r7 verdict's one remaining seam),
 #       l6_dup_span_removal (C4 duplicated-span REMOVAL transform),
 #       l6_dsir_importance (DSIR importance weighting),
-#       l5_mixed_codec_decode (magic-byte codec routing) and
+#       l5_mixed_codec_decode (magic-byte codec routing),
 #       l3_allpairs_topk (direct gate for the ulp-tie-fixed allpairs
-#       scorer);
+#       scorer), l6_train_test_split (md5-bucket stratified split) and
+#       l3_filtered_topk (metadata-filtered search, filter-before-topk);
 #   (b) all 39 r4-stale queries (the TPC-H block, w1-w8, u-block,
 #       p4/p5, t3/t4/t7);
-#   (c) padded to exactly 50 with the 5 name-ordered oldest r5 greens.
+#   (c) padded to exactly 50 with the 3 name-ordered oldest r5 greens.
 # ROUND 9 PLAN: promote any r8 reds + new/re-planned queries, pad with
 # the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
 # o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4).
@@ -90,6 +91,7 @@ _PROMOTED = frozenset({
     # (a) plan changed / new in round 8 — gate must (re-)prove the code
     "l6_duplicate_spans", "l5_jpeg_decode", "l6_dup_span_removal",
     "l6_dsir_importance", "l5_mixed_codec_decode", "l3_allpairs_topk",
+    "l6_train_test_split", "l3_filtered_topk",
     # (b) last driver record r4
     "p4_filter_predicates", "p5_case_when", "t3_tumbling_window",
     "t4_sliding_window", "t7_dedup_by_key", "tpch_q10", "tpch_q11",
@@ -103,7 +105,6 @@ _PROMOTED = frozenset({
     "w7_first_last_value", "w8_percent_rank_cume_dist",
     # (c) pads: name-ordered oldest r5 greens
     "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
-    "f_regex", "j13_asof_tolerance",
 })
 
 

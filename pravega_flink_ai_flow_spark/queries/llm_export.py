@@ -99,6 +99,60 @@ def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l6_train_test_split",
+    oracle="""
+    WITH labeled AS (
+        SELECT lang, n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT lang, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+    ),
+    agg AS (
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM labeled GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs, sum_chars,
+           n_docs / SUM(n_docs) OVER (PARTITION BY lang) AS lang_frac
+    FROM agg
+    ORDER BY lang, split
+    """,
+    survey_ids=("L4", "A1", "W4"),
+)
+def l6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/valid/test split (80/10/10)
+    with a per-language stratification report. The split key is the
+    first 8 hex digits of ``md5(doc_id)`` mod 100 — the hash-bucket
+    rule real pipelines use so that (a) membership is a pure row
+    expression (map-side, no shuffle, no stored split table), (b) the
+    assignment is stable under appends: new documents never move an
+    existing doc's split, unlike ``ORDER BY random() LIMIT``-style
+    splits. The only shuffle is the tiny (lang, split) aggregate;
+    ``lang_frac`` is a single exact-int division (bit-identical across
+    engines, never rounded — CLAUDE.md rule) exposing how far each
+    language's realized split drifts from 80/10/10."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("bigint") % 100)
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "valid").otherwise("test"))
+    agg = (docs.select("lang", "n_chars", split.alias("split"))
+           .groupBy("lang", "split")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars")))
+    wl = Window.partitionBy("lang")
+    return (agg.withColumn("lang_frac",
+                           F.col("n_docs") / F.sum("n_docs").over(wl))
+            .orderBy("lang", "split"))
+
+
+@declared(
     "l6_shard_assign",
     oracle=f"""
     SELECT doc_id, shard,

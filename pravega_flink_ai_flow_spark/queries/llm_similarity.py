@@ -130,8 +130,71 @@ def l3_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("c_id"))
     return (top.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _TOP_K)
-            .orderBy("q_id", "rank"))
+            .filter(F.col("rank") <= _TOP_K))
+
+
+# (applicationId, sf_dir) -> collected [(q_id, q_vec, q_label), ...]
+_FILTERED_QUERY_CACHE: dict[tuple[str, str], list] = {}
+
+
+@declared(
+    "l3_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               list_dot_product(q.q_vec, CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))) AS cosine
+        FROM q JOIN embeddings c ON c.label = q.q_label
+        WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """,
+    survey_ids=("L3", "P4", "O3"),
+)
+def l3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search: each of the first 10 query
+    vectors retrieves its top-5 cosine neighbors ONLY among corpus
+    vectors sharing its ``label`` — the vector-DB "filtered search"
+    pattern (search within a language / source / tenant), with the
+    filter applied BEFORE top-k selection (post-filtering a global
+    top-k under-fills results). One ``mapInArrow`` corpus pass, one
+    GEMM per (batch, matching key); the corpus is never shuffled or
+    joined, so the plan is a map-only scan at any corpus size."""
+    from pyspark.sql import Window
+
+    def collect():
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        return (emb.filter(F.col("vec_id") < _N_QUERIES)
+                .select("vec_id", "embedding", "label").collect())
+    q_rows = session_memo(_FILTERED_QUERY_CACHE, spark, sf_dir, collect)
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"),
+                        F.col("label").alias("c_key"))
+    out = similarity.filtered_topk_blocked(
+        q_rows, corpus, query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec",
+        query_key="q_key", corpus_key="c_key", k=_TOP_K + 1)
+    out = out.filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id"))
+    return (out.select("q_id", "c_id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOP_K))
 
 
 def _lsh_oracle(n_tables: int = 16, n_planes: int = 3, dim: int = 64,

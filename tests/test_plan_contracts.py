@@ -71,7 +71,8 @@ def test_a1_filter_pushed_to_scan(spark):
         plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
 
 
-@pytest.mark.parametrize("name", ["l3_brute_force_topk", "m2_knn_predict"])
+@pytest.mark.parametrize("name", ["l3_brute_force_topk", "m2_knn_predict",
+                                  "l3_filtered_topk"])
 def test_gemm_scorers_stay_arrow_native(spark, name):
     plan = _plan(spark, name)
     assert "MapInArrow" in plan, "blocked-GEMM scorer regressed off Arrow"
@@ -83,6 +84,7 @@ def test_gemm_scorers_stay_arrow_native(spark, name):
     ("l1_exact_dedup", 1),        # hash-groupBy: one shuffle
     ("j9_asof_join", 2),          # union sort-merge: one key shuffle (+sort)
     ("w4_running_sum", 1),        # one window partitioning
+    ("l3_filtered_topk", 1),      # corpus map-only; 1 window merge shuffle
 ])
 def test_shuffle_count_upper_bounds(spark, name, max_exchanges):
     """Exchange-count budgets for the single-shuffle plans PERFORMANCE.md

@@ -312,3 +312,47 @@ def test_char_entropy_frame_matches_counter_fuzz(spark, texts):
         assert r.n_chars_total == n
         assert r.n_unique_chars == len(c)
         assert abs(r.char_entropy - want_h) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.lists(st.sampled_from([-2.0, -1.0, 0.5, 1.0, 3.0]),
+                       min_size=4, max_size=4),
+              st.integers(min_value=0, max_value=2)),
+    min_size=2, max_size=24, unique_by=lambda t: t[0]))
+def test_filtered_topk_matches_closure_fuzz(spark, data):
+    """filtered_topk_blocked must equal the per-key numpy closure: for
+    every query, rank ONLY same-key corpus rows by (cosine desc, id
+    asc) — i.e. the filter applies BEFORE top-k selection. Fuzz covers
+    keys absent from the query side, keys with fewer than k corpus
+    rows (under-filled groups must emit all their rows, not pad), and
+    exact cosine ties across ids."""
+    import numpy as np
+
+    from pravega_flink_ai_flow_spark.ops import similarity
+
+    k = 3
+    want = {}
+    for qid, qv, qkey in data:
+        qn = np.asarray(qv) / np.linalg.norm(qv)
+        scored = sorted(
+            (-float(qn @ (np.asarray(cv) / np.linalg.norm(cv))), cid)
+            for cid, cv, ckey in data if ckey == qkey)
+        for rank, (neg, cid) in enumerate(scored[:k], start=1):
+            want[(qid, rank)] = (cid, -neg)
+
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>, label long")
+    corpus = df.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"),
+                       F.col("label").alias("c_key"))
+    q_rows = [(qid, qv, qkey) for qid, qv, qkey in data]
+    got = {(r.q_id, r.rank): (r.c_id, r.cosine)
+           for r in similarity.filtered_topk_blocked(
+               q_rows, corpus, k=k).collect()}
+    assert set(got) == set(want)
+    for key, (cid, cos) in want.items():
+        gid, gcos = got[key]
+        assert gid == cid, (key, cid, gid)
+        assert abs(gcos - cos) < 1e-9
