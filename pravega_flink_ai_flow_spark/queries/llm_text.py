@@ -1025,3 +1025,154 @@ def l4_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: bpe.train_bpe(bpe.word_freq(docs), n_merges=40))
     return (bpe.encode_frame(docs.select("doc_id", "text"), merges)
             .orderBy("doc_id"))
+
+
+_FH_DIM = 64    # feature-hashing buckets (HashingTF-style)
+
+
+@declared(
+    "l4_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t != '')) AS term
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+               % {_FH_DIM} AS bucket,
+           COUNT(*) AS tf
+    FROM toks
+    GROUP BY 1, 2
+    ORDER BY doc_id, bucket
+    """,
+    survey_ids=("L4", "A1", "F1"),
+)
+def l4_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (HashingTF, Weinberger 2009): every
+    token maps to ``md5(term) mod dim`` and the document becomes the
+    sparse (doc_id, bucket, tf) triple stream — the text → vector step
+    a training pipeline runs before any linear model or similarity
+    index, emitted in coordinate form (no array columns) so the exact
+    bucketed counts are hash-checked against SQL. The hash is the
+    engine-shared md5 (first 8 hex digits), so the oracle reproduces
+    the EXACT bucketing — this is the declared hash-exact twin of the
+    Arrow ``ops/text.hashed_bow_features`` path that the rows-only
+    quality classifier trains on. Plan: explode → one (doc, bucket)
+    aggregate with map-side combine; no join, no window; collision
+    behavior (buckets summing distinct terms) is inherent to the
+    method and identical on both engines."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    bucket = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+              .cast("bigint") % _FH_DIM)
+    return (docs.select("doc_id", F.explode(toks).alias("term"))
+            .select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("tf"))
+            .orderBy("doc_id", "bucket"))
+
+
+# BM25 search constants (Robertson/Lucene form); terms chosen from the
+# synthetic vocabulary at mixed document frequencies.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("hash", "merge", "vector")
+_BM25_TOP = 20
+
+
+@declared(
+    "l4_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t != '')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('hash', 'merge', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT t.doc_id, t.term,
+               ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                  / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * ((t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (t.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))) AS c
+        FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    pivoted AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN term = 'hash'   THEN c END),
+                        CAST(0 AS DOUBLE)) AS c1,
+               COALESCE(MAX(CASE WHEN term = 'merge'  THEN c END),
+                        CAST(0 AS DOUBLE)) AS c2,
+               COALESCE(MAX(CASE WHEN term = 'vector' THEN c END),
+                        CAST(0 AS DOUBLE)) AS c3
+        FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, score, rank FROM (
+        SELECT doc_id, c1 + c2 + c3 AS score,
+               ROW_NUMBER() OVER (ORDER BY c1 + c2 + c3 DESC, doc_id)
+                   AS rank
+        FROM pivoted
+    ) WHERE rank <= {_BM25_TOP}
+    ORDER BY rank
+    """,
+    survey_ids=("L4", "A1", "O2"),
+)
+def l4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson; the Lucene +1 idf form) for a
+    fixed 3-term query — the lexical-search counterpart of the l3
+    vector queries, and the retrieval primitive a decontamination /
+    curation pipeline runs against its corpus. Cross-engine float
+    determinism by construction: per-(doc, term) contributions are an
+    identical expression tree on both engines (ln matches bit-exact —
+    the l4_tfidf precedent), the per-document sum is NOT a float SUM()
+    (whose accumulation order Spark does not guarantee) but a
+    conditional-MAX pivot to one column per query term added in fixed
+    written order — so scores are bit-identical and need no rounding.
+    Plan: dl/tf/df are map-side-combined aggregates; df and corpus
+    stats are broadcast (vocab-bounded / single row); the top-20 is
+    TakeOrderedAndProject (distributed heap top-k, no global sort) and
+    the rank window runs on the 20 surviving rows only."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    terms = docs.select("doc_id", F.explode(toks).alias("term"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    tf = (terms.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    contrib = idf * ((F.col("tf") * (k1 + F.lit(1.0)))
+                     / (F.col("tf") + k1
+                        * (F.lit(1.0) - b
+                           + b * (F.col("dl") / F.col("avgdl")))))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("c", contrib))
+    pivoted = scored.groupBy("doc_id").agg(*[
+        F.coalesce(F.max(F.when(F.col("term") == t, F.col("c"))),
+                   F.lit(0.0)).alias(f"c{i}")
+        for i, t in enumerate(_BM25_TERMS, start=1)])
+    top = (pivoted
+           .withColumn("score",
+                       F.col("c1") + F.col("c2") + F.col("c3"))
+           .orderBy(F.col("score").desc(), F.col("doc_id"))
+           .limit(_BM25_TOP))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "score", "rank"))
