@@ -234,9 +234,18 @@ def lsh_probe_banded(sig_new: DataFrame, corpus_banded: DataFrame,
     with the SAME (num_hashes, bands) constants, carrying columns
     ``(id_corpus, band_id, band_sig)``.
 
-    Output: distinct (id_new, id_corpus) candidate pairs."""
+    Output: distinct (id_new, id_corpus) candidate pairs with
+    ``id_new != id_corpus`` — equal-id pairs are excluded to match
+    :func:`lsh_candidate_pairs`'s self-pair exclusion (``id_a <
+    id_b``). This matters when the probe side can overlap the stored
+    corpus: a foreachBatch RETRY whose previous attempt already
+    appended the batch to the store would otherwise match every doc
+    against its own stored copy at Jaccard 1.0 and suppress the whole
+    batch — silently dropping it from the retried attempt's downstream
+    writes (the same lost-recovery shape as the r8 txn-commit fix)."""
     return (lsh_band_table(sig_new, num_hashes, bands, out_id="id_new")
             .join(corpus_banded, ["band_id", "band_sig"])
+            .filter(F.col("id_new") != F.col("id_corpus"))
             .select("id_new", "id_corpus")
             .distinct())
 

@@ -353,6 +353,29 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
     kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert kept == {1, 3, 6}
 
+    # RETRY shape (the lsh_probe_banded equal-id exclusion): replay the
+    # whole input against the already-populated store — the situation a
+    # foreachBatch retry hits after its first attempt appended to the
+    # store but died before the checkpoint commit. Every keeper doc now
+    # coexists with its own stored copy (same id); without the
+    # id_new != id_corpus filter each would match ITSELF at Jaccard 1.0
+    # and the retried batch's downstream write would lose all keepers.
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck_retry"),
+        out_table="near_dedup_retry_kept", threshold=0.5)
+    q.awaitTermination()
+    try:
+        kept_out = {r.doc_id for r in spark.table("near_dedup_retry_kept")
+                    .select("doc_id").collect()}
+        assert kept_out == {1, 3, 6}, kept_out
+    finally:
+        spark.sql("DROP TABLE IF EXISTS near_dedup_retry_kept")
+    # the replay re-appends keeper signatures (at-least-once, documented
+    # harmless): the DISTINCT id set is unchanged
+    kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert kept == {1, 3, 6}
+
 
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
     """Continuous-aggregate pattern: partial aggregates appended per
