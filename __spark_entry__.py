@@ -82,12 +82,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #       scorer), l6_train_test_split (md5-bucket stratified split) and
 #       l3_filtered_topk (metadata-filtered search, filter-before-topk),
 #       l4_feature_hashing (md5-exact HashingTF vectorizer) and
-#       l4_bm25_search (BM25 retrieval, fixed-order float pivot);
+#       l4_bm25_search (BM25 retrieval, fixed-order float pivot) and
+#       m8_confusion_matrix (per-class precision/recall validation);
 #   (b) all 39 r4-stale queries (the TPC-H block, w1-w8, u-block,
 #       p4/p5, t3/t4/t7);
-#   (c) padded to exactly 50 with the single oldest r5 green left after
-#       the round's 9 new queries displaced the rest (a14/a15/f_regex/
-#       j13/l3_cosine_near_dup return to the round-9 pad pool).
+#   (c) no pads: the round's 10 new queries fill the window exactly
+#       (a5/a14/a15/f_regex/j13/l3_cosine_near_dup return to the
+#       round-9 pad pool).
 # ROUND 9 PLAN: promote any r8 reds + new/re-planned queries, pad with
 # the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
 # o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4).
@@ -96,7 +97,7 @@ _PROMOTED = frozenset({
     "l6_duplicate_spans", "l5_jpeg_decode", "l6_dup_span_removal",
     "l6_dsir_importance", "l5_mixed_codec_decode", "l3_allpairs_topk",
     "l6_train_test_split", "l3_filtered_topk", "l4_feature_hashing",
-    "l4_bm25_search",
+    "l4_bm25_search", "m8_confusion_matrix",
     # (b) last driver record r4
     "p4_filter_predicates", "p5_case_when", "t3_tumbling_window",
     "t4_sliding_window", "t7_dedup_by_key", "tpch_q10", "tpch_q11",
@@ -108,8 +109,6 @@ _PROMOTED = frozenset({
     "u5_distinct_dropdup", "w1_row_number", "w2_rank_dense_ntile",
     "w3_lag_lead", "w4_running_sum", "w5_moving_avg", "w6_range_frame",
     "w7_first_last_value", "w8_percent_rank_cume_dist",
-    # (c) pad: oldest r5 green
-    "a5_grouping_id",
 })
 
 

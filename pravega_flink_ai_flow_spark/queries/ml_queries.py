@@ -433,3 +433,57 @@ def m7_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("cand") == F.col("actual_lang"), 1)
                      .otherwise(0).alias("is_correct"))
             .orderBy("doc_id"))
+
+
+@declared(
+    "m8_confusion_matrix",
+    oracle=f"""
+    WITH {_KNN_CTE},
+    cm AS (
+        SELECT true_label, pred_label, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    actual AS (SELECT true_label, CAST(SUM(n) AS BIGINT) AS n_actual
+               FROM cm GROUP BY 1),
+    predicted AS (SELECT pred_label, CAST(SUM(n) AS BIGINT) AS n_predicted
+                  FROM cm GROUP BY 1)
+    SELECT c.true_label, c.pred_label, c.n,
+           a.n_actual, p.n_predicted,
+           CASE WHEN c.true_label = c.pred_label
+                THEN c.n / p.n_predicted END AS precision_contrib,
+           CASE WHEN c.true_label = c.pred_label
+                THEN c.n / a.n_actual END AS recall_contrib
+    FROM cm c
+    JOIN actual a USING (true_label)
+    JOIN predicted p ON p.pred_label = c.pred_label
+    ORDER BY c.true_label, c.pred_label
+    """,
+    survey_ids=("M3", "A1", "J2"),
+)
+def m8_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model validation beyond m3's single accuracy number: the full
+    confusion matrix of the KNN predictions plus per-class precision
+    and recall on the diagonal cells — the metric report a model-stage
+    gate (ml/registry's scores-vs-deployed comparison, reference
+    processor.py:188) actually decides on. All counts are exact
+    integers; precision/recall are single exact-int divisions (never
+    rounded — CLAUDE.md rule), NULL off the diagonal so every emitted
+    double is a pure ratio. Plan: one (true, pred) aggregate over the
+    prediction frame, two class-marginal re-aggregates of that tiny
+    matrix (≤ classes² rows) joined back broadcast."""
+    pred = _spark_knn_blocked(spark, sf_dir)
+    cm = (pred.groupBy("true_label", "pred_label")
+          .agg(F.count("*").alias("n")))
+    actual = cm.groupBy("true_label").agg(F.sum("n").alias("n_actual"))
+    predicted = (cm.groupBy("pred_label")
+                 .agg(F.sum("n").alias("n_predicted")))
+    diag = F.col("true_label") == F.col("pred_label")
+    return (cm.join(F.broadcast(actual), "true_label")
+            .join(F.broadcast(predicted), "pred_label")
+            .select("true_label", "pred_label", "n", "n_actual",
+                    "n_predicted",
+                    F.when(diag, F.col("n") / F.col("n_predicted"))
+                     .alias("precision_contrib"),
+                    F.when(diag, F.col("n") / F.col("n_actual"))
+                     .alias("recall_contrib"))
+            .orderBy("true_label", "pred_label"))
