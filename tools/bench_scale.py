@@ -46,6 +46,8 @@ SLOWEST = [
     # r8 additions: every new corpus-heavy query enters the scaling
     # gate the round it is born
     "l6_dup_span_removal", "l6_dsir_importance", "l3_allpairs_topk",
+    "l4_feature_hashing", "l4_bm25_search", "l6_train_test_split",
+    "l3_filtered_topk",
 ]
 
 
