@@ -89,9 +89,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (c) no pads: the round's 10 new queries fill the window exactly
 #       (a5/a14/a15/f_regex/j13/l3_cosine_near_dup return to the
 #       round-9 pad pool).
-# ROUND 9 PLAN: promote any r8 reds + new/re-planned queries, pad with
+# ROUND 9 PLAN: promote any r8 reds + queries still never recorded
+# (m9_feature_drift_psi, born after the r8 window filled), pad with
 # the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
-# o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4).
+# o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4, and the displaced
+# a5/a14/a15/f_regex/j13/l3_cosine_near_dup pads).
 _PROMOTED = frozenset({
     # (a) plan changed / new in round 8 — gate must (re-)prove the code
     "l6_duplicate_spans", "l5_jpeg_decode", "l6_dup_span_removal",

@@ -487,3 +487,70 @@ def m8_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(diag, F.col("n") / F.col("n_actual"))
                      .alias("recall_contrib"))
             .orderBy("true_label", "pred_label"))
+
+
+@declared(
+    "m9_feature_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(least(9, floor(value / 50.0)) AS INTEGER) AS bin,
+               day(ts) % 2 = 0 AS is_base
+        FROM events
+    ),
+    cm AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (WHERE is_base) AS BIGINT)     AS n_base,
+               CAST(COUNT(*) FILTER (WHERE NOT is_base) AS BIGINT) AS n_cur
+        FROM binned GROUP BY 1
+    ),
+    tot AS (
+        SELECT bin, n_base, n_cur,
+               CAST(SUM(n_base) OVER () AS BIGINT) AS tot_base,
+               CAST(SUM(n_cur) OVER () AS BIGINT)  AS tot_cur
+        FROM cm
+    )
+    SELECT bin, n_base, n_cur,
+           (n_base + 1) / (tot_base + 10) AS p_base,
+           (n_cur + 1) / (tot_cur + 10)   AS p_cur,
+           ((n_base + 1) / (tot_base + 10) - (n_cur + 1) / (tot_cur + 10))
+             * ln(((n_base + 1) / (tot_base + 10))
+                  / ((n_cur + 1) / (tot_cur + 10))) AS psi_term
+    FROM tot
+    ORDER BY bin
+    """,
+    survey_ids=("M3", "A1", "W4"),
+)
+def m9_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report — the monitoring check a
+    deployed-model pipeline (the registry's DEPLOYED stage) runs on its
+    feature stream: bin ``events.value`` into 10 fixed-width buckets,
+    compare the even-day baseline cohort against the odd-day current
+    cohort, and emit each bin's add-one-smoothed PSI contribution
+    ``(p - q) * ln(p / q)`` (sum ≥ 0.2 is the conventional alarm).
+    Cross-engine float determinism by construction: p and q are single
+    exact-int divisions (bit-identical, never rounded), ln matches
+    bit-exact (the l4_tfidf precedent), and the report emits PER-BIN
+    terms — there is no cross-bin float SUM to carry an accumulation
+    -order hazard; the caller sums ≤10 doubles. Plan: one map-side
+    -combined (bin, cohort) aggregate, totals via an unpartitioned
+    window over the ≤10-row bin frame (single tiny partition — not a
+    scale concern), everything else a row expression."""
+    (events,) = tables(spark, sf_dir, "events")
+    bin_col = (F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+               .cast("int"))
+    is_base = F.dayofmonth("ts") % 2 == 0
+    cm = (events.select(bin_col.alias("bin"), is_base.alias("is_base"))
+          .groupBy("bin")
+          .agg(F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+               .alias("n_base"),
+               F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
+               .alias("n_cur")))
+    w = Window.partitionBy()
+    tot = (cm.withColumn("tot_base", F.sum("n_base").over(w))
+           .withColumn("tot_cur", F.sum("n_cur").over(w)))
+    p = (F.col("n_base") + 1) / (F.col("tot_base") + 10)
+    q = (F.col("n_cur") + 1) / (F.col("tot_cur") + 10)
+    return (tot.select("bin", "n_base", "n_cur",
+                       p.alias("p_base"), q.alias("p_cur"),
+                       ((p - q) * F.log(p / q)).alias("psi_term"))
+            .orderBy("bin"))
