@@ -761,3 +761,129 @@ def t21_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("event_type") == "purchase", 1)
                         .otherwise(0)).cast("int").alias("converted"))
             .orderBy("user_id", "session_no"))
+
+
+@declared(
+    "t22_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS v_ts
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+        GROUP BY 1
+    ),
+    depth AS (
+        SELECT v.user_id,
+               CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN v.v_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_depth
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    )
+    SELECT funnel_depth, COUNT(*) AS n_users
+    FROM depth GROUP BY 1 ORDER BY funnel_depth
+    """,
+    survey_ids=("A1", "W6", "J4"),
+)
+def t22_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each step
+    strictly after the previous and within a 24-hour conversion
+    window): how many users reach each funnel depth.
+    The oracle states it as three chained min-after aggregates with
+    joins; the Spark plan computes all three stages with ONE shuffle —
+    chained window aggregates over the same ``user_id`` partitioning
+    (first-view ts, then min click after it, then min purchase after
+    that — each window min reuses the partitioning Exchange), a
+    per-user dedup on the already-partitioned frame, and a tiny
+    4-row depth count. At 100 TB the plan moves the events table
+    across the wire exactly once."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    df = events.select("user_id", "ts", "event_type")
+    df = df.withColumn("v_ts", F.min(F.when(et == "view", ts)).over(wu))
+    day = F.expr("INTERVAL 24 HOURS")
+    df = df.withColumn(
+        "c_ts", F.min(F.when((et == "click") & (ts > F.col("v_ts"))
+                             & (ts <= F.col("v_ts") + day), ts))
+                 .over(wu))
+    df = df.withColumn(
+        "p_ts", F.min(F.when((et == "purchase") & (ts > F.col("c_ts"))
+                             & (ts <= F.col("c_ts") + day), ts))
+                 .over(wu))
+    depth = (F.when(F.col("p_ts").isNotNull(), 3)
+             .when(F.col("c_ts").isNotNull(), 2)
+             .when(F.col("v_ts").isNotNull(), 1).otherwise(0))
+    per_user = (df.groupBy("user_id")
+                .agg(F.max("v_ts").alias("v_ts"),
+                     F.max("c_ts").alias("c_ts"),
+                     F.max("p_ts").alias("p_ts"))
+                .withColumn("funnel_depth", depth))
+    return (per_user.groupBy("funnel_depth")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("funnel_depth"))
+
+
+@declared(
+    "t23_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+        FROM events
+    ),
+    coh AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY 1),
+    act AS (
+        SELECT c.cw AS cohort_week, k.w - c.cw AS week_offset,
+               COUNT(*) AS n_active
+        FROM wk k JOIN coh c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    base AS (SELECT cohort_week, n_active AS cohort_size
+             FROM act WHERE week_offset = 0)
+    SELECT a.cohort_week, a.week_offset, a.n_active, b.cohort_size,
+           a.n_active / b.cohort_size AS retention
+    FROM act a JOIN base b USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    survey_ids=("A1", "A3", "J2"),
+)
+def t23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis — users grouped by their first-active
+    week (integer division of epoch micros, the repo's TZ-proof
+    bucketing idiom), and for each later week the fraction of the
+    cohort still active. ``retention`` is a single exact-int division
+    (bit-identical, never rounded). Plan: one (user, week) distinct,
+    a per-user MIN re-aggregate, one join back on user_id, a tiny
+    (cohort, offset) aggregate, and the offset-0 baseline joined back
+    broadcast (cohort-count-sized). The events table is scanned once;
+    every later frame is user- or cohort-bounded."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = F.expr("unix_micros(ts) div 604800000000")
+    wk = events.select("user_id", w.alias("w")).distinct()
+    coh = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = (wk.join(coh, "user_id")
+           .groupBy(F.col("cw").alias("cohort_week"),
+                    (F.col("w") - F.col("cw")).alias("week_offset"))
+           .agg(F.count("*").alias("n_active")))
+    base = (act.filter(F.col("week_offset") == 0)
+            .select("cohort_week", F.col("n_active").alias("cohort_size")))
+    return (act.join(F.broadcast(base), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    "cohort_size",
+                    (F.col("n_active") / F.col("cohort_size"))
+                    .alias("retention"))
+            .orderBy("cohort_week", "week_offset"))
