@@ -374,6 +374,43 @@ def jaccard_count_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
             .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
+    """ASYMMETRIC shingle-set containment pairs — C(a→b) = |A∩B| / |A|.
+
+    Jaccard misses subset duplication (a short doc quoted whole inside a
+    long one scores J = |A|/|B| → tiny), which is why production dedup
+    pipelines gate on containment as well; this emits every ``id_a <
+    id_b`` pair where EITHER direction's containment reaches
+    ``threshold``, with both directions' exact values.
+
+    Same count-based inverted-index plan as :func:`jaccard_count_pairs`
+    (one skinny (id, shingle) self-join, map-side partial combine, per-
+    doc sizes riding through the aggregate as ``first()`` — no array
+    shuffles, no post-agg size join), so the 100 TB story is identical:
+    the quadratic step is confined to docs sharing a shingle, and
+    everything wide stays in the row. Both containments are single
+    exact-int divisions — bit-identical across engines, never rounded.
+
+    Input: (id, shingles array). Output: (id_a < id_b, cont_a_in_b,
+    cont_b_in_a)."""
+    shingled = arrs.select("id", F.size("shingles").alias("__n"),
+                           F.explode("shingles").alias("shingle"))
+    inter = (shingled.alias("a")
+             .join(shingled.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("__common"),
+                  F.first(F.col("a.__n")).alias("__na"),
+                  F.first(F.col("b.__n")).alias("__nb")))
+    return (inter
+            .withColumn("cont_a_in_b", F.col("__common") / F.col("__na"))
+            .withColumn("cont_b_in_a", F.col("__common") / F.col("__nb"))
+            .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+            .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 3,
                         num_hashes: int = 64, bands: int = 16,

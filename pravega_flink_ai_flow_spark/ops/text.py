@@ -467,7 +467,8 @@ def char_entropy_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
 
 
 def word_ngram_hash_frame(df: DataFrame, *, id_col: str = "doc_id",
-                          text_col: str = "text", n: int = 8) -> DataFrame:
+                          text_col: str = "text", n: int = 8,
+                          with_len: bool = False) -> DataFrame:
     """Positional word n-grams collapsed to 64-bit hashes in ONE
     ``mapInArrow`` pass — columns ``(id_col, pos, gh)``, one row per
     n-gram start position per document.
@@ -491,7 +492,13 @@ def word_ngram_hash_frame(df: DataFrame, *, id_col: str = "doc_id",
     the ~60-char string never leaves the Arrow batch. Two distinct
     grams colliding requires a 64-bit birthday hit (~n_grams²/2⁶⁵ —
     negligible at any tested SF). NULL/empty text yields no rows, same
-    as ``posexplode`` of an empty/NULL gram array."""
+    as ``posexplode`` of an empty/NULL gram array.
+
+    ``with_len=True`` appends a ``glen int`` column — the CHARACTER
+    length of the (never materialized) gram string, i.e. the sliding
+    sum of token utf8 lengths plus the n−1 joining spaces — so
+    repetition metrics stated in "fraction of characters" terms
+    (Gopher-style) can be computed without ever shuffling the string."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -499,6 +506,8 @@ def word_ngram_hash_frame(df: DataFrame, *, id_col: str = "doc_id",
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, pos int, gh long"
+    if with_len:
+        out_schema += ", glen int"
     # distinct odd multipliers (odd powers of the 64-bit golden ratio)
     mults = np.array([pow(0x9E3779B97F4A7C15, j + 1, 1 << 64)
                       for j in range(n)], dtype=np.uint64)
@@ -532,9 +541,20 @@ def word_ngram_hash_frame(df: DataFrame, *, id_col: str = "doc_id",
             valid = parents[:m] == parents[n - 1:]   # window within one doc
             pos = (np.arange(m) - starts[parents[:m]])[valid]
             ids = rb.column(id_col).take(pa.array(parents[:m][valid]))
-            yield pa.record_batch(
-                [ids, pa.array(pos.astype(np.int32), pa.int32()),
-                 pa.array(gh[valid].view(np.int64), pa.int64())],
-                names=[id_col, "pos", "gh"])
+            arrays = [ids, pa.array(pos.astype(np.int32), pa.int32()),
+                      pa.array(gh[valid].view(np.int64), pa.int64())]
+            names = [id_col, "pos", "gh"]
+            if with_len:
+                # char length of the joined gram: sliding sum of token
+                # utf8 lengths + (n-1) single-space joiners
+                tlen = pc.utf8_length(flat).to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64)
+                csum = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(tlen, out=csum[1:])
+                glen = (csum[n:] - csum[:m]) + (n - 1)
+                arrays.append(pa.array(glen[valid].astype(np.int32),
+                                       pa.int32()))
+                names.append("glen")
+            yield pa.record_batch(arrays, names=names)
 
     return df.select(id_col, text_col).mapInArrow(gram_batches, out_schema)

@@ -203,6 +203,41 @@ def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l2_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM shingled GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / sa.n AS cont_a_in_b,
+           CAST(n_common AS DOUBLE) / sb.n AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE greatest(CAST(n_common AS DOUBLE) / sa.n,
+                   CAST(n_common AS DOUBLE) / sb.n) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("L2",),
+)
+def l2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (≥ 0.6 in either direction) —
+    catches SUBSET duplication (one doc quoted whole inside another)
+    that symmetric Jaccard structurally under-scores. Same inverted-
+    index plan as l2_ngram_jaccard_pairs (shared persisted shingle
+    arrays, skinny self-join, map-side combine); containments are pure
+    int divisions, bit-identical across engines."""
+    arrs = _shingle_arrays(spark, sf_dir)
+    return (dedup.containment_pairs(arrs, threshold=0.6)
+            .orderBy("id_a", "id_b"))
+
+
+@declared(
     "l2_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},

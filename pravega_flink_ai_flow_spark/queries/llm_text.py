@@ -318,6 +318,92 @@ def l4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l4_gopher_repetition",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> array_to_string(tk[i:i+1], ' ')))
+                   AS gram
+        FROM toks WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, MAX(cnt * length(gram)) AS top2_cover
+           FROM c2 GROUP BY 1),
+    g5 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 3),
+                                     i -> array_to_string(tk[i:i+4], ' ')))
+                   AS gram
+        FROM toks WHERE len(tk) >= 5
+    ),
+    c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+    d5 AS (SELECT doc_id, SUM(cnt * length(gram)) AS dup5_cover
+           FROM c5 WHERE cnt >= 2 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(t2.top2_cover, 0) AS BIGINT) AS top2_cover,
+           CAST(COALESCE(d5.dup5_cover, 0) AS BIGINT) AS dup5_cover,
+           CASE WHEN d.n_chars > 0
+                THEN CAST(COALESCE(t2.top2_cover, 0) AS DOUBLE) / d.n_chars
+                ELSE 0.0 END AS top2gram_char_frac,
+           CASE WHEN d.n_chars > 0
+                THEN CAST(COALESCE(d5.dup5_cover, 0) AS DOUBLE) / d.n_chars
+                ELSE 0.0 END AS dup5gram_char_frac
+    FROM documents d
+    LEFT JOIN t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN d5 ON d5.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    survey_ids=("L4",),
+)
+def l4_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    per document, the fraction of characters covered by the single most
+    frequent word 2-gram (``count × char-length``, max over grams) and
+    the fraction covered by duplicated word 5-grams (sum over grams
+    seen ≥ 2×). Pretraining pipelines drop docs above thresholds on
+    exactly these signals.
+
+    Plan: the gram strings are NEVER materialized or shuffled — one
+    Arrow pass per n (``word_ngram_hash_frame(with_len=True)``) emits
+    (doc_id, gh, glen) 64-bit gram hashes plus char lengths; each
+    signal is then a keyed count + per-doc max/sum over 16-byte rows.
+    Covers are exact ints; fractions are single exact-int divisions
+    (never rounded, bit-identical across engines)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    cover2 = (F.col("cnt") * F.col("glen"))
+    g2 = T.word_ngram_hash_frame(docs, n=2, with_len=True)
+    t2 = (g2.groupBy("doc_id", "gh", "glen")
+          .agg(F.count("*").alias("cnt"))
+          .groupBy("doc_id").agg(F.max(cover2).alias("top2_cover")))
+    g5 = T.word_ngram_hash_frame(docs, n=5, with_len=True)
+    d5 = (g5.groupBy("doc_id", "gh", "glen")
+          .agg(F.count("*").alias("cnt"))
+          .filter(F.col("cnt") >= 2)
+          .groupBy("doc_id").agg(F.sum(cover2).alias("dup5_cover")))
+    top2 = F.coalesce("top2_cover", F.lit(0)).cast("long")
+    dup5 = F.coalesce("dup5_cover", F.lit(0)).cast("long")
+    frac = lambda cover: (F.when(F.col("n_chars") > 0,  # noqa: E731
+                                 cover / F.col("n_chars"))
+                          .otherwise(F.lit(0.0)))
+    return (docs.select("doc_id", "n_chars")
+            .join(t2, "doc_id", "left")
+            .join(d5, "doc_id", "left")
+            .select("doc_id",
+                    top2.alias("top2_cover"),
+                    dup5.alias("dup5_cover"),
+                    frac(top2).alias("top2gram_char_frac"),
+                    frac(dup5).alias("dup5gram_char_frac"))
+            .orderBy("doc_id"))
+
+
+@declared(
     "l6_pii_redaction",
     oracle="""
     SELECT doc_id,

@@ -887,3 +887,55 @@ def t23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_active") / F.col("cohort_size"))
                     .alias("retention"))
             .orderBy("cohort_week", "week_offset"))
+
+
+@declared(
+    "t24_purchase_attribution",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+               COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                        'direct') AS touch_type
+        FROM events
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+    survey_ids=("W3", "A1"),
+)
+def t24_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event type ('direct'
+    when the purchase is the user's first event), then revenue rolls up
+    per touch type. Revenue is summed in integer CENTS
+    (``floor(value*100 + 0.5)`` — floor is defined identically on both
+    engines, unlike round/cast) so the accumulation is exact int
+    arithmetic with no float-order hazard. Plan: ONE user_id window
+    (running last-ignore-nulls over ts,event_id order — the same
+    Exchange every per-user query here reuses), filter to purchases,
+    tiny 5-row aggregate; events crosses the wire once."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    et = F.col("event_type")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(F.when(et != "purchase", et), ignorenulls=True).over(w)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (events
+            .withColumn("touch_type", F.coalesce(touch, F.lit("direct")))
+            .filter(et == "purchase")
+            .groupBy("touch_type")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum(cents).alias("revenue_cents"))
+            .orderBy("touch_type"))

@@ -47,7 +47,8 @@ SLOWEST = [
     # gate the round it is born
     "l6_dup_span_removal", "l6_dsir_importance", "l3_allpairs_topk",
     "l4_feature_hashing", "l4_bm25_search", "l6_train_test_split",
-    "l3_filtered_topk",
+    "l3_filtered_topk", "m8_confusion_matrix", "m9_feature_drift_psi",
+    "t22_funnel_conversion", "t23_retention_cohorts",
 ]
 
 
