@@ -411,6 +411,65 @@ def containment_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
             .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
 
 
+def containment_prefix_candidates(arrs: DataFrame, *,
+                                  threshold: float) -> DataFrame:
+    """Lossless candidate generation for ``max-containment ≥ t`` pairs
+    via ASYMMETRIC prefix filtering.
+
+    max(C(a→b), C(b→a)) = common/min(na, nb) ≥ t ⟺ common ≥
+    ceil(t·n_small). Prefix lemma, applied to the SMALL side only: order
+    shingles by global rarity (df asc, shingle asc); if all of doc s's
+    common shingles avoided its first ``n_s − ceil(t·n_s) + 1`` (its
+    prefix), they would all fit in the remaining ``ceil(t·n_s) − 1 <
+    common`` slots — impossible. So every qualifying pair is found by
+    joining each doc's PREFIX against the FULL inverted index of docs
+    at least as large. Unlike the symmetric count join (which a hot
+    shared shingle turns quadratic — measured 12× wall at 10× docs on
+    the small-vocab corpus), the join's left side keeps only each doc's
+    RAREST few shingles, so per-entry fan-out is df(rare shingle), and
+    the hot head shingles never enter a join key.
+
+    Input: (id, shingles array). Output: distinct (id_a < id_b)."""
+    shingled = arrs.select("id", F.size("shingles").alias("__n"),
+                           F.explode("shingles").alias("shingle"))
+    dfreq = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "shingle")
+    prefix = (shingled.join(dfreq, "shingle")
+              .withColumn("__pos", F.row_number().over(w))
+              .filter(F.col("__pos")
+                      <= F.col("__n") - F.ceil(threshold * F.col("__n")) + 1)
+              .select("id", "__n", "shingle"))
+    return (prefix.alias("p")
+            .join(shingled.alias("f"),
+                  (F.col("p.shingle") == F.col("f.shingle"))
+                  & (F.col("p.id") != F.col("f.id"))
+                  # prefix side must be the smaller-or-equal doc
+                  & (F.col("f.__n") >= F.col("p.__n")))
+            .select(F.least("p.id", "f.id").alias("id_a"),
+                    F.greatest("p.id", "f.id").alias("id_b"))
+            .distinct())
+
+
+def containment_pairs_prefix(arrs: DataFrame, *,
+                             threshold: float) -> DataFrame:
+    """Exact max-containment ≥ ``threshold`` pairs: prefix-filtered
+    candidates (:func:`containment_prefix_candidates`, lossless) +
+    in-row ``array_intersect`` verify — same output columns as
+    :func:`containment_pairs`, but the only pair-shaped shuffle carries
+    the near-linear candidate set instead of every co-shingle pair."""
+    cand = containment_prefix_candidates(arrs, threshold=threshold)
+    sa = arrs.select(F.col("id").alias("id_a"),
+                     F.col("shingles").alias("__sa"))
+    sb = arrs.select(F.col("id").alias("id_b"),
+                     F.col("shingles").alias("__sb"))
+    common = F.size(F.array_intersect("__sa", "__sb"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("cont_a_in_b", common / F.size("__sa"))
+            .withColumn("cont_b_in_a", common / F.size("__sb"))
+            .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+            .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 3,
                         num_hashes: int = 64, bands: int = 16,

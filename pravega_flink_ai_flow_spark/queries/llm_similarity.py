@@ -581,3 +581,123 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding",
         centroid_rows=cents, threshold=0.4)
     return kept.select("vec_id", "cell").orderBy("vec_id")
+
+
+_MMR_CAND = 8      # candidate pool per query (top-8 by rounded cosine)
+_MMR_SELECT = 3    # greedy MMR selections
+
+@declared(
+    "l3_mmr_rerank",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               ROUND(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS rel
+        FROM q CROSS JOIN e c WHERE c.vec_id != q.q_id
+    ),
+    cand AS (
+        SELECT q_id, c_id, rel FROM (
+            SELECT q_id, c_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, c_id) AS rk
+            FROM scored
+        ) WHERE rk <= {_MMR_CAND}
+    ),
+    sim AS (
+        SELECT a.q_id, a.c_id AS id_a, b.c_id AS id_b,
+               ROUND(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS s
+        FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+        JOIN e ea ON ea.vec_id = a.c_id
+        JOIN e eb ON eb.vec_id = b.c_id
+    ),
+    s1 AS (
+        SELECT q_id, c_id, sc AS mmr_score FROM (
+            SELECT q_id, c_id, CAST(0.7 AS DOUBLE) * rel AS sc,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY CAST(0.7 AS DOUBLE) * rel DESC,
+                                               c_id) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    ),
+    s2 AS (
+        SELECT q_id, c_id, sc AS mmr_score FROM (
+            SELECT c.q_id, c.c_id,
+                   CAST(0.7 AS DOUBLE) * c.rel
+                     - CAST(0.3 AS DOUBLE) * sim1.s AS sc,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id
+                       ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+                                  - CAST(0.3 AS DOUBLE) * sim1.s DESC,
+                                c.c_id) AS rk
+            FROM cand c
+            JOIN s1 ON s1.q_id = c.q_id AND c.c_id <> s1.c_id
+            JOIN sim sim1 ON sim1.q_id = c.q_id AND sim1.id_a = c.c_id
+                         AND sim1.id_b = s1.c_id
+        ) WHERE rk = 1
+    ),
+    s3 AS (
+        SELECT q_id, c_id, sc AS mmr_score FROM (
+            SELECT c.q_id, c.c_id,
+                   CAST(0.7 AS DOUBLE) * c.rel
+                     - CAST(0.3 AS DOUBLE) * greatest(sim1.s, sim2.s) AS sc,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id
+                       ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+                                  - CAST(0.3 AS DOUBLE)
+                                    * greatest(sim1.s, sim2.s) DESC,
+                                c.c_id) AS rk
+            FROM cand c
+            JOIN s1 ON s1.q_id = c.q_id AND c.c_id <> s1.c_id
+            JOIN s2 ON s2.q_id = c.q_id AND c.c_id <> s2.c_id
+            JOIN sim sim1 ON sim1.q_id = c.q_id AND sim1.id_a = c.c_id
+                         AND sim1.id_b = s1.c_id
+            JOIN sim sim2 ON sim2.q_id = c.q_id AND sim2.id_a = c.c_id
+                         AND sim2.id_b = s2.c_id
+        ) WHERE rk = 1
+    )
+    SELECT q_id, c_id, 1 AS mmr_rank, mmr_score FROM s1
+    UNION ALL SELECT q_id, c_id, 2 AS mmr_rank, mmr_score FROM s2
+    UNION ALL SELECT q_id, c_id, 3 AS mmr_rank, mmr_score FROM s3
+    ORDER BY q_id, mmr_rank
+    """,
+    survey_ids=("L3", "O3", "F6"),
+)
+def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank of each query's
+    top-8 cosine candidates: greedily pick 3 maximizing
+    0.7·rel − 0.3·max-sim-to-already-selected. The oracle UNROLLS the
+    greedy steps as chained argmax CTEs (the algorithm is deterministic,
+    so even this iterative op is hash-checkable); every score is a
+    single multiply-subtract of ROUND(·,6) doubles, ties → ascending id
+    — both engines agree bit-for-bit.
+
+    Plan: candidate generation is the blocked-GEMM brute scorer (corpus
+    streams once, never shuffled); the 80-row candidate table broadcast-
+    joins its vectors back; the greedy loop itself runs inside ONE
+    applyInPandas over q_id — sequential per query, parallel across
+    queries, state k-bounded — the production MMR shape at any scale."""
+    from pyspark.sql import Window
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    top = similarity.brute_force_topk_blocked(
+        _query_rows(spark, sf_dir), corpus,
+        query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec", k=_MMR_CAND + 4)
+    top = top.filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("c_id"))
+    cand = (top.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MMR_CAND)
+            .select("q_id", "c_id", F.round("cosine", 6).alias("rel")))
+    cand = corpus.join(F.broadcast(cand), "c_id")
+    out = similarity.mmr_rerank(cand, lam=0.7, penalty=0.3,
+                                k_select=_MMR_SELECT, round_dp=6)
+    return out.orderBy("q_id", "mmr_rank")

@@ -1406,3 +1406,91 @@ def test_j15_frontier_fallback_matches_broadcast_path(spark, monkeypatch):
     monkeypatch.setattr(J, "_BFS_BROADCAST_MAX_ROWS", 0)
     got = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     assert got == want and len(want) > 100
+
+
+def test_containment_pairs_subset_detection(spark):
+    # doc 1 is a verbatim excerpt of doc 0: every 3-shingle of doc 1
+    # appears in doc 0, so containment(1 in 0) is exactly 1.0 while
+    # Jaccard is only |B|/|A| — the subset case the op exists for.
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"),   # 6 shingles
+         (1, "c d e f g"),         # 3 shingles, all inside doc 0
+         (2, "x y z w v u")],      # unrelated
+        "doc_id long, text string")
+    arrs = dedup.shingle_arrays(docs, "doc_id", "text", k=3)
+    rows = {(r.id_a, r.id_b): r for r in
+            dedup.containment_pairs(arrs, threshold=0.6).collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    assert r.cont_b_in_a == 1.0          # all of doc 1 inside doc 0
+    assert r.cont_a_in_b == 0.5          # 3 of doc 0's 6 shingles
+    # containment dominates Jaccard: J = 3/(6+3-3) = 0.5 would already
+    # pass a 0.5 gate, but at 0.6 only the containment direction fires
+    jac = {(r.id_a, r.id_b)
+           for r in dedup.jaccard_count_pairs(arrs, threshold=0.6).collect()}
+    assert (0, 1) not in jac
+
+
+def test_word_ngram_hash_frame_glen_matches_strings(spark):
+    texts = [(0, "alpha  bb c dddd ee"), (1, "one two"), (2, "  solo  ")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    n = 3
+    got = {(r.doc_id, r.pos): r.glen
+           for r in text.word_ngram_hash_frame(
+               docs, n=n, with_len=True).collect()}
+    expect = {}
+    for doc_id, t in texts:
+        toks = [w for w in t.split() if w]
+        for pos in range(max(len(toks) - n + 1, 0)):
+            expect[(doc_id, pos)] = len(" ".join(toks[pos:pos + n]))
+    assert got == expect
+
+
+def test_mmr_rerank_negative_sims_not_clamped(spark):
+    # three candidates in 2-D; candidate 2 points AWAY from candidate 1
+    # (negative cosine), so after selecting 1 its MMR score must be
+    # BOOSTED by the negative penalty term — a running max initialized
+    # at 0 would clamp it (the bug this test pins)
+    import numpy as np
+    rows = [(0, 1, 0.9, [1.0, 0.0]),
+            (0, 2, 0.8, [-1.0, 0.1]),
+            (0, 3, 0.85, [1.0, 0.05])]
+    cand = spark.createDataFrame(
+        rows, "q_id long, c_id long, rel double, c_vec array<double>")
+    got = {r.mmr_rank: (r.c_id, r.mmr_score) for r in
+           similarity.mmr_rerank(cand, lam=0.7, penalty=0.3,
+                                 k_select=3).collect()}
+    # replicate greedily in numpy (true max over selected, no clamp)
+    V = np.array([r[3] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    rel = np.array([r[2] for r in rows])
+    ids = np.array([r[1] for r in rows])
+    sel, rem = [], list(range(3))
+    for rank in range(1, 4):
+        score = [0.7 * rel[i]
+                 - (0.3 * max(S[i, j] for j in sel) if sel else 0.0)
+                 for i in rem]
+        best = rem[int(np.argmax(score))]
+        assert got[rank][0] == ids[best]
+        assert got[rank][1] == pytest.approx(max(score), abs=1e-12)
+        sel.append(best); rem.remove(best)
+    # and the selection order itself demonstrates the negative-sim
+    # boost: candidate 2 (rel 0.8, anti-aligned) must outrank
+    # candidate 3 (rel 0.85, near-duplicate of 1) at rank 2
+    assert got[2][0] == 2 and got[3][0] == 3
+
+
+def test_containment_prefix_plan_equals_count_plan(spark):
+    # the prefix-filtered plan must be LOSSLESS: identical pair set and
+    # containment values as the brute count-index plan on the real corpus
+    from tests.conftest import SF_SMOKE
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    arrs = dedup.shingle_arrays(docs, "doc_id", "text", k=3)
+    brute = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+             for r in dedup.containment_pairs(
+                 arrs, threshold=0.6).collect()}
+    pref = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+            for r in dedup.containment_pairs_prefix(
+                arrs, threshold=0.6).collect()}
+    assert pref == brute and len(brute) > 0

@@ -49,6 +49,8 @@ SLOWEST = [
     "l4_feature_hashing", "l4_bm25_search", "l6_train_test_split",
     "l3_filtered_topk", "m8_confusion_matrix", "m9_feature_drift_psi",
     "t22_funnel_conversion", "t23_retention_cohorts",
+    "l2_containment_pairs", "l4_gopher_repetition",
+    "t24_purchase_attribution", "l3_mmr_rerank",
 ]
 
 
