@@ -423,11 +423,19 @@ def containment_prefix_candidates(arrs: DataFrame, *,
     prefix), they would all fit in the remaining ``ceil(t·n_s) − 1 <
     common`` slots — impossible. So every qualifying pair is found by
     joining each doc's PREFIX against the FULL inverted index of docs
-    at least as large. Unlike the symmetric count join (which a hot
-    shared shingle turns quadratic — measured 12× wall at 10× docs on
-    the small-vocab corpus), the join's left side keeps only each doc's
-    RAREST few shingles, so per-entry fan-out is df(rare shingle), and
-    the hot head shingles never enter a join key.
+    at least as large. Unlike the symmetric count join (which one hot
+    shared shingle turns quadratic), the join's left side keeps only
+    each doc's RAREST few shingles, so per-entry fan-out is df(rare
+    shingle), and the hot head shingles never enter a join key.
+
+    When to use which (measured quiet at sf0.1→sf1): on THIS corpus the
+    shingle df distribution is flat (median 9, max 25 — no hot head),
+    so :func:`containment_pairs` wins absolutely (1.6→2.2 s vs
+    6.6→9.9 s) and scales at 1.37× for 10× docs; on a Zipfian corpus
+    (real web text, boilerplate n-grams shared by millions of docs)
+    the count join's co-shingle pair count explodes and THIS path is
+    the one that survives. Both are exact; pytest pins their output
+    equality on the full test corpus.
 
     Input: (id, shingles array). Output: distinct (id_a < id_b)."""
     shingled = arrs.select("id", F.size("shingles").alias("__n"),

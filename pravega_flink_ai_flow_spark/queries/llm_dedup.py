@@ -228,17 +228,23 @@ def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (≥ 0.6 in either direction) —
     catches SUBSET duplication (one doc quoted whole inside another)
-    that symmetric Jaccard structurally under-scores. Plan: LOSSLESS
-    asymmetric prefix filtering (each doc's rarest few shingles joined
-    against the full inverted index of docs at least as large —
-    ops/dedup.containment_prefix_candidates) + in-row array_intersect
-    verify. The symmetric count-index plan measured 12× wall at 10×
-    docs on this small-vocab corpus (hot shingles make co-shingle pairs
-    quadratic); the prefix join never uses a hot shingle as a key.
-    Containments are pure int divisions, bit-identical across
-    engines."""
+    that symmetric Jaccard structurally under-scores. Containments are
+    pure int divisions, bit-identical across engines.
+
+    Plan choice, MEASURED quiet at sf0.1→sf1 (10× docs): this corpus's
+    shingle document frequencies are FLAT (median 9, p99 18, max 25 at
+    sf1 — synthetic near-uniform text, no hot head), so the count-based
+    inverted index (same as l2_ngram_jaccard_pairs) wins on both axes:
+    1.6 s → 2.2 s (1.37× at 10× data) vs the asymmetric-prefix plan's
+    6.6 s → 9.9 s — prefix filtering only cut candidates 11.3 M → 3.5 M
+    here and pays array-verify shuffles for it. On a REAL Zipfian
+    corpus the ranking inverts (one hot boilerplate shingle makes the
+    count join quadratic); that path ships as
+    :func:`ops.dedup.containment_pairs_prefix` — lossless by the
+    small-side prefix lemma, pytest-equal to this plan on the full
+    corpus (test_containment_prefix_plan_equals_count_plan)."""
     arrs = _shingle_arrays(spark, sf_dir)
-    return (dedup.containment_pairs_prefix(arrs, threshold=0.6)
+    return (dedup.containment_pairs(arrs, threshold=0.6)
             .orderBy("id_a", "id_b"))
 
 
