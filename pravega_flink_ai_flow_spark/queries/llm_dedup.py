@@ -231,15 +231,17 @@ def l2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that symmetric Jaccard structurally under-scores. Containments are
     pure int divisions, bit-identical across engines.
 
-    Plan choice, MEASURED quiet at sf0.1→sf1 (10× docs): this corpus's
-    shingle document frequencies are FLAT (median 9, p99 18, max 25 at
-    sf1 — synthetic near-uniform text, no hot head), so the count-based
-    inverted index (same as l2_ngram_jaccard_pairs) wins on both axes:
-    1.6 s → 2.2 s (1.37× at 10× data) vs the asymmetric-prefix plan's
-    6.6 s → 9.9 s — prefix filtering only cut candidates 11.3 M → 3.5 M
-    here and pays array-verify shuffles for it. On a REAL Zipfian
-    corpus the ranking inverts (one hot boilerplate shingle makes the
-    count join quadratic); that path ships as
+    Plan choice, MEASURED quiet at sf0.1→sf1 (10× docs, gate session):
+    this corpus's shingle document frequencies are FLAT (median 9, max
+    25 at sf1 — synthetic near-uniform text, no hot head), so the
+    count-based inverted index with POST-AGGREGATE broadcast size
+    joins wins every comparison: 0.72 s → 1.95 s (2.7× at 10× data),
+    vs 7.2 s at sf1 for the same plan carrying sizes through the
+    aggregate as first() buffers, and vs 9.9–15 s for the
+    asymmetric-prefix plan (prefix filtering only cut candidates
+    11.3 M → 3.5 M here and pays array-verify shuffles for it). On a
+    REAL Zipfian corpus the ranking inverts (one hot boilerplate
+    shingle makes the count join quadratic); that path ships as
     :func:`ops.dedup.containment_pairs_prefix` — lossless by the
     small-side prefix lemma, pytest-equal to this plan on the full
     corpus (test_containment_prefix_plan_equals_count_plan)."""

@@ -88,6 +88,18 @@ def main() -> None:
     # measure a misconfiguration, not the plans)
     conf = dict(bench.BENCH_CONF)
     conf["spark.sql.shuffle.partitions"] = "32"
+    # local[32] = ONE shared JVM heap for driver + all 32 executor
+    # threads. The session default (8g) is fine for one query at
+    # sf0.1, but this gate runs 46 queries × 2 scales in one session
+    # with every (appId, sf_dir) memo persisted — at sf1 the cache
+    # pressure caused 4× run-to-run swings on late queries (t16
+    # measured 2.6× one quiet run, 11.9× the next) as hot frames were
+    # evicted and recomputed inside the timed region. 32g makes
+    # eviction a non-event on the 128 GiB box; a cluster would have
+    # this memory per executor, so the SMALL heap was the
+    # misconfiguration, not the big one.
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("bench-scale", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
 
