@@ -867,15 +867,18 @@ def t23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing idiom), and for each later week the fraction of the
     cohort still active. ``retention`` is a single exact-int division
     (bit-identical, never rounded). Plan: one (user, week) distinct,
-    a per-user MIN re-aggregate, one join back on user_id, a tiny
-    (cohort, offset) aggregate, and the offset-0 baseline joined back
-    broadcast (cohort-count-sized). The events table is scanned once;
-    every later frame is user- or cohort-bounded."""
+    the cohort week as a per-user window MIN on the already-distinct
+    frame (the oracle's groupBy+join-back stated as one window — no
+    second scan, no join), a tiny (cohort, offset) aggregate, and the
+    offset-0 baseline joined back broadcast (cohort-count-sized).
+    Every frame past the distinct is user- or cohort-bounded."""
+    from pyspark.sql import Window
+
     (events,) = tables(spark, sf_dir, "events")
     w = F.expr("unix_micros(ts) div 604800000000")
     wk = events.select("user_id", w.alias("w")).distinct()
-    coh = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
-    act = (wk.join(coh, "user_id")
+    cw = F.min("w").over(Window.partitionBy("user_id"))
+    act = (wk.withColumn("cw", cw)
            .groupBy(F.col("cw").alias("cohort_week"),
                     (F.col("w") - F.col("cw")).alias("week_offset"))
            .agg(F.count("*").alias("n_active")))

@@ -269,3 +269,74 @@ def test_l6_duplicate_spans_single_arrow_gram_pass(spark):
     # and only ONE Arrow pass: the gram frame is never recomputed
     assert len(re.findall(r"^\(\d+\) MapInArrow", plan,
                           re.MULTILINE)) == 1
+
+
+def test_t22_funnel_single_user_partitioning(spark):
+    """t22's three dependent window mins and the per-user aggregate all
+    reuse ONE user_id Exchange (the whole point of stating the funnel
+    as chained windows instead of the oracle's three join-aggregates):
+    3 Window nodes, no join at all, and the full plan fits 3 exchanges
+    (user partitioning, 4-row depth agg, final sort)."""
+    import re
+    plan = _plan(spark, "t22_funnel_conversion")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 3
+    assert "Join" not in plan
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 3, f"{n} exchanges > 3"
+
+
+def test_t23_retention_baseline_joins_broadcast(spark):
+    """t23's offset-0 baseline (cohort-count-sized) must broadcast, and
+    nothing may plan a sort-merge join; the distinct (user, week)
+    exchange is reused at runtime (ReusedExchange) by the baseline
+    branch rather than re-scanned."""
+    import re
+    plan = _plan(spark, "t23_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 7, f"{n} exchanges > 7"
+
+
+def test_t24_attribution_single_window_pass(spark):
+    """Last-touch attribution is ONE user_id window (running
+    last-ignore-nulls), a 5-row aggregate and a sort — 1 Window node,
+    no join, ≤ 3 exchanges."""
+    import re
+    plan = _plan(spark, "t24_purchase_attribution")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
+    assert "Join" not in plan
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 3, f"{n} exchanges > 3"
+
+
+def test_gopher_repetition_two_arrow_passes_no_explode(spark):
+    """l4_gopher_repetition builds grams with exactly TWO MapInArrow
+    tokenize+hash passes (n=2 and n=5) — never a Generate/posexplode of
+    an interpreted HOF gram array — and the per-doc covers join back
+    broadcast (doc-count-bounded sides)."""
+    import re
+    plan = _plan(spark, "l4_gopher_repetition")
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan,
+                          re.MULTILINE)) == 2
+    assert "Generate" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 5, f"{n} exchanges > 5"
+
+
+def test_mmr_rerank_grouped_pandas_and_broadcast_vectors(spark):
+    """l3_mmr_rerank: candidate scoring stays Arrow-native (ONE
+    MapInArrow GEMM pass), the 80-row candidate table broadcast-joins
+    its vectors back (the corpus is never shuffled), and the greedy
+    runs as ONE FlatMapGroupsInPandas over q_id."""
+    import re
+    plan = _plan(spark, "l3_mmr_rerank")
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan,
+                          re.MULTILINE)) == 1
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan,
+                          re.MULTILINE)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 4, f"{n} exchanges > 4"
