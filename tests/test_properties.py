@@ -322,31 +322,37 @@ def test_char_entropy_frame_matches_counter_fuzz(spark, texts):
               st.integers(min_value=0, max_value=2)),
     min_size=2, max_size=24, unique_by=lambda t: t[0]))
 def test_filtered_topk_matches_closure_fuzz(spark, data):
-    """filtered_topk_blocked must equal the per-key numpy closure: for
-    every query, rank ONLY same-key corpus rows by (cosine desc, id
-    asc) — i.e. the filter applies BEFORE top-k selection. Fuzz covers
-    keys absent from the query side, keys with fewer than k corpus
-    rows (under-filled groups must emit all their rows, not pad), and
-    exact cosine ties across ids."""
-    import numpy as np
+    """filtered_topk_blocked must equal brute_force_topk_blocked run
+    key-by-key: for every query, rank ONLY same-key corpus rows by
+    (cosine desc, id asc) — i.e. the filter applies BEFORE top-k
+    selection. Fuzz covers keys absent from the query side, keys with
+    fewer than k corpus rows (under-filled groups must emit all their
+    rows, not pad), and exact cosine ties across ids.
 
+    The reference is the per-key BRUTE op, not a raw numpy closure:
+    distinct vectors whose true cosines are EQUAL real numbers land
+    within 2 ulp of each other, where a hand-rolled ``qn @ cn`` closure
+    legitimately orders them differently from the ops' shared
+    matrix-normalize + ``_pair_dots`` pipeline (fuzz-caught: q=[-1,.5,
+    -1,3] ties c=[-1,.5,3,.5] against c=[.5,.5,3,1]). Comparing op to
+    op makes the check EXACT (bit-equal cosines) and simultaneously
+    verifies batch-composition independence — filtered streams the
+    whole corpus while brute sees only the key's subset."""
     from pravega_flink_ai_flow_spark.ops import similarity
 
     k = 3
-    want = {}
-    for qid, qv, qkey in data:
-        qn = np.asarray(qv) / np.linalg.norm(qv)
-        scored = sorted(
-            (-float(qn @ (np.asarray(cv) / np.linalg.norm(cv))), cid)
-            for cid, cv, ckey in data if ckey == qkey)
-        for rank, (neg, cid) in enumerate(scored[:k], start=1):
-            want[(qid, rank)] = (cid, -neg)
-
     df = spark.createDataFrame(
         data, "vec_id long, embedding array<double>, label long")
     corpus = df.select(F.col("vec_id").alias("c_id"),
                        F.col("embedding").alias("c_vec"),
                        F.col("label").alias("c_key"))
+    want = {}
+    for key in sorted({t[2] for t in data}):
+        qk = [(qid, qv) for qid, qv, kk in data if kk == key]
+        ck = corpus.filter(F.col("c_key") == key).select("c_id", "c_vec")
+        for r in similarity.brute_force_topk_blocked(qk, ck, k=k).collect():
+            want[(r.q_id, r.rank)] = (r.c_id, r.cosine)
+
     q_rows = [(qid, qv, qkey) for qid, qv, qkey in data]
     got = {(r.q_id, r.rank): (r.c_id, r.cosine)
            for r in similarity.filtered_topk_blocked(
@@ -355,4 +361,40 @@ def test_filtered_topk_matches_closure_fuzz(spark, data):
     for key, (cid, cos) in want.items():
         gid, gcos = got[key]
         assert gid == cid, (key, cid, gid)
-        assert abs(gcos - cos) < 1e-9
+        assert gcos == cos, (key, gcos, cos)   # same float pipeline
+
+
+def test_filtered_topk_distinct_vector_tie_regression(spark):
+    """Pinned fuzz catch: query 4 ties candidates 0 and 2 at the SAME
+    real cosine (equal dots AND equal norms from different vectors) —
+    a raw numpy closure and the ops' shared float pipeline resolve the
+    2-ulp window differently, so the reference must be the per-key
+    brute op, and the ranking must be stable across runs."""
+    from pravega_flink_ai_flow_spark.ops import similarity
+
+    data = [(0, [-1.0, 0.5, 3.0, 0.5], 0),
+            (1, [-2.0, -2.0, -2.0, -2.0], 0),
+            (713, [1.0, -2.0, -2.0, 1.0], 2),
+            (1756, [3.0, 3.0, 3.0, 3.0], 2),
+            (2866, [3.0, 3.0, 3.0, 3.0], 2),
+            (20, [3.0, -2.0, -2.0, -2.0], 0),
+            (5, [-2.0, -2.0, -2.0, -2.0], 0),
+            (4, [-1.0, 0.5, -1.0, 3.0], 0),
+            (3, [-2.0, -2.0, -2.0, -2.0], 0),
+            (2, [0.5, 0.5, 3.0, 1.0], 0)]
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>, label long")
+    corpus = df.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"),
+                       F.col("label").alias("c_key"))
+    want = {}
+    for key in sorted({t[2] for t in data}):
+        qk = [(qid, qv) for qid, qv, kk in data if kk == key]
+        ck = corpus.filter(F.col("c_key") == key).select("c_id", "c_vec")
+        for r in similarity.brute_force_topk_blocked(qk, ck, k=3).collect():
+            want[(r.q_id, r.rank)] = (r.c_id, r.cosine)
+    for _ in range(3):
+        got = {(r.q_id, r.rank): (r.c_id, r.cosine)
+               for r in similarity.filtered_topk_blocked(
+                   [(q, v, kk) for q, v, kk in data], corpus, k=3).collect()}
+        assert got == want
