@@ -343,30 +343,38 @@ def jaccard_prefix_candidates(arrs: DataFrame, *,
             .distinct())
 
 
-def jaccard_count_pairs(arrs: DataFrame, *, threshold: float) -> DataFrame:
+def jaccard_count_pairs(arrs: DataFrame, *, threshold: float,
+                        broadcast_sizes: bool = True) -> DataFrame:
     """Exact Jaccard ≥ ``threshold`` pairs via the count-based inverted
-    index: self-join the exploded shingle table on the shingle, count
-    shared shingles per (id_a, id_b) — map-side partial aggregation
-    collapses the per-shingle fan-out before the shuffle — broadcast the
-    per-doc sizes in, and filter on the ratio. The only wide data that
-    ever moves is the skinny (id, shingle) table; no array shuffles.
+    index: self-join the exploded shingle table on the shingle into a
+    pure 2-key COUNT per (id_a, id_b) — map-side partial aggregation
+    collapses the per-shingle fan-out before the shuffle — then join
+    the per-doc size table in AFTER the aggregate and filter on the
+    ratio. The only wide data that ever moves is the skinny (id,
+    shingle) table; no array shuffles.
+
+    The sizes deliberately do NOT ride through the aggregate as
+    ``first()`` buffers: measured at sf1 on the identical plan shape
+    (see :func:`containment_pairs`), the fat agg buffers blow the
+    partial hash map out of memory and run 3.6× slower than the bare
+    count + post-agg size join. ``broadcast_sizes=False`` swaps the
+    explicit broadcast (doc-count × 12 bytes) for two shuffle joins of
+    8-byte rows when even the size table is too big to broadcast.
     Input: (id, shingles array). Output: (id_a < id_b, jaccard)."""
-    # each exploded row carries its doc's size (+8 bytes/row of shuffle
-    # width), so per-doc sizes ride THROUGH the pair aggregate as
-    # first() — no post-aggregation join against a per-doc table, which
-    # would need either a corpus-sized broadcast or two more shuffles
-    shingled = arrs.select("id", F.size("shingles").alias("__n"),
-                           F.explode("shingles").alias("shingle"))
+    shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
+    sizes = arrs.select("id", F.size("shingles").alias("__n"))
     inter = (shingled.alias("a")
              .join(shingled.alias("b"),
                    (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
-             .agg(F.count("*").alias("__common"),
-                  F.first(F.col("a.__n")).alias("__na"),
-                  F.first(F.col("b.__n")).alias("__nb")))
-    return (inter
+             .agg(F.count("*").alias("__common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
+    if broadcast_sizes:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (inter.join(sa, "id_a").join(sb, "id_b")
             .withColumn("jaccard",
                         F.col("__common")
                         / (F.col("__na") + F.col("__nb") - F.col("__common")))
@@ -388,8 +396,9 @@ def containment_pairs(arrs: DataFrame, *, threshold: float,
     self-join into a pure 2-key COUNT aggregate, then the per-doc size
     table (one int per doc) joins in AFTER the aggregate. Measured at
     sf1 (50 k docs, 11.3 M co-shingle pair groups): carrying the sizes
-    THROUGH the aggregate instead (``first()`` buffers, the
-    :func:`jaccard_count_pairs` shape) made the identical-shaped plan
+    THROUGH the aggregate instead (``first()`` buffers — the shape
+    :func:`jaccard_count_pairs` also used before this finding)
+    made the identical-shaped plan
     3.6× slower (7.2 s vs 2.0 s) — the wider agg buffers blow the
     partial hash map out of memory while the bare count stays in it.
     With ``broadcast_sizes`` the size join is an explicit broadcast
