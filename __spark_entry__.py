@@ -92,7 +92,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND 9 PLAN: promote any r8 reds + queries still never recorded
 # (m9_feature_drift_psi, t22_funnel_conversion, t23_retention_cohorts,
 # l2_containment_pairs, l4_gopher_repetition, t24_purchase_attribution,
-# l3_mmr_rerank — all born after the r8 window filled), pad with
+# l3_mmr_rerank, l3_recall_eval — all born after the r8 window
+# filled), pad with
 # the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
 # o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4, and the displaced
 # a5/a14/a15/f_regex/j13/l3_cosine_near_dup pads).

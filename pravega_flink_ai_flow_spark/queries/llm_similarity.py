@@ -701,3 +701,121 @@ def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.mmr_rerank(cand, lam=0.7, penalty=0.3,
                                 k_select=_MMR_SELECT, round_dp=6)
     return out.orderBy("q_id", "mmr_rank")
+
+
+# recall@k evaluation: the IVF CTE chain (_IVF_ORACLE's body) and the
+# brute-force ranking, joined on membership. The oracle re-states BOTH
+# deterministic pipelines and counts the overlap per query.
+_RECALL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 50 = 0
+    ),
+    csim AS (
+        SELECT e.vec_id, e.v, cents.cent_id,
+               list_dot_product(e.v, cents.cent_vec)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(cents.cent_vec, cents.cent_vec)))
+                 AS sim
+        FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+        SELECT vec_id AS c_id, v AS cv, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM csim
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM csim WHERE vec_id < {_N_QUERIES}
+        ) WHERE rn <= 8
+    ),
+    cands AS (
+        SELECT DISTINCT p.q_id, a.c_id, p.qv, a.cv
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE p.q_id != a.c_id
+    ),
+    ivf AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY list_dot_product(qv, cv)
+                                  / (sqrt(list_dot_product(qv, qv))
+                                     * sqrt(list_dot_product(cv, cv))) DESC,
+                                c_id) AS rank
+            FROM cands
+        ) WHERE rank <= {_TOP_K}
+    ),
+    brute AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.v)
+                                  / (sqrt(list_dot_product(q.v, q.v))
+                                     * sqrt(list_dot_product(c.v, c.v))) DESC,
+                                c.vec_id) AS rank
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+        ) WHERE rank <= {_TOP_K}
+    )
+    SELECT b.q_id,
+           CAST(COUNT(i.c_id) AS INTEGER) AS n_hits,
+           CAST(COUNT(i.c_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM brute b
+    LEFT JOIN ivf i ON i.q_id = b.q_id AND i.c_id = b.c_id
+    GROUP BY b.q_id
+    ORDER BY b.q_id
+    """
+
+
+@declared(
+    "l3_recall_eval",
+    oracle=_RECALL_ORACLE,
+    survey_ids=("L3", "J4", "A1"),
+)
+def l3_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation — recall@5 of the IVF index against
+    exact brute force, per query: the operator every vector pipeline
+    needs before trusting an approximate index in production. Both
+    sides are the repo's own deterministic scorers (blocked-GEMM brute,
+    stride-sampled IVF with 8-cell probing), so even this EVALUATION is
+    hash-checked against an oracle that re-states both pipelines in SQL
+    and counts the overlap. Plan: two corpus-streaming passes (never
+    shuffled), a 50-row × 50-row membership join (broadcast), one tiny
+    aggregate. recall is a single exact-int division."""
+    from pyspark.sql import Window
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_vec"))
+    # exact reference: same construction as l3_brute_force_topk
+    top = similarity.brute_force_topk_blocked(
+        _query_rows(spark, sf_dir), corpus,
+        query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec", k=_TOP_K + 1)
+    top = top.filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id"))
+    brute = (top.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= _TOP_K).select("q_id", "c_id"))
+    # candidate under test: same construction as l3_ivf_topk
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    ivf = (similarity.ivf_topk(
+        queries, corpus, query_id="q_id", corpus_id="c_id",
+        query_vec="q_vec", corpus_vec="c_vec",
+        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True,
+        dim=64)
+        .select("q_id", "c_id").withColumn("__hit", F.lit(1)))
+    return (brute.join(F.broadcast(ivf), ["q_id", "c_id"], "left")
+            .groupBy("q_id")
+            .agg(F.count("__hit").cast("int").alias("n_hits"))
+            .select("q_id", "n_hits",
+                    (F.col("n_hits") / F.lit(_TOP_K)).alias("recall_at_k"))
+            .orderBy("q_id"))

@@ -51,7 +51,7 @@ SLOWEST = [
     "t22_funnel_conversion", "t23_retention_cohorts",
     "l2_containment_pairs", "l4_gopher_repetition",
     "t24_purchase_attribution", "l3_mmr_rerank",
-    "l2_ngram_jaccard_pairs",
+    "l2_ngram_jaccard_pairs", "l3_recall_eval",
 ]
 
 
