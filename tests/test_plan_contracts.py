@@ -340,3 +340,28 @@ def test_mmr_rerank_grouped_pandas_and_broadcast_vectors(spark):
     assert "SortMergeJoin" not in plan
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n <= 4, f"{n} exchanges > 4"
+
+
+def test_recall_eval_two_arrow_passes_broadcast_membership(spark):
+    """l3_recall_eval streams the corpus through exactly THREE Arrow
+    passes (the brute reference scorer, plus IVF's cell-assignment and
+    probe-scoring passes) and joins the two 50-row result sets by
+    broadcast — the corpus itself is never sort-merge-joined or
+    shuffled into the membership join."""
+    import re
+    plan = _plan(spark, "l3_recall_eval")
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan,
+                          re.MULTILINE)) == 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_sizes_join_broadcast_after_agg(spark):
+    """l2_containment_pairs: the pair aggregate must stay a bare 2-key
+    COUNT (no first()-buffer fattening — measured 3.6× slower at sf1)
+    with the per-doc size table joined in BROADCAST after it."""
+    plan = _plan(spark, "l2_containment_pairs")
+    assert plan.count("BroadcastHashJoin") >= 2   # __na and __nb joins
+    assert "first(" not in plan
+    assert "CartesianProduct" not in plan
