@@ -343,8 +343,28 @@ def jaccard_prefix_candidates(arrs: DataFrame, *,
             .distinct())
 
 
+# Size-table broadcast budget for the count-pairs family: rows are
+# (int64 id, int32 n) ≈ 12 bytes, so 10 M docs ≈ 120 MB — comfortably
+# inside executor memory on any sane cluster, far past sf1's 50 k docs.
+# Past it the plans degrade to two shuffle joins of 8-byte rows.
+_SIZES_BCAST_MAX_ROWS = 10_000_000
+
+
+def _resolve_broadcast_sizes(sizes: DataFrame,
+                             broadcast_sizes: bool | None) -> bool:
+    """Auto-select broadcast vs shuffle for the post-aggregate size join
+    (r8 advice): ``None`` (the default) counts the per-doc size table —
+    a column-pruned doc count, O(corpus rows) but no shuffle — and
+    broadcasts only under :data:`_SIZES_BCAST_MAX_ROWS`. A forced
+    corpus-sized broadcast at 100 TB OOMs the driver/executors; nothing
+    should rely on the caller remembering to flip a flag."""
+    if broadcast_sizes is None:
+        return sizes.count() <= _SIZES_BCAST_MAX_ROWS
+    return broadcast_sizes
+
+
 def jaccard_count_pairs(arrs: DataFrame, *, threshold: float,
-                        broadcast_sizes: bool = True) -> DataFrame:
+                        broadcast_sizes: bool | None = None) -> DataFrame:
     """Exact Jaccard ≥ ``threshold`` pairs via the count-based inverted
     index: self-join the exploded shingle table on the shingle into a
     pure 2-key COUNT per (id_a, id_b) — map-side partial aggregation
@@ -357,9 +377,9 @@ def jaccard_count_pairs(arrs: DataFrame, *, threshold: float,
     ``first()`` buffers: measured at sf1 on the identical plan shape
     (see :func:`containment_pairs`), the fat agg buffers blow the
     partial hash map out of memory and run 3.6× slower than the bare
-    count + post-agg size join. ``broadcast_sizes=False`` swaps the
-    explicit broadcast (doc-count × 12 bytes) for two shuffle joins of
-    8-byte rows when even the size table is too big to broadcast.
+    count + post-agg size join. The broadcast-vs-shuffle size join is
+    auto-selected from a doc-count guard by default
+    (:func:`_resolve_broadcast_sizes`); pass True/False to pin it.
     Input: (id, shingles array). Output: (id_a < id_b, jaccard)."""
     shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
     sizes = arrs.select("id", F.size("shingles").alias("__n"))
@@ -372,7 +392,7 @@ def jaccard_count_pairs(arrs: DataFrame, *, threshold: float,
              .agg(F.count("*").alias("__common")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
-    if broadcast_sizes:
+    if _resolve_broadcast_sizes(sizes, broadcast_sizes):
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (inter.join(sa, "id_a").join(sb, "id_b")
             .withColumn("jaccard",
@@ -383,7 +403,7 @@ def jaccard_count_pairs(arrs: DataFrame, *, threshold: float,
 
 
 def containment_pairs(arrs: DataFrame, *, threshold: float,
-                      broadcast_sizes: bool = True) -> DataFrame:
+                      broadcast_sizes: bool | None = None) -> DataFrame:
     """ASYMMETRIC shingle-set containment pairs — C(a→b) = |A∩B| / |A|.
 
     Jaccard misses subset duplication (a short doc quoted whole inside a
@@ -401,10 +421,11 @@ def containment_pairs(arrs: DataFrame, *, threshold: float,
     made the identical-shaped plan
     3.6× slower (7.2 s vs 2.0 s) — the wider agg buffers blow the
     partial hash map out of memory while the bare count stays in it.
-    With ``broadcast_sizes`` the size join is an explicit broadcast
-    (doc-count × 12 bytes); at a scale where even that is too big, pass
-    False to get two shuffle joins of 8-byte rows, which still beats
-    the fat-buffer aggregate. Both containments are single exact-int
+    The broadcast-vs-shuffle size join is auto-selected from a
+    doc-count guard by default (:func:`_resolve_broadcast_sizes`) —
+    an explicit broadcast (doc-count × 12 bytes) under the budget, two
+    shuffle joins of 8-byte rows past it (which still beats the
+    fat-buffer aggregate); pass True/False to pin it. Both containments are single exact-int
     divisions — bit-identical across engines, never rounded.
 
     Scale honesty: on THIS bounded-vocab synthetic corpus the
@@ -427,7 +448,7 @@ def containment_pairs(arrs: DataFrame, *, threshold: float,
              .agg(F.count("*").alias("__common")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
-    if broadcast_sizes:
+    if _resolve_broadcast_sizes(sizes, broadcast_sizes):
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (inter.join(sa, "id_a").join(sb, "id_b")
             .withColumn("cont_a_in_b", F.col("__common") / F.col("__na"))

@@ -300,7 +300,7 @@ def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
         sh, sv = samp[ci]
         ph = -(-h * sv // vmax)     # ceil of the plane's natural height
         pw = -(-w * sh // hmax)
-        p = p[:ph, :pw] if p.shape == (ph, pw) else p
+        p = p[:ph, :pw] if p.shape != (ph, pw) else p
         p = _pad_to(p, 8 * sv, 8 * sh)
         blocks = _plane_blocks(p - 128.0)
         coefs = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, blocks, _DCT_M)

@@ -661,8 +661,9 @@ _DSIR_BCAST_CACHE: dict[tuple[str, str], bool] = {}
     cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1)
     SELECT b.doc_id,
            CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-           AVG(log2(CAST(c.c2 + 1 AS DOUBLE)
-                    / (n.c1 + (SELECT v FROM vocab)))) AS mean_log2p
+           round(AVG(log2(CAST(c.c2 + 1 AS DOUBLE)
+                          / (n.c1 + (SELECT v FROM vocab)))), 6)
+             AS mean_log2p
     FROM bigrams b
     JOIN cnt2 c ON c.w1 = b.w1 AND c.w2 = b.w2
     JOIN cnt1 n ON n.w1 = b.w1
@@ -731,7 +732,10 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(scoring_model, ["w1", "w2"])
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
-                 F.avg("__lp").alias("mean_log2p"))
+                 # order-dependent float accumulation → 6 dp (repo rule;
+                 # char_entropy precedent). Raw AVG of per-bigram logs is
+                 # shuffle/row-order dependent and a latent flaky hash red.
+                 F.round(F.avg("__lp"), 6).alias("mean_log2p"))
             .orderBy("doc_id"))
 
 
@@ -766,8 +770,8 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(tc) AS tt, SUM(sc) AS st, COUNT(*) AS v FROM cnt)
     SELECT b.doc_id,
            CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-           AVG(log2(CAST(c.tc + 1 AS DOUBLE) / (t.tt + t.v))
-               - log2(CAST(c.sc + 1 AS DOUBLE) / (t.st + t.v)))
+           round(AVG(log2(CAST(c.tc + 1 AS DOUBLE) / (t.tt + t.v))
+                     - log2(CAST(c.sc + 1 AS DOUBLE) / (t.st + t.v))), 6)
              AS importance
     FROM bigrams b
     JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
@@ -834,7 +838,9 @@ def l6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(scoring_model, ["w1", "w2"])
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
-                 F.avg("__li").alias("importance"))
+                 # order-dependent float accumulation → 6 dp (repo rule;
+                 # same hazard as l4_bigram_lm_score's mean_log2p).
+                 F.round(F.avg("__li"), 6).alias("importance"))
             .orderBy("doc_id"))
 
 

@@ -247,8 +247,11 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         new = (arrs.join(sigs, "id")
                .select("id", "shingles", "sig").persist())
 
-        store_exists = os.path.isdir(store_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(store_dir))
+        def _has_parquet(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d))
+
+        store_exists = _has_parquet(store_dir)
         # within-batch candidates: batch-sized self-join (id_a < id_b)
         cands = (dedup.lsh_candidate_pairs(new.select("id", "sig"),
                                            num_hashes, bands)
@@ -256,7 +259,19 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         sh_old = None
         if store_exists:
             # batch × store candidates: probe the pre-banded table —
-            # the store itself is never re-banded or self-joined
+            # the store itself is never re-banded or self-joined.
+            # Crash seam (r8 advice): a retry after the store append but
+            # before the bands append — or a store created before the
+            # bands table existed — leaves store_dir populated with no
+            # bands parquet. Check the bands table SEPARATELY and, when
+            # missing, backfill it from the store (one-time O(store)
+            # banding pass) so this batch and every later one probe the
+            # repaired table instead of crashing on path-not-found.
+            if not _has_parquet(bands_dir):
+                dedup.lsh_band_table(
+                    spark.read.parquet(store_dir).select("id", "sig"),
+                    num_hashes, bands, out_id="id_corpus") \
+                    .write.mode("append").parquet(bands_dir)
             probe = dedup.lsh_probe_banded(
                 new.select("id", "sig"), spark.read.parquet(bands_dir),
                 num_hashes, bands)

@@ -377,6 +377,44 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
     assert kept == {1, 3, 6}
 
 
+def test_streaming_near_dedup_backfills_missing_bands(spark, tmp_workdir):
+    """Crash seam (r8 advice): a store populated WITHOUT a bands table —
+    a first-batch crash between the store append and the bands append,
+    or a store predating the probe re-plan — must not wedge the stream.
+    The sink backfills the bands table from the store and dedups
+    correctly against it."""
+    import shutil
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    def drain():
+        q = st.streaming_near_dedup(
+            stream.read_stream(spark), store_dir=store,
+            checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+        q.awaitTermination()
+
+    d1 = "the quick brown fox jumps over the lazy dog in the bright morning"
+    stream.append(spark.createDataFrame([(1, d1)], doc_schema))
+    drain()
+    # simulate the crash: store exists, bands table does not
+    shutil.rmtree(store + "_bands")
+    stream.append(spark.createDataFrame(
+        [(2, d1.replace("morning", "evening")),            # near-dup of 1
+         (3, "completely unrelated text about query engines and shuffles")],
+        doc_schema))
+    drain()                       # pre-fix: path-not-found, stream wedged
+    kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert kept == {1, 3}
+    banded = spark.read.parquet(store + "_bands")
+    assert {r.id_corpus for r in banded.select("id_corpus")
+            .distinct().collect()} == {1, 3}
+
+
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
     """Continuous-aggregate pattern: partial aggregates appended per
     drain, merged at read — must equal a full batch recompute."""
