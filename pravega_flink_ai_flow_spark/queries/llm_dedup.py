@@ -591,17 +591,23 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dedup — the production shape: a fresh crawl
     batch (doc_id % 10 ≥ 8 here) is deduped AGAINST the existing corpus
     (doc_id % 10 < 8) without re-running the corpus×corpus self-join.
-    Candidates come from ``jaccard_prefix_candidates_between`` — the
-    provably LOSSLESS prefix filter, so the exact-Jaccard-verified
-    output hash-matches the brute-force oracle at EVERY SF (MinHash
-    banding, the previous generator, misses a true pair at j≈0.7 with
-    ~1% probability — a latent hash red, r6 ADVICE). The ops layer
-    keeps ``lsh_probe_banded`` as the alternative
+    Candidates come from ``jaccard_hash_prefix_candidates_between`` —
+    the IN-ROW hash-ordered prefix filter, still provably LOSSLESS
+    (the prefix lemma holds for any consistent global order; hash
+    collisions only add candidates), so the exact-Jaccard-verified
+    output hash-matches the brute-force oracle at EVERY SF. Re-planned
+    r9 by measurement: the df-ordered generator
+    (``jaccard_prefix_candidates_between``, kept in ops for
+    Zipfian-headed corpora — see its docstring and BENCH_zipf.json)
+    spent three corpus-wide shuffles (df aggregate, join-back, per-doc
+    window) building prefixes this plan computes in-row; steady sf0.1
+    3.6 s → 2.8 s, cold 12 s → 6 s, 10×-data 5.2 s → 3.7 s. The ops
+    layer also keeps ``lsh_probe_banded`` as the alternative
     constant-work-per-batch scale path (at 100 TB the corpus side is
     the write-once ``lsh_band_table`` parquet bucketed by band_sig, so
     each incoming batch costs its own banding plus a co-located probe,
     never a corpus rescan); tests/test_operators.py pins its recall
-    against this exact generator AND demonstrates the persisted-artifact
+    against exact generation AND demonstrates the persisted-artifact
     probe (plan provably reads only the band table + the batch).
 
     The split, with the crossover made explicit: per batch of size b
@@ -622,7 +628,7 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .persist()
     arrs_n = dedup.shingle_arrays(dedup.spread(new), "doc_id", "text", 3) \
                   .persist()
-    cands = dedup.jaccard_prefix_candidates_between(
+    cands = dedup.jaccard_hash_prefix_candidates_between(
         arrs_n, arrs_c, threshold=0.7)
     sa = arrs_n.select(F.col("id").alias("id_new"),
                        F.col("shingles").alias("__sa"))

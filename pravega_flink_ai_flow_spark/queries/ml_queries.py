@@ -532,9 +532,11 @@ def m9_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact (the l4_tfidf precedent), and the report emits PER-BIN
     terms — there is no cross-bin float SUM to carry an accumulation
     -order hazard; the caller sums ≤10 doubles. Plan: one map-side
-    -combined (bin, cohort) aggregate, totals via an unpartitioned
-    window over the ≤10-row bin frame (single tiny partition — not a
-    scale concern), everything else a row expression."""
+    -combined (bin, cohort) aggregate; the cohort totals re-aggregate
+    the ≤10-row bin frame and join back as a 1-row broadcast (the
+    tpch_q11 / heavy-hitters pattern — no single-partition WindowExec,
+    no all-to-one warning in the logs); everything else a row
+    expression."""
     (events,) = tables(spark, sf_dir, "events")
     bin_col = (F.least(F.lit(9), F.floor(F.col("value") / 50.0))
                .cast("int"))
@@ -545,9 +547,9 @@ def m9_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                .alias("n_base"),
                F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
                .alias("n_cur")))
-    w = Window.partitionBy()
-    tot = (cm.withColumn("tot_base", F.sum("n_base").over(w))
-           .withColumn("tot_cur", F.sum("n_cur").over(w)))
+    totals = cm.agg(F.sum("n_base").alias("tot_base"),
+                    F.sum("n_cur").alias("tot_cur"))
+    tot = cm.join(F.broadcast(totals))
     p = (F.col("n_base") + 1) / (F.col("tot_base") + 10)
     q = (F.col("n_cur") + 1) / (F.col("tot_cur") + 10)
     return (tot.select("bin", "n_base", "n_cur",

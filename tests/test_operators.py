@@ -1337,6 +1337,11 @@ def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
     truth = {(r.id_new, r.id_corpus) for r in
              brute.filter(j >= 0.7).select("id_new", "id_corpus").collect()}
     assert exact == truth and truth
+    # the r9 in-row hash-ordered generator (backs the declared query
+    # now) must be equally lossless — any-order prefix lemma
+    hashed = verified(dedup.jaccard_hash_prefix_candidates_between(
+        arrs_n, arrs_c, threshold=0.7))
+    assert hashed == truth
 
     sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
     sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
