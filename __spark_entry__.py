@@ -89,31 +89,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (c) no pads: the round's 10 new queries fill the window exactly
 #       (a5/a14/a15/f_regex/j13/l3_cosine_near_dup return to the
 #       round-9 pad pool).
-# ROUND 9 PLAN: promote any r8 reds + queries still never recorded
-# (m9_feature_drift_psi, t22_funnel_conversion, t23_retention_cohorts,
-# l2_containment_pairs, l4_gopher_repetition, t24_purchase_attribution,
-# l3_mmr_rerank, l3_recall_eval — all born after the r8 window
-# filled), pad with
-# the then-stalest (the remaining r5 block: l4_*/l5_*/l6_*, s-block,
-# o4, p6-p8, t5/t11-t15, w9/w10, tpch_q12, m4, and the displaced
-# a5/a14/a15/f_regex/j13/l3_cosine_near_dup pads).
+# ROUND 8 recorded its window clean: 50/50 green (47 hash + 3 rows-
+# only), 0 red (CORRECTNESS_r08). Staleness census after r8:
+# 50 @ r8, 50 @ r7, 45 @ r6, 50 @ r5, 8 never-recorded (born after the
+# r8 window filled).
+#
+# ROUND 9 (this round): no r8 reds to re-prove, so `_PROMOTED` =
+#   (a) the 8 never-recorded queries (m9_feature_drift_psi, t22-t24,
+#       l2_containment_pairs, l4_gopher_repetition, l3_mmr_rerank,
+#       l3_recall_eval — verified green locally in r8, scheduled here);
+#   (b) the 4 queries whose DECLARED PLAN or OUTPUT changed this round,
+#       so their prior greens no longer cover the shipped code:
+#       l6_dsir_importance + l4_bigram_lm_score (6-dp rounding of the
+#       order-dependent float mean, r8 advice #2), l2_incremental_dedup
+#       (re-planned to the in-row hash-ordered prefix generator),
+#       l2_ngram_jaccard_pairs (size-join broadcast auto-select in the
+#       shared op, r8 advice #5);
+#   (c) padded to exactly 50 with the 38 name-ordered-first r5-stale
+#       queries (l4/l5/l6 text+multimodal block, s-block through s7,
+#       o4, p6-p8, m4, a5/a14/a15, f_regex, j13, l3_cosine_near_dup).
+# The 11 r5-stale leftovers (s8/s9, t5/t11-t15, tpch_q12, w9/w10) are
+# the ROUND 10 pad pool.
 _PROMOTED = frozenset({
-    # (a) plan changed / new in round 8 — gate must (re-)prove the code
-    "l6_duplicate_spans", "l5_jpeg_decode", "l6_dup_span_removal",
-    "l6_dsir_importance", "l5_mixed_codec_decode", "l3_allpairs_topk",
-    "l6_train_test_split", "l3_filtered_topk", "l4_feature_hashing",
-    "l4_bm25_search", "m8_confusion_matrix",
-    # (b) last driver record r4
-    "p4_filter_predicates", "p5_case_when", "t3_tumbling_window",
-    "t4_sliding_window", "t7_dedup_by_key", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21",
-    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "u1_union_all", "u2_union_distinct",
-    "u3_intersect", "u3_intersect_all", "u4_except_all",
-    "u5_distinct_dropdup", "w1_row_number", "w2_rank_dense_ntile",
-    "w3_lag_lead", "w4_running_sum", "w5_moving_avg", "w6_range_frame",
-    "w7_first_last_value", "w8_percent_rank_cume_dist",
+    # (a) never recorded — born after the r8 window filled
+    "m9_feature_drift_psi", "t22_funnel_conversion",
+    "t23_retention_cohorts", "t24_purchase_attribution",
+    "l2_containment_pairs", "l4_gopher_repetition", "l3_mmr_rerank",
+    "l3_recall_eval",
+    # (b) plan/output changed in round 9 — gate must re-prove the code
+    "l6_dsir_importance", "l4_bigram_lm_score", "l2_incremental_dedup",
+    "l2_ngram_jaccard_pairs",
+    # (c) last driver record r5 (name-ordered first 38)
+    "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
+    "f_regex", "j13_asof_tolerance", "l3_cosine_near_dup",
+    "l4_bpe_token_count", "l4_doc_chunking", "l4_fingerprint",
+    "l4_lang_source_stats", "l4_language_id", "l4_quality_features",
+    "l4_quality_filter", "l4_repetition_ratio", "l4_rolling_hash",
+    "l4_text_normalize", "l4_token_stats", "l5_audio_decode",
+    "l5_binary_meta", "l5_frame_sample_plan", "l5_image_decode",
+    "l6_benchmark_decontam", "l6_boilerplate_removal",
+    "l6_heavy_hitter_terms", "l6_mixture_weighted_sample",
+    "l6_pii_redaction", "l6_sequence_packing", "l6_shard_assign",
+    "m4_ridge_predict", "o4_nulls_ordering", "p6_rename_alias",
+    "p7_systematic_sample", "p8_stratified_sample", "s10_orc_roundtrip",
+    "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
+    "s3_s4_stream_dir_roundtrip", "s7_parquet_pruned_scan",
 })
 
 

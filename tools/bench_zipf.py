@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Measure the ZIPFIAN branch of the dedup plan-family decisions.
+
+Two plan choices were made on the FLAT synthetic corpus and defer their
+alternative to "Zipfian corpora" in docstrings (r8 verdict, next #2):
+
+1. containment: count-based inverted index + post-agg size joins
+   (:func:`ops.dedup.containment_pairs`, the declared plan) vs the
+   asymmetric small-side prefix filter
+   (:func:`ops.dedup.containment_pairs_prefix`);
+2. incremental jaccard candidates: in-row hash-ordered prefixes
+   (:func:`ops.dedup.jaccard_hash_prefix_candidates_between`, the
+   declared plan since r9) vs df-ordered prefixes
+   (:func:`ops.dedup.jaccard_prefix_candidates_between`).
+
+This tool times both members of each pair on the Zipfian corpora from
+tools/make_zipf_corpus.py (df head: max shingle df ≈ 19 % of docs;
+co-shingle pair work grows ~98× for 10× docs — measured 2.71 M →
+265 M), asserts both plans agree on the output (exactness is the
+contract), and writes BENCH_zipf.json with per-plan seconds and
+10×-data ratios. The artifact is what turns each docstring's "on a
+Zipfian corpus the ranking inverts" from an argument into a number.
+
+Usage: python tools/bench_zipf.py [small_dir] [big_dir]
+Defaults: <repo>/testdata_scale/zipf0.1  <repo>/testdata_scale/zipf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _time(df, runs=2):
+    """Median of `runs` noop-writes (cold excluded only when runs>2 —
+    the heavy plans here are single-digit-minutes; keep runs small)."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 2)
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "testdata_scale", "zipf0.1")
+    big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "testdata_scale", "zipf1")
+
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.ops import dedup
+
+    spark = get_spark("bench-zipf")
+    out: dict = {"corpora": {}, "plans": {}}
+
+    def arrs_of(sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return dedup.shingle_arrays(dedup.spread(docs),
+                                    "doc_id", "text", 3).persist()
+
+    def split_of(arrs):
+        new = arrs.filter(F.col("id") % 10 >= 8)
+        corpus = arrs.filter(F.col("id") % 10 < 8)
+        return new, corpus
+
+    def verified_jaccard(cands, arrs_n, arrs_c, t=0.7):
+        sa = arrs_n.select(F.col("id").alias("id_new"),
+                           F.col("shingles").alias("__sa"))
+        sb = arrs_c.select(F.col("id").alias("id_corpus"),
+                           F.col("shingles").alias("__sb"))
+        n_common = F.size(F.array_intersect("__sa", "__sb"))
+        j = n_common / (F.size("__sa") + F.size("__sb") - n_common)
+        return (cands.join(sa, "id_new").join(sb, "id_corpus")
+                .withColumn("jaccard", j).filter(F.col("jaccard") >= t)
+                .select("id_new", "id_corpus"))
+
+    for label, sf_dir in (("small", small), ("big", big)):
+        arrs = arrs_of(sf_dir)
+        n_docs = arrs.count()
+        out["corpora"][label] = {"dir": sf_dir, "n_docs": n_docs}
+        print(f"== {label}: {n_docs} docs", flush=True)
+
+        # --- containment: count plan vs prefix plan
+        count_plan = dedup.containment_pairs(arrs, threshold=0.6)
+        prefix_plan = dedup.containment_pairs_prefix(arrs, threshold=0.6)
+        t_count = _time(count_plan)
+        t_prefix = _time(prefix_plan)
+        n_count = count_plan.count()
+        n_prefix = prefix_plan.count()
+        assert n_count == n_prefix, (n_count, n_prefix)
+        out["plans"].setdefault("containment_count", {})[label] = t_count
+        out["plans"].setdefault("containment_prefix", {})[label] = t_prefix
+        print(f"   containment: count={t_count}s prefix={t_prefix}s "
+              f"({n_count} pairs)", flush=True)
+
+        # --- incremental jaccard: hash-order vs df-order generators
+        arrs_n, arrs_c = split_of(arrs)
+        hash_gen = verified_jaccard(
+            dedup.jaccard_hash_prefix_candidates_between(
+                arrs_n, arrs_c, threshold=0.7), arrs_n, arrs_c)
+        df_gen = verified_jaccard(
+            dedup.jaccard_prefix_candidates_between(
+                arrs_n, arrs_c, threshold=0.7), arrs_n, arrs_c)
+        t_hash = _time(hash_gen)
+        t_df = _time(df_gen)
+        n_hash = hash_gen.count()
+        n_df = df_gen.count()
+        assert n_hash == n_df, (n_hash, n_df)
+        out["plans"].setdefault("jaccard_hash_prefix", {})[label] = t_hash
+        out["plans"].setdefault("jaccard_df_prefix", {})[label] = t_df
+        print(f"   incremental: hash={t_hash}s df={t_df}s "
+              f"({n_hash} pairs)", flush=True)
+        arrs.unpersist()
+
+    for plan, d in out["plans"].items():
+        d["ratio_10x"] = round(d["big"] / d["small"], 2) if d["small"] else None
+
+    path = os.path.join(REPO, "BENCH_zipf.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path}")
+    print(json.dumps(out["plans"], indent=1, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,7 @@ def main():
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results = {}
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -155,6 +156,7 @@ def main():
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"status": "FAIL", "err": f"spark: {type(e).__name__}"}
             continue
         # The driver's pandas-based canonicalizer crashes on array/map/
         # struct-typed cells ("unhashable type: 'list'"), and that crash
@@ -169,6 +171,7 @@ def main():
             print(f"FAIL  {name}: complex-typed output column(s) {complex_cols} "
                   "would crash the driver's canonicalizer — serialize to "
                   "string (to_json / array_join) or explode")
+            results[name] = {"status": "FAIL", "err": "complex-typed output"}
             continue
         # A 0-row result makes any hash comparison vacuous (both engines
         # agree on "empty" no matter how wrong the query is) — fail unless
@@ -185,10 +188,13 @@ def main():
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows — vacuous hash; pick inputs "
                       "with real rows or declare allow_empty=True")
+                results[name] = {"status": "FAIL", "err": "0 rows"}
                 continue
         if q.oracle is None:
             n_rows_only += 1
             print(f"rows  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows-only", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 1)}
             continue
         try:
             rel = con.sql(q.oracle)
@@ -198,11 +204,13 @@ def main():
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"status": "FAIL", "err": f"duckdb: {type(e).__name__}"}
             continue
         if sorted(s_cols) != sorted(d_cols):
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            results[name] = {"status": "FAIL", "err": "columns differ"}
             continue
         bad_types = type_mismatches(sdf, rel)
         if bad_types:
@@ -211,6 +219,7 @@ def main():
             print(f"FAIL  {name}: driver-visible TYPE mismatch "
                   + "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in bad_types)
                   + "  (uncast integer SUM? cast the oracle to BIGINT)")
+            results[name] = {"status": "FAIL", "err": "type mismatch"}
             continue
         _, cs = canon_rows(s_cols, s_rows)
         _, cd = canon_rows(d_cols, d_rows)
@@ -218,6 +227,7 @@ def main():
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: row count spark={len(cs)} duck={len(cd)}")
+            results[name] = {"status": "FAIL", "err": "row count"}
             continue
         if cs != cd:
             n_fail += 1
@@ -226,12 +236,28 @@ def main():
             print(f"FAIL  {name}: values differ at canon row {bad}:")
             print(f"      spark: {cs[bad]}")
             print(f"      duck : {cd[bad]}")
+            results[name] = {"status": "FAIL", "err": "values differ"}
         else:
             n_pass += 1
             print(f"ok    {name}: {len(cs)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "ok", "rows": len(cs),
+                             "sec": round(time.time() - t0, 1)}
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED"
           + (f": {failures}" if failures else ""))
+    # CHECK_JSON=<path>: commit-able sweep artifact (r8 advice #3 — the
+    # driver window only records 50 queries/round; this records ALL)
+    out_json = os.environ.get("CHECK_JSON")
+    if out_json:
+        import json
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "session": "vanilla" if os.environ.get("VANILLA")
+                                  else "engine",
+                       "n_ok": n_pass, "n_rows_only": n_rows_only,
+                       "n_fail": n_fail, "queries": results}, f,
+                      indent=1, sort_keys=True)
+        print(f"wrote {out_json}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 

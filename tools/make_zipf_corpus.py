@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Generate a ZIPFIAN-token documents corpus — the skew shape the flat
+synthetic testdata deliberately lacks.
+
+The containment/jaccard plan family's r8 decision (count-based inverted
+index with post-aggregate size joins) was measured on the FLAT corpus
+(shingle df median 9, max 25 at sf1); the docstrings defer the
+prefix-filter plans to "Zipfian corpora" on an argument, not a number
+(r8 verdict, next #2). This corpus makes the argument measurable:
+
+- token frequencies follow Zipf(s=1.07) over a 30 k-word vocabulary, so
+  head 3-gram shingles are shared by MANY documents (real web text);
+- a fixed 12-word BOILERPLATE sentence is appended to a configurable
+  fraction of docs (default 6 %) — the "same footer on every page"
+  pathology that makes one shingle's inverted-index entry quadratic;
+- deterministic (fixed numpy PCG seed), schema-identical to
+  testdata documents.parquet (doc_id, text, lang, source, n_chars).
+
+Near-dup structure: 2 % of docs are near-copies of an earlier doc
+(90 % token overlap) so containment/jaccard queries return real pairs.
+
+Usage: python tools/make_zipf_corpus.py [dst_dir] [n_docs]
+Default: <repo>/testdata_scale/zipf1  50000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VOCAB_SIZE = 30_000
+ZIPF_S = 1.07
+DOC_LEN_MIN, DOC_LEN_MAX = 60, 180
+BOILERPLATE_FRAC = 0.06
+NEAR_DUP_FRAC = 0.02
+BOILERPLATE = ("this page is part of the example archive "
+               "all rights reserved contact us").split()
+LANGS = ["en", "zh", "de", "fr"]
+
+
+def make(dst: str, n_docs: int) -> None:
+    rng = np.random.default_rng(20260815)
+    # Zipf ranks via inverse-CDF over a truncated zeta distribution
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    probs = ranks ** -ZIPF_S
+    probs /= probs.sum()
+    words = np.array([f"w{i}" for i in range(VOCAB_SIZE)])
+
+    lens = rng.integers(DOC_LEN_MIN, DOC_LEN_MAX + 1, size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < NEAR_DUP_FRAC:
+            # near-copy of a random earlier doc: resample 10 % of tokens
+            src = int(rng.integers(0, i))
+            toks = texts[src].split()
+            idx = rng.random(len(toks)) < 0.10
+            repl = words[rng.choice(VOCAB_SIZE, size=int(idx.sum()),
+                                    p=probs)]
+            toks = np.array(toks, dtype=object)
+            toks[idx] = repl
+            texts.append(" ".join(toks.tolist()))
+            continue
+        toks = words[rng.choice(VOCAB_SIZE, size=int(lens[i]), p=probs)]
+        body = " ".join(toks.tolist())
+        if rng.random() < BOILERPLATE_FRAC:
+            body = body + " " + " ".join(BOILERPLATE)
+        texts.append(body)
+
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n_docs)]),
+        "source": pa.array([f"src{i % 7}" for i in range(n_docs)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+    os.makedirs(dst, exist_ok=True)
+    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+    print(f"wrote {dst}/documents.parquet: {n_docs} docs, "
+          f"vocab {VOCAB_SIZE}, zipf s={ZIPF_S}, "
+          f"boilerplate {BOILERPLATE_FRAC:.0%}, near-dup {NEAR_DUP_FRAC:.0%}")
+
+
+if __name__ == "__main__":
+    dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "testdata_scale", "zipf1")
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    make(dst, n)
