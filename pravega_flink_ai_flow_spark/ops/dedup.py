@@ -343,7 +343,12 @@ def jaccard_hash_prefix_candidates_between(arrs_new: DataFrame,
     can't demote frequent shingles the way df-order does), so its
     bucket collects O(f) ids and expands O(f_new · f_corpus) pairs.
     Corpora with heavy boilerplate heads should keep the df-ordered
-    generator; see BENCH_zipf.json for the measured crossover.
+    generator — MEASURED on the Zipfian corpus (tools/
+    make_zipf_corpus.py, max shingle df ≈ 19 % of docs;
+    BENCH_zipf.json): this plan 5.3 s → 108 s for 10× docs (20.4×, the
+    hot-bucket quadratic) while df-order runs 1.8 s → 5.2 s (2.9×).
+    Dispatch rule: flat/Heaps-law shingle df → this generator; Zipfian
+    head (one cheap df aggregate tells you) → df-order.
 
     Input: two (id, shingles) frames. Output: distinct
     (id_new, id_corpus) pairs."""
@@ -549,11 +554,15 @@ def containment_prefix_candidates(arrs: DataFrame, *,
     When to use which (measured quiet at sf0.1→sf1): on THIS corpus the
     shingle df distribution is flat (median 9, max 25 — no hot head),
     so :func:`containment_pairs` wins absolutely (1.6→2.2 s vs
-    6.6→9.9 s) and scales at 1.37× for 10× docs; on a Zipfian corpus
-    (real web text, boilerplate n-grams shared by millions of docs)
-    the count join's co-shingle pair count explodes and THIS path is
-    the one that survives. Both are exact; pytest pins their output
-    equality on the full test corpus.
+    6.6→9.9 s) and scales at 1.37× for 10× docs; on a ZIPFIAN corpus
+    (real web text, boilerplate n-grams shared by many docs) the count
+    join's co-shingle pair count explodes and THIS path is the one
+    that survives — MEASURED r9 (tools/make_zipf_corpus.py, 30 k-word
+    Zipf(1.07) vocab + 6 % boilerplate footer, max shingle df ≈ 19 %
+    of docs; BENCH_zipf.json): count plan 1.35 s → 84.5 s for 10× docs
+    (62.6×, the quadratic), this plan 1.3 s → 4.3 s (3.3×). Both are
+    exact; pytest pins their output equality on the full test corpus,
+    and bench_zipf asserts it on the skewed one.
 
     Input: (id, shingles array). Output: distinct (id_a < id_b)."""
     shingled = arrs.select("id", F.size("shingles").alias("__n"),

@@ -240,11 +240,14 @@ def l2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate as first() buffers, and vs 9.9–15 s for the
     asymmetric-prefix plan (prefix filtering only cut candidates
     11.3 M → 3.5 M here and pays array-verify shuffles for it). On a
-    REAL Zipfian corpus the ranking inverts (one hot boilerplate
-    shingle makes the count join quadratic); that path ships as
-    :func:`ops.dedup.containment_pairs_prefix` — lossless by the
-    small-side prefix lemma, pytest-equal to this plan on the full
-    corpus (test_containment_prefix_plan_equals_count_plan)."""
+    REAL Zipfian corpus the ranking inverts — MEASURED r9
+    (tools/make_zipf_corpus.py, BENCH_zipf.json): the count plan goes
+    quadratic (1.35 s → 84.5 s for 10× docs, 62.6×) while
+    :func:`ops.dedup.containment_pairs_prefix` scales at 3.3×
+    (1.3 s → 4.3 s) — lossless by the small-side prefix lemma,
+    pytest-equal to this plan on the full corpus
+    (test_containment_prefix_plan_equals_count_plan) and
+    output-asserted equal on the skewed one by tools/bench_zipf.py."""
     arrs = _shingle_arrays(spark, sf_dir)
     return (dedup.containment_pairs(arrs, threshold=0.6)
             .orderBy("id_a", "id_b"))

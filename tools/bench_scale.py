@@ -52,6 +52,14 @@ SLOWEST = [
     "l2_containment_pairs", "l4_gopher_repetition",
     "t24_purchase_attribution", "l3_mmr_rerank",
     "l2_ngram_jaccard_pairs", "l3_recall_eval",
+    # r9 additions: the slow tail the gate previously missed — 11 of
+    # the 25 slowest TIMINGS queries had no 10× measurement (r8
+    # verdict, next #3)
+    "l5_jpeg_decode", "l5_mixed_codec_decode", "l4_bpe_trained_tokenize",
+    "s15_table_profile", "l5_image_resize", "t20_ewma_smooth",
+    "t21_session_paths", "u7_scd2_history", "l2_edit_distance_pairs",
+    "m7_naive_bayes_predict", "l4_tfidf_keywords", "l6_pii_redaction",
+    "l6_sequence_packing", "l5_image_phash",
 ]
 
 
