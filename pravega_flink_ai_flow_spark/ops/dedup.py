@@ -605,6 +605,82 @@ def containment_pairs_prefix(arrs: DataFrame, *,
             .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
 
 
+def shingle_df_head_ratio(arrs: DataFrame, *,
+                          sample_fraction: float = None) -> float:
+    """The Zipfian-head DISPATCH SIGNAL of the dedup plan family:
+    ``max(document frequency) / n_docs`` over the shingle vocabulary.
+
+    BENCH_zipf.json is the measurement behind it: on a flat corpus
+    (head ratio ≈ 0.005 at sf1) the count-index containment plan and
+    the in-row hash-prefix jaccard generator win every comparison; on
+    a Zipfian corpus (head ratio ≈ 0.19) both go quadratic (62.6× /
+    20.4× at 10× docs) and the df-ordered prefix plans take over at
+    3.3× / 2.9×. The signal is ONE map-side-combined aggregate over
+    the exploded shingles — O(corpus) but no pair work; at 100 TB
+    compute it once per corpus ingest (it is a property of the data,
+    not the query) and cache it next to the table statistics. A
+    ``sample_fraction`` makes it an estimate from a doc sample (df of
+    a hot shingle scales with the sample; fine for dispatch, which
+    only needs one order of magnitude)."""
+    if sample_fraction is not None:
+        arrs = arrs.sample(fraction=sample_fraction, seed=7)
+    shingled = arrs.select(F.explode("shingles").alias("shingle"))
+    row = (shingled.groupBy("shingle").agg(F.count("*").alias("df"))
+           .agg(F.max("df").alias("max_df"))
+           .crossJoin(F.broadcast(arrs.agg(F.count("*").alias("n"))))
+           .first())
+    return (row.max_df / row.n) if row.n else 0.0
+
+
+# past this df-head ratio the count-index / hash-prefix plans'
+# hot-bucket pair work dominates (BENCH_zipf: flat ≈ 0.005 → they win;
+# zipf head 0.19 → 62.6×/20.4× blow-ups); the exact crossover sits
+# well below 0.19, and 0.05 keeps both measured corpora on their
+# measured-best plan with margin
+_DF_HEAD_DISPATCH = 0.05
+
+
+def containment_pairs_auto(arrs: DataFrame, *, threshold: float,
+                           df_head_ratio: float = None) -> DataFrame:
+    """Max-containment ≥ ``threshold`` pairs with MEASURED plan
+    dispatch: below :data:`_DF_HEAD_DISPATCH` df-head the count-based
+    inverted index (:func:`containment_pairs` — wins every flat-corpus
+    comparison, BENCH_sf1), above it the small-side prefix plan
+    (:func:`containment_pairs_prefix` — 3.3× vs the count plan's 62.6×
+    at 10× Zipfian docs, BENCH_zipf). Pass a cached ``df_head_ratio``
+    (the per-corpus statistic) to skip the signal aggregate; both
+    branches are exact, so dispatch can never change the answer, only
+    the wall-clock."""
+    if df_head_ratio is None:
+        df_head_ratio = shingle_df_head_ratio(arrs)
+    if df_head_ratio > _DF_HEAD_DISPATCH:
+        return containment_pairs_prefix(arrs, threshold=threshold)
+    return containment_pairs(arrs, threshold=threshold)
+
+
+def jaccard_candidates_between_auto(arrs_new: DataFrame,
+                                    arrs_corpus: DataFrame, *,
+                                    threshold: float,
+                                    df_head_ratio: float = None
+                                    ) -> DataFrame:
+    """Batch×corpus jaccard candidates with the same measured dispatch:
+    flat df head → the in-row hash-ordered prefix generator
+    (:func:`jaccard_hash_prefix_candidates_between`, fastest on every
+    flat measurement); Zipfian head → the df-ordered generator
+    (:func:`jaccard_prefix_candidates_between`, 2.9× vs 20.4× at 10×
+    skewed docs, BENCH_zipf). Both are lossless, so dispatch only
+    moves wall-clock. The signal runs over the corpus side (the big
+    one — the batch inherits its distribution at 100 TB); pass the
+    cached per-corpus statistic to skip it."""
+    if df_head_ratio is None:
+        df_head_ratio = shingle_df_head_ratio(arrs_corpus)
+    if df_head_ratio > _DF_HEAD_DISPATCH:
+        return jaccard_prefix_candidates_between(
+            arrs_new, arrs_corpus, threshold=threshold)
+    return jaccard_hash_prefix_candidates_between(
+        arrs_new, arrs_corpus, threshold=threshold)
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 3,
                         num_hashes: int = 64, bands: int = 16,

@@ -1436,6 +1436,58 @@ def test_containment_pairs_subset_detection(spark):
     assert (0, 1) not in jac
 
 
+def test_dedup_plan_dispatch_by_df_head(spark):
+    """The BENCH_zipf-measured dispatch rule as code: a flat corpus
+    routes to the count-index / hash-prefix plans, a boilerplate-headed
+    one to the prefix / df-order plans — and since every branch is
+    exact, the dispatched output equals both branches' output."""
+    flat = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(20)],
+        "doc_id long, text string")
+    footer = "this page is boilerplate footer text"
+    skew = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} " + footer) for i in range(20)],
+        "doc_id long, text string")
+    arrs_flat = dedup.shingle_arrays(flat, "doc_id", "text", k=3)
+    arrs_skew = dedup.shingle_arrays(skew, "doc_id", "text", k=3)
+    # the signal itself: disjoint shingles → head = 1/n; shared footer
+    # grams → head = 1.0
+    assert dedup.shingle_df_head_ratio(arrs_flat) == 1 / 20
+    assert dedup.shingle_df_head_ratio(arrs_skew) == 1.0
+    # dispatched containment output equals BOTH exact branches
+    for arrs in (arrs_flat, arrs_skew):
+        auto = {tuple(r) for r in
+                dedup.containment_pairs_auto(arrs, threshold=0.6).collect()}
+        count = {tuple(r) for r in
+                 dedup.containment_pairs(arrs, threshold=0.6).collect()}
+        prefix = {tuple(r) for r in
+                  dedup.containment_pairs_prefix(arrs, threshold=0.6)
+                  .collect()}
+        assert auto == count == prefix
+    # dispatched jaccard candidates: both routes are lossless, so the
+    # exact-Jaccard-verified outputs must agree
+    def verified(cands, arrs_n, arrs_c):
+        sa = arrs_n.select(F.col("id").alias("id_new"),
+                           F.col("shingles").alias("__sa"))
+        sb = arrs_c.select(F.col("id").alias("id_corpus"),
+                           F.col("shingles").alias("__sb"))
+        common = F.size(F.array_intersect("__sa", "__sb"))
+        j = common / (F.size("__sa") + F.size("__sb") - common)
+        return {(r.id_new, r.id_corpus) for r in
+                cands.join(sa, "id_new").join(sb, "id_corpus")
+                     .filter(j >= 0.7).select("id_new", "id_corpus")
+                     .collect()}
+
+    for arrs in (arrs_flat, arrs_skew):
+        new_side = arrs.filter(F.col("id") >= 15)
+        corp_side = arrs.filter(F.col("id") < 15)
+        via_auto = verified(dedup.jaccard_candidates_between_auto(
+            new_side, corp_side, threshold=0.7), new_side, corp_side)
+        via_df = verified(dedup.jaccard_prefix_candidates_between(
+            new_side, corp_side, threshold=0.7), new_side, corp_side)
+        assert via_auto == via_df
+
+
 def test_word_ngram_hash_frame_glen_matches_strings(spark):
     texts = [(0, "alpha  bb c dddd ee"), (1, "one two"), (2, "  solo  ")]
     docs = spark.createDataFrame(texts, "doc_id long, text string")
