@@ -98,28 +98,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (a) the 8 never-recorded queries (m9_feature_drift_psi, t22-t24,
 #       l2_containment_pairs, l4_gopher_repetition, l3_mmr_rerank,
 #       l3_recall_eval — verified green locally in r8, scheduled here);
-#   (b) the 4 queries whose DECLARED PLAN or OUTPUT changed this round,
-#       so their prior greens no longer cover the shipped code:
-#       l6_dsir_importance + l4_bigram_lm_score (6-dp rounding of the
-#       order-dependent float mean, r8 advice #2), l2_incremental_dedup
-#       (re-planned to the in-row hash-ordered prefix generator),
-#       l2_ngram_jaccard_pairs (size-join broadcast auto-select in the
-#       shared op, r8 advice #5);
-#   (c) padded to exactly 50 with the 38 name-ordered-first r5-stale
-#       queries (l4/l5/l6 text+multimodal block, s-block through s7,
+#   (b) the 6 queries whose DECLARED PLAN, OUTPUT or implementation
+#       changed this round, so their prior greens no longer cover the
+#       shipped code: l6_dsir_importance + l4_bigram_lm_score (6-dp
+#       rounding of the order-dependent float mean, r8 advice #2),
+#       l2_incremental_dedup (re-planned to the in-row hash-ordered
+#       prefix generator), l2_ngram_jaccard_pairs (size-join broadcast
+#       auto-select in the shared op, r8 advice #5), l5_jpeg_decode +
+#       l5_mixed_codec_decode (JPEG entropy decoder rebuilt: cached
+#       16-bit-peek Huffman LUT + batched per-component IDCT);
+#   (c) padded to exactly 50 with the 36 name-ordered-first r5-stale
+#       queries (l4/l5/l6 text+multimodal block, s-block through s11,
 #       o4, p6-p8, m4, a5/a14/a15, f_regex, j13, l3_cosine_near_dup).
-# The 11 r5-stale leftovers (s8/s9, t5/t11-t15, tpch_q12, w9/w10) are
-# the ROUND 10 pad pool.
+# The 13 r5-stale leftovers (s3_s4/s7/s8/s9, t5/t11-t15, tpch_q12,
+# w9/w10) are the ROUND 10 pad pool.
 _PROMOTED = frozenset({
     # (a) never recorded — born after the r8 window filled
     "m9_feature_drift_psi", "t22_funnel_conversion",
     "t23_retention_cohorts", "t24_purchase_attribution",
     "l2_containment_pairs", "l4_gopher_repetition", "l3_mmr_rerank",
     "l3_recall_eval",
-    # (b) plan/output changed in round 9 — gate must re-prove the code
+    # (b) plan/output/implementation changed in round 9 — gate must
+    # re-prove the code
     "l6_dsir_importance", "l4_bigram_lm_score", "l2_incremental_dedup",
-    "l2_ngram_jaccard_pairs",
-    # (c) last driver record r5 (name-ordered first 38)
+    "l2_ngram_jaccard_pairs", "l5_jpeg_decode", "l5_mixed_codec_decode",
+    # (c) last driver record r5 (name-ordered first 36)
     "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
     "f_regex", "j13_asof_tolerance", "l3_cosine_near_dup",
     "l4_bpe_token_count", "l4_doc_chunking", "l4_fingerprint",
@@ -133,7 +136,6 @@ _PROMOTED = frozenset({
     "m4_ridge_predict", "o4_nulls_ordering", "p6_rename_alias",
     "p7_systematic_sample", "p8_stratified_sample", "s10_orc_roundtrip",
     "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
-    "s3_s4_stream_dir_roundtrip", "s7_parquet_pruned_scan",
 })
 
 

@@ -396,7 +396,10 @@ class _BitReader:
                 return
         else:
             self.pos += 1
-        self._acc = (self._acc << 8) | b
+        # keep only the _n live low bits: without the mask the
+        # accumulator grows with the whole entropy stream and every
+        # shift turns O(stream) (bignum arithmetic)
+        self._acc = (((self._acc & ((1 << self._n) - 1)) << 8) | b)
         self._n += 8
 
     def bit(self) -> int:
@@ -405,11 +408,24 @@ class _BitReader:
         self._n -= 1
         return (self._acc >> self._n) & 1
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (1-bit padded past the
+        terminating marker) — the LUT Huffman decode window."""
+        while self._n < 16:
+            self._fill()
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        """Consume n bits as one integer (n ≤ 16)."""
+        if n == 0:
+            return 0
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        return self.take(n)
 
     def align_and_expect_rst(self, which: int) -> None:
         """Skip to the RSTn marker at a restart boundary and consume
@@ -431,28 +447,57 @@ class _BitReader:
         raise ValueError("truncated JPEG: missing restart marker")
 
 
+# (bits, vals) → built LUT. The 2×65 536-entry build is ~1 ms — far
+# more than decoding a thumbnail — and real corpora reuse a handful of
+# tables (ours always writes Annex K), so the cache turns the build
+# into a per-PROCESS cost. Bounded: cleared wholesale past 64 distinct
+# tables (adversarial per-image custom tables degrade to rebuild-
+# per-image, never to unbounded memory).
+_HUFF_LUT_CACHE: dict = {}
+
+
 def _huff_decoder(bits: list[int], vals: list[int]):
-    """(code, length) → symbol decode map, keyed as (length, code)."""
-    table = {}
+    """Flat 16-bit-peek LUT decoder: two 65 536-entry lists mapping
+    every possible next-16-bit window to (symbol, code length). Built
+    from the file's DHT with ≤256 vectorized slice fills (each code of
+    length L owns the 2^(16−L) windows sharing its prefix); a window
+    matching no code has length 0 → invalid stream. Replaces the
+    (length, code) dict probed bit-by-bit — one peek and two list
+    lookups per symbol instead of ~2·L Python ops + L dict probes."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut_len = np.zeros(65536, dtype=np.uint8)
+    lut_sym = np.zeros(65536, dtype=np.uint8)
     code = 0
     i = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[i]
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            lut_len[lo:hi] = ln
+            lut_sym[lo:hi] = vals[i]
             code += 1
             i += 1
         code <<= 1
-    return table
+    # plain lists: python-int indexing beats numpy scalar boxing in the
+    # per-symbol hot path
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    hit = (lut_sym.tolist(), lut_len.tolist())
+    _HUFF_LUT_CACHE[key] = hit
+    return hit
 
 
-def _read_symbol(br: _BitReader, table: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _read_symbol(br: _BitReader, table) -> int:
+    syms, lens = table
+    v = br.peek16()
+    ln = lens[v]
+    if ln == 0:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    br._n -= ln
+    return syms[v]
 
 
 def _extend(v: int, s: int) -> int:
@@ -542,11 +587,15 @@ def decode_jpeg(content: bytes):
             vmax = max(c["v"] for c in comps)
             mcus_x = -(-fw // (8 * hmax))
             mcus_y = -(-fh // (8 * vmax))
-            planes = {}
-            for c in comps:
-                planes[c["id"]] = np.zeros(
-                    (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
-                    dtype=np.float64)
+            # entropy pass: ONLY Huffman/bit work per block (a plain
+            # 64-float list per block, no numpy in the loop); blocks
+            # are collected in raster order per component and the
+            # dequant + IDCT runs ONCE per component as a batched
+            # einsum — the same one-GEMM-per-batch rule the Arrow ops
+            # follow (measured ~3.6× with the LUT decode vs per-block
+            # 8×8 matmuls + dict probes)
+            coeffs: dict[int, list] = {c["id"]: [] for c in comps}
+            bidx: dict[int, list] = {c["id"]: [] for c in comps}
             br = _BitReader(content, pos + seglen)
             preds = {c["id"]: 0 for c in comps}
             rst = 0
@@ -559,16 +608,17 @@ def decode_jpeg(content: bytes):
                         rst = (rst + 1) % 8
                         preds = {c["id"]: 0 for c in comps}
                     for comp, tdc, tac in scan:
-                        q = qtabs[comp["tq"]].astype(np.float64)
+                        cid = comp["id"]
                         dct = huff_dc[tdc]
                         act = huff_ac[tac]
+                        ncols = mcus_x * comp["h"]
                         for by in range(comp["v"]):
                             for bx in range(comp["h"]):
-                                zz = np.zeros(64, dtype=np.float64)
+                                zz = [0.0] * 64
                                 s = _read_symbol(br, dct)
-                                diff = _extend(br.bits(s), s) if s else 0
-                                preds[comp["id"]] += diff
-                                zz[0] = preds[comp["id"]]
+                                diff = _extend(br.take(s), s) if s else 0
+                                preds[cid] += diff
+                                zz[0] = preds[cid]
                                 k = 1
                                 while k < 64:
                                     rs = _read_symbol(br, act)
@@ -582,17 +632,28 @@ def decode_jpeg(content: bytes):
                                     if k > 63:
                                         raise ValueError(
                                             "JPEG AC index overflow")
-                                    zz[k] = _extend(br.bits(s), s)
+                                    zz[k] = _extend(br.take(s), s)
                                     k += 1
-                                blk = np.zeros(64, dtype=np.float64)
-                                blk[ZIGZAG] = zz
-                                blk = blk.reshape(8, 8) * q
-                                px = _DCT_M.T @ blk @ _DCT_M + 128.0
-                                p = planes[comp["id"]]
-                                y0 = (my * comp["v"] + by) * 8
-                                x0 = (mx * comp["h"] + bx) * 8
-                                p[y0:y0 + 8, x0:x0 + 8] = px
+                                coeffs[cid].append(zz)
+                                bidx[cid].append(
+                                    (my * comp["v"] + by) * ncols
+                                    + mx * comp["h"] + bx)
                     mcu_i += 1
+            planes = {}
+            for c in comps:
+                cid = c["id"]
+                rows, cols = mcus_y * c["v"], mcus_x * c["h"]
+                zzs = np.asarray(coeffs[cid], dtype=np.float64)
+                blks = np.zeros((len(zzs), 64), dtype=np.float64)
+                blks[:, ZIGZAG] = zzs
+                blks = blks.reshape(-1, 8, 8) * qtabs[c["tq"]]
+                px = np.einsum("xu,bxy,yv->buv", _DCT_M, blks,
+                               _DCT_M) + 128.0
+                grid = np.empty((rows * cols, 8, 8), dtype=np.float64)
+                grid[np.asarray(bidx[cid])] = px
+                planes[cid] = (grid.reshape(rows, cols, 8, 8)
+                               .transpose(0, 2, 1, 3)
+                               .reshape(rows * 8, cols * 8))
             # upsample sub-sampled planes by pixel replication, crop
             out_planes = []
             for c in comps:
