@@ -108,12 +108,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #       l5_mixed_codec_decode (JPEG entropy decoder rebuilt: cached
 #       16-bit-peek Huffman LUT + batched per-component IDCT),
 #       l4_bpe_trained_tokenize (rows-only; per-task distinct-word
-#       encode memo — sf1 encode 15.4 s → 1.8 s);
-#   (c) padded to exactly 50 with the 35 name-ordered-first r5-stale
-#       queries (l4/l5/l6 text+multimodal block, s10/s11, o4, p6-p8,
-#       m4, a5/a14/a15, f_regex, j13, l3_cosine_near_dup).
-# The 14 r5-stale leftovers (s1/s3_s4/s7/s8/s9, t5/t11-t15, tpch_q12,
-# w9/w10) are the ROUND 10 pad pool.
+#       encode memo — sf1 encode 15.4 s → 1.8 s), and l5_image_resize +
+#       l5_audio_features + l5_image_phash (spread() ahead of the
+#       interpreter-bound codec passes — new exchange in the plan;
+#       l5_image_decode/l5_audio_decode got the same change and are
+#       already in the window as r5 pads);
+#   (c) padded to exactly 50 with the 32 name-ordered-first r5-stale
+#       queries (l4/l5/l6 text+multimodal block, o4, p6/p7, m4,
+#       a5/a14/a15, f_regex, j13, l3_cosine_near_dup).
+# The 17 r5-stale leftovers (p8, s1/s3_s4/s7/s8/s9/s10/s11, t5/t11-t15,
+# tpch_q12, w9/w10) are the ROUND 10 pad pool.
 _PROMOTED = frozenset({
     # (a) never recorded — born after the r8 window filled
     "m9_feature_drift_psi", "t22_funnel_conversion",
@@ -124,8 +128,9 @@ _PROMOTED = frozenset({
     # re-prove the code
     "l6_dsir_importance", "l4_bigram_lm_score", "l2_incremental_dedup",
     "l2_ngram_jaccard_pairs", "l5_jpeg_decode", "l5_mixed_codec_decode",
-    "l4_bpe_trained_tokenize",
-    # (c) last driver record r5 (name-ordered first 35)
+    "l4_bpe_trained_tokenize", "l5_image_resize", "l5_audio_features",
+    "l5_image_phash",
+    # (c) last driver record r5 (name-ordered first 32)
     "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
     "f_regex", "j13_asof_tolerance", "l3_cosine_near_dup",
     "l4_bpe_token_count", "l4_doc_chunking", "l4_fingerprint",
@@ -137,8 +142,7 @@ _PROMOTED = frozenset({
     "l6_heavy_hitter_terms", "l6_mixture_weighted_sample",
     "l6_pii_redaction", "l6_sequence_packing", "l6_shard_assign",
     "m4_ridge_predict", "o4_nulls_ordering", "p6_rename_alias",
-    "p7_systematic_sample", "p8_stratified_sample", "s10_orc_roundtrip",
-    "s11_ddl_connector_roundtrip",
+    "p7_systematic_sample",
 })
 
 
