@@ -154,6 +154,10 @@ def encode_frame(docs: DataFrame, merges: list[tuple[str, str]],
                     "\x1f".join(pieces).encode()).hexdigest())
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from .partitioning import spread
+
+    # forced spread: greedy encode is interpreter-bound per row and a
+    # file scan's partition count can overstate real parallelism
+    return spread(docs.select(id_col, text_col), force=True).mapInPandas(
         run, f"{id_col} long, n_words long, n_pieces long, "
              f"pieces_sha string")

@@ -79,9 +79,11 @@ def l5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import decode_png, encode_png
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -148,9 +150,11 @@ def l5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.jpeg import decode_jpeg, encode_jpeg
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -217,9 +221,11 @@ def l5_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import decode_image, encode_png
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -283,9 +289,11 @@ def l5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import decode_wav, encode_wav
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -372,9 +380,11 @@ def l5_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import decode_png, encode_png, resize_nearest
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -439,9 +449,11 @@ def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import decode_wav, encode_wav
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -516,9 +528,11 @@ def l5_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import decode_png, encode_png
 
     (docs,) = tables(spark, sf_dir, "documents")
-    # spread: the parquet arrives as ~1 partition and the codec
-    # work below is interpreter-bound per row (repo perf rule)
-    meta = spread(docs).select("doc_id", "n_chars")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule), and a file scan's
+    # partition COUNT can lie (byte splits ≥ cores, row groups in a
+    # few) — see ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
