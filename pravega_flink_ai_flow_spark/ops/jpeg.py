@@ -179,6 +179,19 @@ class _BitWriter:
             self.write(0x7F, 8 - self._n)   # pad with 1-bits
 
 
+_STD_CODES_CACHE: list = []
+
+
+def _std_codes():
+    if not _STD_CODES_CACHE:
+        _STD_CODES_CACHE.append((
+            [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+             _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)],
+            [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+             _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]))
+    return _STD_CODES_CACHE[0]
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """Amplitude coding (T.81 F.1.2.1): value → (ssss size, appended
     bits)."""
@@ -307,10 +320,10 @@ def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
         q = qtabs[qsel[ci]].astype(np.float64)
         comp_blocks.append(np.round(coefs / q).astype(np.int64))
 
-    dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
-                _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
-    ac_codes = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
-                _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    # module-cached: the encoder always writes the Annex K tables, and
+    # rebuilding the four (code, length) dicts dominated per-image cost
+    # on thumbnail inputs
+    dc_codes, ac_codes = _std_codes()
 
     bw = _BitWriter()
     preds = [0] * len(planes)
