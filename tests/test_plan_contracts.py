@@ -357,6 +357,21 @@ def test_recall_eval_two_arrow_passes_broadcast_membership(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_codec_queries_force_spread_round_robin(spark):
+    """The interpreter-bound codec passes must carry an unconditional
+    ROUND-ROBIN repartition of the skinny meta rows ahead of the
+    Python stage: a file scan's partition COUNT can report ≥ cores
+    byte-range splits with all row groups clustered in a few non-empty
+    ones, silently serializing the codec (r9: 4-way at sf1, 20× gate
+    ratio, fixed by spread(force=True))."""
+    for name in ("l5_jpeg_decode", "l5_mixed_codec_decode",
+                 "l5_image_resize", "l5_image_phash"):
+        plan = _plan(spark, name)
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" \
+            in plan, f"{name}: no forced round-robin spread\n{plan}"
+        assert "BatchEvalPython" not in plan
+
+
 def test_containment_pairs_sizes_join_broadcast_after_agg(spark):
     """l2_containment_pairs: the pair aggregate must stay a bare 2-key
     COUNT (no first()-buffer fattening — measured 3.6× slower at sf1)
