@@ -156,8 +156,11 @@ def encode_frame(docs: DataFrame, merges: list[tuple[str, str]],
 
     from .partitioning import spread
 
-    # forced spread: greedy encode is interpreter-bound per row and a
-    # file scan's partition count can overstate real parallelism
-    return spread(docs.select(id_col, text_col), force=True).mapInPandas(
+    # CONDITIONAL spread only: the payload here is the full document
+    # text, and the repo rule (CLAUDE.md) forbids force-shuffling a
+    # full-text input — at real scale the corpus arrives with ≥ cores
+    # genuine partitions and the memoized per-word encode keeps even a
+    # few-way toy layout cheap (measured ≤1 s at 10× data)
+    return spread(docs.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} long, n_words long, n_pieces long, "
              f"pieces_sha string")

@@ -22,6 +22,21 @@ _A = [(1234567891 + 2 * i * 1000000007) % _P or 1 for i in range(256)]
 _B = [(987654321 + i * 777767777) % _P for i in range(256)]
 
 
+
+def _prefix_len(t: float, n) -> "Column":
+    """Float-safe lossless prefix length ``n − ceil(t·n) + 1``.
+
+    The naive forms are silently LOSSY at some thresholds: ``floor((1−t)
+    ·n)+1`` under-floors when ``1−t`` rounds down (t=0.9, n=30: 1−t =
+    0.09999…8 → k=3 where the lemma needs 4), and a bare ``ceil(t·n)``
+    over-ceils when the float product rounds up past an integer
+    (0.9·30 = 27.000…004 → 28). The 1e-9 downward nudge before the ceil
+    makes every representation error land on the SAFE side — k can only
+    come out one larger than exact (a few extra candidates), never
+    smaller (a dropped true pair). r9 code review, finding #1."""
+    return (n - F.ceil(t * n - 1e-9) + 1).cast("int")
+
+
 def exact_dedup(df: DataFrame, on: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup (L1): hash-groupBy on the content column keeping the
@@ -299,7 +314,7 @@ def jaccard_prefix_candidates_between(arrs_new: DataFrame,
     prefix = (shingled.join(dfreq, "shingle")
               .withColumn("__pos", F.row_number().over(w))
               .filter(F.col("__pos")
-                      <= F.floor((1.0 - threshold) * F.col("__n")) + 1)
+                      <= _prefix_len(threshold, F.col("__n")))
               .select("__new", "id", "shingle"))
     return (prefix.filter(F.col("__new") == 1)
             .select(F.col("id").alias("id_new"), "shingle")
@@ -357,7 +372,7 @@ def jaccard_hash_prefix_candidates_between(arrs_new: DataFrame,
         # but it is ONE cheap hash per shingle (not per-row × per-dim
         # work) — measured faster than any join-based alternative
         hs = F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s)))
-        k = (F.floor((1.0 - threshold) * F.size("shingles")) + 1).cast("int")
+        k = _prefix_len(threshold, F.size("shingles"))
         return arrs.select(F.lit(tag).alias("__new"), "id",
                            F.size("shingles").alias("__n"),
                            F.explode(F.slice(hs, 1, k)).alias("h"))
@@ -410,7 +425,7 @@ def jaccard_prefix_candidates(arrs: DataFrame, *,
               .join(sizes, "id")
               .withColumn("__pos", F.row_number().over(w))
               .filter(F.col("__pos")
-                      <= F.floor((1.0 - threshold) * F.col("__n")) + 1)
+                      <= _prefix_len(threshold, F.col("__n")))
               .select("id", "shingle"))
     return (prefix.alias("a")
             .join(prefix.alias("b"),
@@ -572,7 +587,7 @@ def containment_prefix_candidates(arrs: DataFrame, *,
     prefix = (shingled.join(dfreq, "shingle")
               .withColumn("__pos", F.row_number().over(w))
               .filter(F.col("__pos")
-                      <= F.col("__n") - F.ceil(threshold * F.col("__n")) + 1)
+                      <= _prefix_len(threshold, F.col("__n")))
               .select("id", "__n", "shingle"))
     return (prefix.alias("p")
             .join(shingled.alias("f"),
@@ -629,7 +644,11 @@ def shingle_df_head_ratio(arrs: DataFrame, *,
            .agg(F.max("df").alias("max_df"))
            .crossJoin(F.broadcast(arrs.agg(F.count("*").alias("n"))))
            .first())
-    return (row.max_df / row.n) if row.n else 0.0
+    # max_df is NULL when the corpus has docs but zero shingles (every
+    # doc shorter than the shingle size): no head → 0.0, not a TypeError
+    if not row.n or row.max_df is None:
+        return 0.0
+    return row.max_df / row.n
 
 
 # past this df-head ratio the count-index / hash-prefix plans'

@@ -656,6 +656,14 @@ def decode_jpeg(content: bytes):
             for c in comps:
                 cid = c["id"]
                 rows, cols = mcus_y * c["v"], mcus_x * c["h"]
+                if not coeffs[cid]:
+                    # component absent from this scan (non-interleaved
+                    # baseline file; we decode the first scan only, as
+                    # before the batched-IDCT rewrite): keep the zero
+                    # plane instead of crashing the empty-array scatter
+                    planes[cid] = np.zeros((rows * 8, cols * 8),
+                                           dtype=np.float64)
+                    continue
                 zzs = np.asarray(coeffs[cid], dtype=np.float64)
                 blks = np.zeros((len(zzs), 64), dtype=np.float64)
                 blks[:, ZIGZAG] = zzs

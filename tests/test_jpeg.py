@@ -175,3 +175,51 @@ def test_quality100_exactness_fuzz():
         assert np.array_equal(arr[:, :, 0], px)
 
     check()
+
+
+def test_non_interleaved_first_scan_decodes_without_crash():
+    """r9 review finding: a baseline file whose first SOS covers only
+    ONE of three components (non-interleaved scans) crashed the
+    batched-IDCT rewrite on the empty-coefficient scatter. The decoder
+    reads the first scan only (pre-rewrite behavior); unscanned
+    components must come back as zero planes, not a ValueError."""
+    import struct
+
+    from pravega_flink_ai_flow_spark.ops import jpeg as J
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, all-ones (quality-100 shape)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0])
+    ones = np.ones(64, dtype=np.int64)
+    zz = np.empty(64, dtype=np.int64)
+    zz[:] = ones  # all ones in any order
+    out += bytes(int(x) for x in zz)
+    # SOF0: 8-bit 8x8, 3 components, 1x1 sampling, all quant table 0
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT: DC luma (class 0 id 0) + AC luma (class 1 id 0)
+    for tc, bits, vals in ((0, J._DC_LUMA_BITS, J._DC_LUMA_VALS),
+                           (1, J._AC_LUMA_BITS, J._AC_LUMA_VALS)):
+        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
+    # SOS covering ONLY component 1
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    # entropy: one 8x8 block, constant 130 → DC level 8*(130-128)=16
+    bw = J._BitWriter()
+    dc_codes, ac_codes = J._std_codes()
+    coef = np.zeros(64)
+    coef[0] = 16
+    J._encode_block(bw, coef.reshape(8, 8), 0, dc_codes[0], ac_codes[0])
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"
+
+    w, h, c, arr = decode_jpeg(bytes(out))
+    assert (w, h, c) == (8, 8, 3)
+    assert arr.shape == (8, 8, 3)
+    # Y plane decoded (constant 130), chroma planes zero → the YCbCr
+    # transform runs on Cb=Cr=0 without crashing
+    assert arr.dtype == np.uint8

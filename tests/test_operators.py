@@ -1350,6 +1350,28 @@ def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
     assert len(lsh) >= 0.9 * len(exact)
 
 
+def test_prefix_len_is_float_safe(spark):
+    """r9 review finding: floor((1−t)·n)+1 under-floors at t=0.9 (1−t
+    rounds DOWN), and bare ceil(t·n) over-ceils when the product rounds
+    UP past an integer — both silently shorten the lossless prefix.
+    _prefix_len must match the exact integer form n − ceil(t·n) + 1 at
+    every (t, n) in the hazard zone (or exceed it by at most the
+    documented +1 safety slack — never fall below)."""
+    import math
+    from fractions import Fraction
+
+    cases = [(t, n) for t in (0.5, 0.6, 0.7, 0.75, 0.8, 0.9, 0.95)
+             for n in range(1, 200)]
+    df = spark.createDataFrame(cases, "t double, n int")
+    got = {(r.t, r.n): r.k for r in df.select(
+        "t", "n", dedup._prefix_len(F.col("t"), F.col("n")).alias("k"))
+        .collect()}
+    for t, n in cases:
+        exact = n - math.ceil(Fraction(t) * n) + 1
+        k = got[(t, n)]
+        assert exact <= k <= exact + 1, (t, n, k, exact)
+
+
 def test_incremental_probe_of_persisted_band_table(spark, tmp_workdir):
     """The TRUE production shape of incremental dedup (r7 advice #6):
     the corpus's banded bucket table is a write-once parquet artifact;

@@ -365,7 +365,8 @@ def test_codec_queries_force_spread_round_robin(spark):
     ones, silently serializing the codec (r9: 4-way at sf1, 20× gate
     ratio, fixed by spread(force=True))."""
     for name in ("l5_jpeg_decode", "l5_mixed_codec_decode",
-                 "l5_image_resize", "l5_image_phash"):
+                 "l5_image_resize", "l5_image_phash", "l5_image_decode",
+                 "l5_audio_decode", "l5_audio_features"):
         plan = _plan(spark, name)
         assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" \
             in plan, f"{name}: no forced round-robin spread\n{plan}"

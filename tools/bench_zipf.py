@@ -39,8 +39,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _time(df, runs=2):
-    """Median of `runs` noop-writes (cold excluded only when runs>2 —
-    the heavy plans here are single-digit-minutes; keep runs small)."""
+    """BEST of `runs` noop-writes (the heavy plans here run minutes, so
+    runs stays small and min is the noise-robust pick; the artifact
+    numbers are best-of-2, not medians)."""
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
