@@ -86,8 +86,20 @@ def main() -> None:
     for label, sf_dir in (("small", small), ("big", big)):
         arrs = arrs_of(sf_dir)
         n_docs = arrs.count()
-        out["corpora"][label] = {"dir": sf_dir, "n_docs": n_docs}
-        print(f"== {label}: {n_docs} docs", flush=True)
+        # the dispatch signal + the routes the auto entry points take —
+        # recorded so the artifact shows dispatch choosing the measured
+        # winner on the skewed corpus (and would expose a mis-route)
+        head = dedup.shingle_df_head_ratio(arrs)
+        zipfian = head > dedup._DF_HEAD_DISPATCH
+        out["corpora"][label] = {
+            "dir": sf_dir, "n_docs": n_docs,
+            "df_head_ratio": round(head, 4),
+            "auto_containment_route": "prefix" if zipfian else "count",
+            "auto_jaccard_route": "df_prefix" if zipfian else "hash_prefix",
+        }
+        print(f"== {label}: {n_docs} docs, df head {head:.4f} -> "
+              f"{'prefix/df' if zipfian else 'count/hash'} routes",
+              flush=True)
 
         # --- containment: count plan vs prefix plan
         count_plan = dedup.containment_pairs(arrs, threshold=0.6)
