@@ -26,14 +26,17 @@ _B = [(987654321 + i * 777767777) % _P for i in range(256)]
 def _prefix_len(t: float, n) -> "Column":
     """Float-safe lossless prefix length ``n − ceil(t·n) + 1``.
 
-    The naive forms are silently LOSSY at some thresholds: ``floor((1−t)
-    ·n)+1`` under-floors when ``1−t`` rounds down (t=0.9, n=30: 1−t =
-    0.09999…8 → k=3 where the lemma needs 4), and a bare ``ceil(t·n)``
-    over-ceils when the float product rounds up past an integer
-    (0.9·30 = 27.000…004 → 28). The 1e-9 downward nudge before the ceil
-    makes every representation error land on the SAFE side — k can only
-    come out one larger than exact (a few extra candidates), never
-    smaller (a dropped true pair). r9 code review, finding #1."""
+    The naive ``floor((1−t)·n)+1`` form is silently LOSSY at some
+    thresholds: it under-floors when ``1−t`` rounds down (t=0.9, n=30:
+    1−t = 0.09999…8 → k=3 where the lemma needs 4). The ``ceil(t·n)``
+    form here is safe as written for exact-decimal thresholds (0.9·30 is
+    exactly 27.0 in IEEE doubles, and nearest rounding cannot land
+    strictly past a representable integer), but the 1e-9 downward nudge
+    is kept as defense-in-depth for arbitrary float thresholds: any
+    representation error lands on the SAFE side — k can only come out
+    one larger than exact (a few extra candidates), never smaller (a
+    dropped true pair). r9 code review finding #1; rationale corrected
+    per r9 advice #1."""
     return (n - F.ceil(t * n - 1e-9) + 1).cast("int")
 
 
@@ -391,13 +394,31 @@ def jaccard_hash_prefix_candidates_between(arrs_new: DataFrame,
                                           F.struct("id", "__n"))).alias("cs"))
                .filter((F.size("ns") > 0) & (F.size("cs") > 0)))
     t = threshold
+    # Hot-bucket degrade guard (r9 advice #3): a misrouted Zipfian head
+    # (stale cached df_head_ratio, or a direct caller bypassing the auto
+    # dispatcher) lands O(f) ids in one bucket; flattening its
+    # f_new·f_corpus pair structs into ONE row would hit executor OOM /
+    # the 2 GB single-row limit instead of the documented graceful
+    # slowdown. When the in-row pair count exceeds the budget, split the
+    # bucket into one row PER NEW-DOC before expansion — each row then
+    # carries O(f_corpus) structs, so misrouting degrades to the same
+    # O(f_new·f_corpus) work spread across rows. Single conditional
+    # chunking pass (no filtered two-branch re-traversal of the
+    # aggregate subtree); small buckets wrap in an array-of-one — one
+    # extra alloc, no extra rows. Residual: a single corpus-side
+    # frequency ≳1e8 still makes a wide row; at that skew the dispatcher
+    # routed correctly long before (head ratio signal is O(corpus)).
+    chunks = (F.when(F.size("ns") * F.size("cs") > _BUCKET_PAIR_BUDGET,
+                     F.transform("ns", lambda a: F.array(a)))
+              .otherwise(F.array(F.col("ns"))))
     pairs = F.flatten(F.transform(
-        "ns", lambda a: F.transform(
+        "nsc", lambda a: F.transform(
             F.filter("cs", lambda b: (b["__n"] >= t * a["__n"])
                      & (a["__n"] >= t * b["__n"])),
             lambda b: F.struct(a["id"].alias("id_new"),
                                b["id"].alias("id_corpus")))))
-    return (buckets.select(F.explode(pairs).alias("p"))
+    return (buckets.select(F.explode(chunks).alias("nsc"), "cs")
+            .select(F.explode(pairs).alias("p"))
             .select("p.id_new", "p.id_corpus")
             .distinct())
 
@@ -435,11 +456,34 @@ def jaccard_prefix_candidates(arrs: DataFrame, *,
             .distinct())
 
 
+# In-row pair-expansion budget for the hash-prefix bucket expansion:
+# past this many (id_new × id_corpus) structs a bucket's pairs no longer
+# flatten into one row (see the degrade guard in
+# jaccard_hash_prefix_candidates_between). 1 M structs ≈ 32 MB per row —
+# two orders of magnitude under the 2 GB row limit, and far past any
+# bucket a correctly-routed flat corpus produces (sf1 measured buckets
+# are ~1-2 docs a side).
+_BUCKET_PAIR_BUDGET = 1_000_000
+
 # Size-table broadcast budget for the count-pairs family: rows are
 # (int64 id, int32 n) ≈ 12 bytes, so 10 M docs ≈ 120 MB — comfortably
 # inside executor memory on any sane cluster, far past sf1's 50 k docs.
 # Past it the plans degrade to two shuffle joins of 8-byte rows.
 _SIZES_BCAST_MAX_ROWS = 10_000_000
+
+
+# (applicationId, semanticHash of the size-table plan) -> fits-broadcast.
+# The decision is a property of the corpus, not the call site: without
+# the memo every plan CONSTRUCTION (including plan-only inspection in
+# tests/tools) re-ran the column-pruned corpus count — an extra full
+# pass per call (r9 advice #2). semanticHash is driver-side analysis
+# only; keyed by applicationId so a restarted context never reuses a
+# stale decision.
+_SIZES_BCAST_CACHE: dict[tuple[str, int], bool] = {}
+
+# (applicationId, semanticHash of the shingle-array plan, sample
+# fraction) -> measured df-head ratio; see shingle_df_head_ratio.
+_DF_HEAD_CACHE: dict[tuple[str, int, float | None], float] = {}
 
 
 def _resolve_broadcast_sizes(sizes: DataFrame,
@@ -449,10 +493,16 @@ def _resolve_broadcast_sizes(sizes: DataFrame,
     a column-pruned doc count, O(corpus rows) but no shuffle — and
     broadcasts only under :data:`_SIZES_BCAST_MAX_ROWS`. A forced
     corpus-sized broadcast at 100 TB OOMs the driver/executors; nothing
-    should rely on the caller remembering to flip a flag."""
-    if broadcast_sizes is None:
-        return sizes.count() <= _SIZES_BCAST_MAX_ROWS
-    return broadcast_sizes
+    should rely on the caller remembering to flip a flag. The count is
+    memoized per (session, corpus plan) so repeated constructions over
+    the same corpus pay it once (r9 advice #2)."""
+    if broadcast_sizes is not None:
+        return broadcast_sizes
+    key = (sizes.sparkSession.sparkContext.applicationId,
+           sizes.semanticHash())
+    if key not in _SIZES_BCAST_CACHE:
+        _SIZES_BCAST_CACHE[key] = sizes.count() <= _SIZES_BCAST_MAX_ROWS
+    return _SIZES_BCAST_CACHE[key]
 
 
 def jaccard_count_pairs(arrs: DataFrame, *, threshold: float,
@@ -636,7 +686,14 @@ def shingle_df_head_ratio(arrs: DataFrame, *,
     not the query) and cache it next to the table statistics. A
     ``sample_fraction`` makes it an estimate from a doc sample (df of
     a hot shingle scales with the sample; fine for dispatch, which
-    only needs one order of magnitude)."""
+    only needs one order of magnitude). Memoized per (session, corpus
+    plan) — same rationale as :data:`_SIZES_BCAST_CACHE`: the signal
+    is a corpus property, and without the memo every plan construction
+    through the auto dispatchers re-paid the aggregate."""
+    key = (arrs.sparkSession.sparkContext.applicationId,
+           arrs.semanticHash(), sample_fraction)
+    if key in _DF_HEAD_CACHE:
+        return _DF_HEAD_CACHE[key]
     if sample_fraction is not None:
         arrs = arrs.sample(fraction=sample_fraction, seed=7)
     shingled = arrs.select(F.explode("shingles").alias("shingle"))
@@ -646,9 +703,11 @@ def shingle_df_head_ratio(arrs: DataFrame, *,
            .first())
     # max_df is NULL when the corpus has docs but zero shingles (every
     # doc shorter than the shingle size): no head → 0.0, not a TypeError
-    if not row.n or row.max_df is None:
-        return 0.0
-    return row.max_df / row.n
+    # max_df is NULL when the corpus has docs but zero shingles (every
+    # doc shorter than the shingle size): no head → 0.0, not a TypeError
+    ratio = 0.0 if (not row.n or row.max_df is None) else row.max_df / row.n
+    _DF_HEAD_CACHE[key] = ratio
+    return ratio
 
 
 # past this df-head ratio the count-index / hash-prefix plans'

@@ -249,7 +249,14 @@ def l2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_containment_prefix_plan_equals_count_plan) and
     output-asserted equal on the skewed one by tools/bench_zipf.py."""
     arrs = _shingle_arrays(spark, sf_dir)
-    return (dedup.containment_pairs(arrs, threshold=0.6)
+    # r10: declared through the MEASURED auto-dispatcher (r9 verdict #4)
+    # so the driver gate proves the dispatch path end-to-end. On this
+    # flat corpus (df-head ≈ 0.005 « 0.05) it routes to the count-index
+    # plan — the exact plan previously declared directly — and the
+    # signal aggregate is memoized per corpus, so the oracle and the
+    # steady wall-clock are unchanged. On a Zipfian corpus the same
+    # call routes to containment_pairs_prefix; both branches are exact.
+    return (dedup.containment_pairs_auto(arrs, threshold=0.6)
             .orderBy("id_a", "id_b"))
 
 
@@ -631,7 +638,12 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .persist()
     arrs_n = dedup.shingle_arrays(dedup.spread(new), "doc_id", "text", 3) \
                   .persist()
-    cands = dedup.jaccard_hash_prefix_candidates_between(
+    # r10 (r9 verdict #4): candidates via the measured auto-dispatcher —
+    # flat corpus df-head routes to the in-row hash-prefix generator
+    # (the exact plan previously declared directly; signal memoized per
+    # corpus), Zipfian head to the df-ordered generator. Both lossless,
+    # so the verified output is dispatch-invariant.
+    cands = dedup.jaccard_candidates_between_auto(
         arrs_n, arrs_c, threshold=0.7)
     sa = arrs_n.select(F.col("id").alias("id_new"),
                        F.col("shingles").alias("__sa"))

@@ -229,11 +229,18 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     order wins). Runs with ``availableNow`` for the bounded-drain
     semantics the reference uses (processor.py:108).
 
-    Store writes are at-least-once: a batch retried after the parquet
-    append but before the checkpoint commit re-appends its survivors —
-    harmless for suppression (duplicate signatures/bands only add
-    candidates that verify against themselves) but dedupe the store by
-    id before using it as an output corpus.
+    Store/bands appends are made IDEMPOTENT under checkpoint retry
+    (r9 advice #4): each append anti-joins the batch's new ids against
+    its OWN target's existing ids first, so a batch replayed after a
+    crash mid-append re-writes only the rows its previous attempt did
+    not land — including the crash-between-the-two-appends case, where
+    the store filter drops the already-written signatures while the
+    bands filter still writes the missing bucket rows. The guard costs
+    one id-column scan of each target per batch (columnar, co-located
+    under the s14 ``id`` / ``band_sig`` bucketing at scale); a
+    transactional table format (Delta/Iceberg MERGE) is the production
+    swap-in that makes it free. ``out_table`` output remains
+    at-least-once — dedupe downstream by id if it feeds a corpus.
     """
     import os
     from ..ops import dedup
@@ -299,10 +306,26 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
              .otherwise(F.col("id_b")).alias("id"))
             .distinct())
         survivors = new.join(dup_ids, "id", "left_anti").persist()
-        survivors.select("id", "shingles", "sig") \
+
+        # Idempotent appends (r9 advice #4): filter each append against
+        # the ids ALREADY IN ITS TARGET, so checkpoint retries — even
+        # ones that crashed between the two appends — never duplicate
+        # store rows. The two filters are independent on purpose: a
+        # store-keyed filter on the bands append would permanently skip
+        # bands rows for ids whose store append landed before the crash.
+        def _not_yet_in(df: DataFrame, target: str, key: str) -> DataFrame:
+            if not _has_parquet(target):
+                return df
+            return df.join(spark.read.parquet(target).select(key),
+                           key, "left_anti")
+
+        _not_yet_in(survivors, store_dir, "id") \
+            .select("id", "shingles", "sig") \
             .write.mode("append").parquet(store_dir)
-        dedup.lsh_band_table(survivors.select("id", "sig"),
-                             num_hashes, bands, out_id="id_corpus") \
+        band_rows = dedup.lsh_band_table(survivors.select("id", "sig"),
+                                         num_hashes, bands,
+                                         out_id="id_corpus")
+        _not_yet_in(band_rows, bands_dir, "id_corpus") \
             .write.mode("append").parquet(bands_dir)
         if out_table is not None:
             kept = batch_df.join(

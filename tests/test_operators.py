@@ -1342,6 +1342,19 @@ def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
     hashed = verified(dedup.jaccard_hash_prefix_candidates_between(
         arrs_n, arrs_c, threshold=0.7))
     assert hashed == truth
+    # r9 advice #3 degrade guard: with the in-row pair budget forced to
+    # 1, EVERY bucket takes the one-row-per-new-doc chunked expansion —
+    # the path a misrouted Zipfian head lands on — and the output is
+    # unchanged (the guard moves memory shape, never the answer)
+    import pravega_flink_ai_flow_spark.ops.dedup as dedup_mod
+    saved = dedup_mod._BUCKET_PAIR_BUDGET
+    try:
+        dedup_mod._BUCKET_PAIR_BUDGET = 1
+        chunked = verified(dedup.jaccard_hash_prefix_candidates_between(
+            arrs_n, arrs_c, threshold=0.7))
+    finally:
+        dedup_mod._BUCKET_PAIR_BUDGET = saved
+    assert chunked == truth
 
     sig_c = dedup.minhash_signatures_arrow(arrs_c, 64)
     sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
@@ -1352,8 +1365,9 @@ def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
 
 def test_prefix_len_is_float_safe(spark):
     """r9 review finding: floor((1−t)·n)+1 under-floors at t=0.9 (1−t
-    rounds DOWN), and bare ceil(t·n) over-ceils when the product rounds
-    UP past an integer — both silently shorten the lossless prefix.
+    rounds DOWN), silently shortening the lossless prefix. (The bare
+    ceil(t·n) form is safe for exact-decimal thresholds — r9 advice #1 —
+    but the nudge stays as defense-in-depth for arbitrary floats.)
     _prefix_len must match the exact integer form n − ceil(t·n) + 1 at
     every (t, n) in the hazard zone (or exceed it by at most the
     documented +1 safety slack — never fall below)."""

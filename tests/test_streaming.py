@@ -371,10 +371,15 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
         assert kept_out == {1, 3, 6}, kept_out
     finally:
         spark.sql("DROP TABLE IF EXISTS near_dedup_retry_kept")
-    # the replay re-appends keeper signatures (at-least-once, documented
-    # harmless): the DISTINCT id set is unchanged
-    kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
-    assert kept == {1, 3, 6}
+    # r9 advice #4: the store append is IDEMPOTENT — the replay must not
+    # re-append keeper signatures; row counts, not just distinct ids,
+    # are unchanged
+    store_rows = spark.read.parquet(store)
+    assert store_rows.count() == 3
+    assert {r.id for r in store_rows.select("id").collect()} == {1, 3, 6}
+    bands_after = spark.read.parquet(store + "_bands")
+    assert (bands_after.count()
+            == bands_after.dropDuplicates(["id_corpus", "band_id"]).count())
 
 
 def test_streaming_near_dedup_backfills_missing_bands(spark, tmp_workdir):
@@ -413,6 +418,56 @@ def test_streaming_near_dedup_backfills_missing_bands(spark, tmp_workdir):
     banded = spark.read.parquet(store + "_bands")
     assert {r.id_corpus for r in banded.select("id_corpus")
             .distinct().collect()} == {1, 3}
+
+
+def test_streaming_near_dedup_heals_mid_append_crash(spark, tmp_workdir):
+    """Crash BETWEEN the two appends at batch ≥ 2 (r9 advice #4): the
+    store already holds the batch's survivor but the bands table does
+    not (and is NOT entirely absent, so the backfill path stays cold).
+    The retried batch must (a) not duplicate the survivor's store row —
+    the store append anti-joins its own target — and (b) still write
+    the missing bands rows — the bands append filters against the BANDS
+    table's ids, not the store's."""
+    from pravega_flink_ai_flow_spark.ops import dedup
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    d1 = "the quick brown fox jumps over the lazy dog in the bright morning"
+    stream.append(spark.createDataFrame([(1, d1)], doc_schema))
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+
+    # craft the crash state: doc 2's signature landed in the store, the
+    # job died before its bands rows landed (bands still only has id 1)
+    d2 = "completely unrelated text about query engines and shuffles here"
+    batch2 = spark.createDataFrame([(2, d2)], doc_schema)
+    arrs = dedup.shingle_arrays(batch2, "doc_id", "text")
+    sigs = dedup.minhash_signatures_from_arrays(arrs, 64)
+    (arrs.join(sigs, "id").select("id", "shingles", "sig")
+     .write.mode("append").parquet(store))
+    assert {r.id_corpus for r in spark.read.parquet(store + "_bands")
+            .select("id_corpus").distinct().collect()} == {1}
+
+    # the retry: same batch arrives through the stream
+    stream.append(batch2)
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+
+    store_rows = spark.read.parquet(store)
+    assert store_rows.count() == 2                      # no duplicate row
+    assert {r.id for r in store_rows.select("id").collect()} == {1, 2}
+    banded = spark.read.parquet(store + "_bands")
+    assert {r.id_corpus for r in banded.select("id_corpus")
+            .distinct().collect()} == {1, 2}            # bands healed
 
 
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
