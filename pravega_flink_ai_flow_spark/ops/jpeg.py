@@ -2,19 +2,23 @@
 multimodal seam the L5 row carried since round 5: image decode no
 longer requires an external codec library for JFIF/baseline files.
 
-Scope (ITU-T T.81 baseline sequential DCT):
+Scope (ITU-T T.81 baseline sequential + progressive DCT):
 
 - ``decode_jpeg``: JFIF/EXIF baseline files — 8-bit samples, Huffman
   entropy coding, 1 or 3 components, any sampling factors up to 2×2
   (4:4:4, 4:2:2, 4:2:0), restart intervals, multi-table DQT/DHT
-  segments. Huffman + quant tables are read FROM THE FILE (decoding
-  does not assume the encoder's table constants). Progressive,
-  arithmetic-coded and 12-bit files raise ``NotImplementedError`` —
-  they are a different coding process, not baseline.
-- ``encode_jpeg``: baseline encoder used to synthesize test fixtures
-  and declared-query payloads — Annex K quant tables scaled by the
+  segments — AND progressive (SOF2) files (r10): spectral selection,
+  successive approximation (DC + AC first/refinement scans, EOB runs),
+  interleaved DC / single-component AC scans, restarts. Huffman +
+  quant tables are read FROM THE FILE (decoding does not assume the
+  encoder's table constants). Arithmetic-coded, 12-bit, lossless and
+  hierarchical files raise ``NotImplementedError``.
+- ``encode_jpeg``: encoder used to synthesize test fixtures and
+  declared-query payloads — Annex K quant tables scaled by the
   libjpeg quality formula, Annex K Huffman tables, grayscale or
-  JFIF-YCbCr color, optional 4:2:0 subsampling and restart intervals.
+  JFIF-YCbCr color, optional 4:2:0 subsampling and restart intervals;
+  ``progressive=True`` emits a SOF2 scan script with spectral
+  selection + successive approximation (see ``_PROG_SCRIPT``).
 
 Determinism contract (what the hash-checked declared query rides on):
 at quality 100 every quantizer step is 1, so a grayscale image whose
@@ -262,10 +266,21 @@ def _pad_to(arr: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 
 def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """uint8 array (h×w grayscale, h×w×1, or h×w×3 RGB) → baseline JFIF
-    JPEG bytes. ``subsample=True`` uses 4:2:0 chroma (2×2 luma sampling);
-    ``restart_interval`` > 0 inserts RSTn markers every that many MCUs."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 array (h×w grayscale, h×w×1, or h×w×3 RGB) → JFIF JPEG
+    bytes. ``subsample=True`` uses 4:2:0 chroma (2×2 luma sampling);
+    ``restart_interval`` > 0 inserts RSTn markers every that many MCUs
+    (baseline only). ``progressive=True`` emits a SOF2 progressive file
+    with a libjpeg-style scan script exercising spectral selection AND
+    successive approximation (DC at Al=1 + refinement; AC bands 1-5 /
+    6-63 at Al=2, refined at Al=1 then Al=0). Progressive transmission
+    reorders the SAME quantized coefficients, so decoding it yields
+    bit-identical pixels to decoding the baseline encoding — the
+    property the round-trip tests pin."""
+    if progressive and restart_interval:
+        raise ValueError("progressive encoding with restart intervals "
+                         "is not supported by this encoder")
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -324,9 +339,36 @@ def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
     # rebuilding the four (code, length) dicts dominated per-image cost
     # on thumbnail inputs
     dc_codes, ac_codes = _std_codes()
+    ncomp = len(planes)
 
+    out = bytearray(b"\xff\xd8")                                # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += _dqt_segment(0, qluma)
+    if not gray:
+        out += _dqt_segment(1, qchroma)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    if progressive:
+        out += _encode_progressive_scans(comp_blocks, samp, qsel,
+                                         h, w, dc_codes, ac_codes)
+        out += b"\xff\xd9"                                      # EOI
+        return bytes(out)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * ncomp
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     mcu_i = 0
@@ -337,8 +379,8 @@ def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
                 bw.pad_to_byte()
                 bw.buf += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                preds = [0] * len(planes)
-            for ci in range(len(planes)):
+                preds = [0] * ncomp
+            for ci in range(ncomp):
                 sh, sv = samp[ci]
                 tsel = qsel[ci]
                 for by in range(sv):
@@ -349,26 +391,6 @@ def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
                             dc_codes[tsel], ac_codes[tsel])
             mcu_i += 1
     bw.pad_to_byte()
-
-    out = bytearray(b"\xff\xd8")                                # SOI
-    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
-            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
-    out += _dqt_segment(0, qluma)
-    if not gray:
-        out += _dqt_segment(1, qchroma)
-    ncomp = len(planes)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-    if not gray:
-        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         tsel = qsel[ci]
@@ -377,6 +399,137 @@ def encode_jpeg(pixels, quality: int = 90, *, subsample: bool = False,
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += bw.buf
     out += b"\xff\xd9"                                          # EOI
+    return bytes(out)
+
+
+# Progressive scan script (libjpeg jpeg_simple_progression shape, SA
+# depths chosen to exercise every decode path): DC of all components at
+# Al=1, AC bands 1-5 then 6-63 per component at Al=2, DC refinement to
+# full precision, then two AC refinement sweeps (Al=1, Al=0). EOB runs
+# are emitted per block only (run length 1): the Annex K tables carry
+# no EOBn codes for n ≥ 1, and a run-of-1 EOB is always expressible as
+# the plain 0x00 symbol — valid, marginally less compact.
+_PROG_SCRIPT = (
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", "each", 1, 5, 0, 2),
+    ("ac", "each", 6, 63, 0, 2),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", "each", 1, 63, 2, 1),
+    ("ac", "each", 1, 63, 1, 0),
+)
+
+
+def _encode_progressive_scans(comp_blocks, samp, qsel, h, w,
+                              dc_codes, ac_codes) -> bytes:
+    """Emit every SOS header + entropy segment of the progressive scan
+    script. Bit-level algorithms are T.81 G.1.2 (the encoder duals of
+    the decode paths in :func:`_decode_progressive_scan`): DC
+    first/refinement with point transform, AC first with magnitude
+    truncation toward zero, AC refinement with buffered correction
+    bits flushed after each emitted symbol."""
+    ncomp = len(comp_blocks)
+    comps = [{"id": ci + 1, "h": samp[ci][0], "v": samp[ci][1], "ci": ci}
+             for ci in range(ncomp)]
+    # per-component zigzag coefficient lists, flattened to the padded
+    # block grid the scan iterator indexes
+    zz_lists = []
+    for ci in range(ncomp):
+        cb = comp_blocks[ci]
+        rows, cols = cb.shape[:2]
+        zz_lists.append(cb.reshape(rows * cols, 64)[:, ZIGZAG].tolist())
+
+    out = bytearray()
+    for kind, fan, s0, s1, ah, al in _PROG_SCRIPT:
+        members = [list(range(ncomp))] if fan is None \
+            else [[ci] for ci in range(ncomp)]
+        for group in members:
+            scan = [(comps[ci], qsel[ci], qsel[ci]) for ci in group]
+            sos = bytes([len(group)])
+            for ci in group:
+                t = qsel[ci]
+                sos += bytes([ci + 1, (t << 4) | t])
+            sos += bytes([s0, s1, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+            bw = _BitWriter()
+            preds = [0] * ncomp
+            for unit in _scan_units(scan, comps, w, h):
+                for comp, tdc, tac, bi in unit:
+                    ci = comp["ci"]
+                    zz = zz_lists[ci][bi]
+                    if kind == "dc":
+                        if ah == 0:
+                            v = zz[0] >> al          # arithmetic shift
+                            s, amp = _magnitude(v - preds[ci])
+                            preds[ci] = v
+                            code, ln = dc_codes[tdc][s]
+                            bw.write(code, ln)
+                            if s:
+                                bw.write(amp, s)
+                        else:
+                            bw.write((zz[0] >> al) & 1, 1)
+                        continue
+                    ac = ac_codes[tac]
+                    if ah == 0:                      # AC first scan
+                        r = 0
+                        for k in range(s0, s1 + 1):
+                            t = zz[k]
+                            m = (t if t >= 0 else -t) >> al
+                            if m == 0:
+                                r += 1
+                                continue
+                            while r > 15:
+                                code, ln = ac[0xF0]
+                                bw.write(code, ln)
+                                r -= 16
+                            nbits = m.bit_length()
+                            code, ln = ac[(r << 4) | nbits]
+                            bw.write(code, ln)
+                            bw.write(m if t >= 0 else ~m, nbits)
+                            r = 0
+                        if r > 0:
+                            code, ln = ac[0x00]      # EOB, run of 1
+                            bw.write(code, ln)
+                        continue
+                    # AC refinement scan
+                    absv = [0] * (s1 + 1)
+                    eob = s0 - 1
+                    for k in range(s0, s1 + 1):
+                        m = (zz[k] if zz[k] >= 0 else -zz[k]) >> al
+                        absv[k] = m
+                        if m == 1:
+                            eob = k
+                    r = 0
+                    corr: list[int] = []
+                    for k in range(s0, s1 + 1):
+                        m = absv[k]
+                        if m == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob:
+                            code, ln = ac[0xF0]
+                            bw.write(code, ln)
+                            r -= 16
+                            for b in corr:
+                                bw.write(b, 1)
+                            corr = []
+                        if m > 1:                   # history coefficient
+                            corr.append(m & 1)
+                            continue
+                        code, ln = ac[(r << 4) | 1]  # newly nonzero ±1
+                        bw.write(code, ln)
+                        bw.write(1 if zz[k] >= 0 else 0, 1)
+                        for b in corr:
+                            bw.write(b, 1)
+                        corr = []
+                        r = 0
+                    if r > 0 or corr:
+                        code, ln = ac[0x00]          # EOB, run of 1
+                        bw.write(code, ln)
+                        for b in corr:
+                            bw.write(b, 1)
+            bw.pad_to_byte()
+            out += bw.buf
     return bytes(out)
 
 
@@ -519,9 +672,206 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _planes_to_pixels(planes: dict, comps: list, fw: int, fh: int,
+                      hmax: int, vmax: int):
+    """Shared decode tail: per-component full-resolution planes →
+    (width, height, channels, uint8 h×w×c). Upsamples sub-sampled
+    planes by pixel replication, crops the MCU padding, and runs the
+    JFIF YCbCr→RGB conversion for 3-component images."""
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        pix = np.clip(np.round(out_planes[0]), 0, 255) \
+            .astype(np.uint8)[:, :, None]
+        return fw, fh, 1, pix
+    if len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = (y - 0.344136 * (cb - 128.0)
+             - 0.714136 * (cr - 128.0))
+        b = y + 1.772 * (cb - 128.0)
+        pix = np.clip(np.round(np.stack([r, g, b], axis=2)),
+                      0, 255).astype(np.uint8)
+        return fw, fh, 3, pix
+    raise NotImplementedError(
+        f"{len(out_planes)}-component JPEG (CMYK?) not supported")
+
+
+def _scan_units(scan: list, comps: list, fw: int, fh: int):
+    """Block iteration order for one scan (T.81 A.2): interleaved MCUs
+    when the scan has several components, the component's own
+    (non-MCU-padded) block raster when it has one. Yields lists of
+    (comp, tdc, tac, block_index) — one list per restart-countable
+    unit; block_index addresses the component's MCU-padded grid."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    if len(scan) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for comp, tdc, tac in scan:
+                    cols = mcus_x * comp["h"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit.append(
+                                (comp, tdc, tac,
+                                 (my * comp["v"] + by) * cols
+                                 + mx * comp["h"] + bx))
+                yield unit
+    else:
+        comp, tdc, tac = scan[0]
+        # non-interleaved scans cover ceil(component size / 8) blocks,
+        # NOT the MCU-padded grid — the padded blocks of a sub-sampled
+        # frame are never coded in single-component scans
+        cw = -(-fw * comp["h"] // hmax)
+        ch = -(-fh * comp["v"] // vmax)
+        cols = mcus_x * comp["h"]
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(comp, tdc, tac, by * cols + bx)]
+
+
+def _decode_progressive_scan(content: bytes, data_start: int, seg: bytes,
+                             frame, huff_dc: dict, huff_ac: dict,
+                             coef: dict, restart_interval: int) -> int:
+    """Decode ONE progressive SOS's entropy data into the per-component
+    zigzag coefficient store (python lists — same hot-loop discipline
+    as the baseline path). Implements T.81 G.2: DC first/refinement
+    scans (successive approximation of coefficient 0), AC first scans
+    with EOB runs over a spectral band [Ss, Se], and AC refinement
+    scans (correction bits for history coefficients interleaved with
+    newly-nonzero ±1<<Al insertions) — the bit-level algorithms of
+    figures G.3-G.10, matching the public libjpeg jdphuff.c semantics.
+    Returns the stream offset of the next marker."""
+    fw, fh, comps = frame
+    ns = seg[0]
+    scan = []
+    for si in range(ns):
+        cs, tsel = seg[1 + 2 * si], seg[2 + 2 * si]
+        comp = next(c for c in comps if c["id"] == cs)
+        scan.append((comp, tsel >> 4, tsel & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    br = _BitReader(content, data_start)
+    preds = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    rst = 0
+    unit_i = 0
+    for unit in _scan_units(scan, comps, fw, fh):
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            br.align_and_expect_rst(rst)
+            rst = (rst + 1) % 8
+            preds = {c["id"]: 0 for c in comps}
+            eobrun = 0
+        unit_i += 1
+        for comp, tdc, tac, bi in unit:
+            blk = coef[comp["id"]][bi]
+            if ss == 0:
+                if ah == 0:                       # DC first scan (G.3)
+                    s = _read_symbol(br, huff_dc[tdc])
+                    diff = _extend(br.take(s), s) if s else 0
+                    cid = comp["id"]
+                    preds[cid] += diff
+                    blk[0] = preds[cid] << al
+                else:                             # DC refinement (G.4)
+                    if br.bit():
+                        blk[0] |= p1
+                continue
+            act = huff_ac[tac]
+            if ah == 0:                           # AC first scan (G.6)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.take(r)
+                            break
+                        k += 16                  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive AC index overflow")
+                    blk[k] = _extend(br.take(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan (G.7/G.10, jdphuff.c structure): the
+            # run length r counts ZERO-HISTORY coefficients only;
+            # every nonzero-history coefficient passed over consumes
+            # one correction bit (1 = increase magnitude by p1)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_symbol(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid size in AC refinement scan")
+                        val = p1 if br.bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.take(r)
+                        break
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if br.bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError(
+                                "progressive AC refine index overflow")
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:                   # rest of band: bits only
+                    c = blk[k]
+                    if c != 0:
+                        if br.bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    # skip any unread entropy remainder/stuffing/RSTs to the next marker
+    p = br.pos
+    d = content
+    n = len(d)
+    while p + 1 < n and not (d[p] == 0xFF and d[p + 1] != 0x00
+                             and not 0xD0 <= d[p + 1] <= 0xD7):
+        p += 1
+    return p
+
+
 def decode_jpeg(content: bytes):
-    """Baseline JPEG bytes → (width, height, channels, uint8 array
-    h×w×channels). See module docstring for scope."""
+    """Baseline-sequential OR progressive JPEG bytes → (width, height,
+    channels, uint8 array h×w×channels). See module docstring for
+    scope; progressive support added r10 (spectral selection +
+    successive approximation, T.81 G.2)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -529,6 +879,8 @@ def decode_jpeg(content: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    prog_coef: dict[int, list] | None = None
     restart_interval = 0
     n = len(content)
 
@@ -567,10 +919,11 @@ def decode_jpeg(content: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_decoder(bits,
                                                                       vals)
                 sp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1/2 (seq/prog DCT)
             depth = seg[0]
             if depth != 8:
                 raise NotImplementedError("only 8-bit JPEG is supported")
+            progressive = marker == 0xC2
             fh, fw = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -579,16 +932,32 @@ def decode_jpeg(content: bytes):
                 comps.append({"id": cid, "h": sampling >> 4,
                               "v": sampling & 0x0F, "tq": tq})
             frame = (fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/lossless JPEG is not baseline "
+                "arithmetic/lossless/hierarchical JPEG is not supported "
                 f"(SOF marker ff{marker:02x})")
         elif marker == 0xDD:                     # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                     # SOS → entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                fw, fh, comps = frame
+                if prog_coef is None:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mx_ = -(-fw // (8 * hmax))
+                    my_ = -(-fh // (8 * vmax))
+                    prog_coef = {
+                        c["id"]: [[0] * 64
+                                  for _ in range(my_ * c["v"]
+                                                 * mx_ * c["h"])]
+                        for c in comps}
+                pos = _decode_progressive_scan(
+                    content, pos + seglen, seg, frame, huff_dc, huff_ac,
+                    prog_coef, restart_interval)
+                continue
             fw, fh, comps = frame
             ns = seg[0]
             scan = []
@@ -675,28 +1044,29 @@ def decode_jpeg(content: bytes):
                 planes[cid] = (grid.reshape(rows, cols, 8, 8)
                                .transpose(0, 2, 1, 3)
                                .reshape(rows * 8, cols * 8))
-            # upsample sub-sampled planes by pixel replication, crop
-            out_planes = []
-            for c in comps:
-                p = planes[c["id"]]
-                ry, rx = vmax // c["v"], hmax // c["h"]
-                if ry > 1 or rx > 1:
-                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-                out_planes.append(p[:fh, :fw])
-            if len(out_planes) == 1:
-                pix = np.clip(np.round(out_planes[0]), 0, 255) \
-                    .astype(np.uint8)[:, :, None]
-                return fw, fh, 1, pix
-            if len(out_planes) == 3:
-                y, cb, cr = out_planes
-                r = y + 1.402 * (cr - 128.0)
-                g = (y - 0.344136 * (cb - 128.0)
-                     - 0.714136 * (cr - 128.0))
-                b = y + 1.772 * (cb - 128.0)
-                pix = np.clip(np.round(np.stack([r, g, b], axis=2)),
-                              0, 255).astype(np.uint8)
-                return fw, fh, 3, pix
-            raise NotImplementedError(
-                f"{len(out_planes)}-component JPEG (CMYK?) not supported")
+            return _planes_to_pixels(planes, comps, fw, fh, hmax, vmax)
         pos += seglen
+    if progressive and prog_coef is not None:
+        # all scans accumulated into the coefficient store — dequantize
+        # and inverse-transform ONCE per component, exactly the baseline
+        # batched-einsum shape (the entropy scans above are the only
+        # progressive-specific cost)
+        fw, fh, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        planes = {}
+        for c in comps:
+            rows, cols = mcus_y * c["v"], mcus_x * c["h"]
+            zzs = np.asarray(prog_coef[c["id"]], dtype=np.float64)
+            blks = np.zeros_like(zzs)
+            blks[:, ZIGZAG] = zzs
+            blks = blks.reshape(-1, 8, 8) * qtabs[c["tq"]]
+            px = np.einsum("xu,bxy,yv->buv", _DCT_M, blks,
+                           _DCT_M) + 128.0
+            planes[c["id"]] = (px.reshape(rows, cols, 8, 8)
+                               .transpose(0, 2, 1, 3)
+                               .reshape(rows * 8, cols * 8))
+        return _planes_to_pixels(planes, comps, fw, fh, hmax, vmax)
     raise ValueError("JPEG contained no scan (missing SOS)")

@@ -2,11 +2,11 @@
 ``binary`` payloads + typed metadata structs.
 
 The Spark-side plumbing — schema, partition sizing, Arrow-batched UDF
-signatures — is real and tested. PNG, baseline JPEG and PCM16 WAV
-decode for REAL (pure python/numpy codecs — no media libraries in this
-container); the remaining formats (progressive JPEG, WebP, MP3, video)
-stay behind ``NotImplementedError`` / a deterministic fake, clearly
-marked.
+signatures — is real and tested. PNG, JPEG (baseline sequential and
+progressive) and PCM16 WAV decode for REAL (pure python/numpy codecs —
+no media libraries in this container); the remaining formats (WebP,
+MP3, video) stay behind ``NotImplementedError`` / a deterministic
+fake, clearly marked.
 
 At 100 TB the rules encoded here: payloads ride in ``BinaryType`` columns
 (never base64 strings), metadata lives in a pruned-friendly struct,
@@ -65,11 +65,12 @@ def content_hash(df: DataFrame, content_col: str = "content") -> DataFrame:
 #
 # PNG: full 8-bit-depth decoder (all five scanline filters, grey/RGB/
 # alpha color types, multi-IDAT) and a filter-0 encoder, on zlib+struct.
-# JPEG: baseline sequential DCT decode + encode in the sibling
-# ``ops.jpeg`` module (numpy IDCT, file-driven Huffman/quant tables,
-# 4:2:0, restarts). WAV: PCM16 via the stdlib ``wave`` module. Formats
-# that genuinely need external libraries (progressive JPEG, WebP, MP3,
-# video containers) stay behind the NotImplementedError seam below.
+# JPEG: baseline sequential AND progressive DCT decode + encode in the
+# sibling ``ops.jpeg`` module (numpy IDCT, file-driven Huffman/quant
+# tables, 4:2:0, restarts, spectral selection + successive
+# approximation). WAV: PCM16 via the stdlib ``wave`` module. Formats
+# that genuinely need external libraries (WebP, MP3, video containers)
+# stay behind the NotImplementedError seam below.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # color type → samples/pixel
@@ -197,12 +198,11 @@ def decode_wav(content: bytes):
 
 
 def decode_image(content: bytes):
-    """Image decode seam. PNG and baseline JPEG decode for real (pure
-    python — :mod:`.jpeg` implements the full baseline sequential DCT
-    path, r7 verdict's one remaining [X]); formats still needing
-    external codec libraries (WebP, progressive JPEG, video frames)
-    raise — swap in PIL.Image.open(io.BytesIO(content)) where it's
-    available."""
+    """Image decode seam. PNG and JPEG — baseline sequential AND
+    progressive (r10) — decode for real (pure python — :mod:`.jpeg`
+    implements both T.81 DCT processes); formats still needing
+    external codec libraries (WebP, video frames) raise — swap in
+    PIL.Image.open(io.BytesIO(content)) where it's available."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":

@@ -185,6 +185,81 @@ def l5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l5_progressive_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST((n_chars % 3 + 1) * 8 AS INTEGER) AS width,
+               CAST((doc_id % 3 + 1) * 8 AS INTEGER)  AS height
+        FROM documents
+    )
+    SELECT m.doc_id, m.width, m.height,
+           (SELECT AVG(CAST((m.doc_id * 43 + (x.r // 8) * 17
+                             + (y.r // 8) * 19) % 256 AS DOUBLE))
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS mean_px,
+           (SELECT CAST(SUM(((m.doc_id * 43 + (x.r // 8) * 17
+                              + (y.r // 8) * 19) % 256)
+                            * (y.r * m.width + x.r)) AS BIGINT)
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS px_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5",),
+)
+def l5_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (closes the r9 verdict's
+    progressive seam — most web JPEGs are progressive): per doc,
+    synthesize a grayscale image whose 8×8 block (bx,by) is the
+    constant (doc_id·43 + bx·17 + by·19) mod 256, encode it with the
+    SOF2 scan script (spectral selection + successive approximation:
+    DC at Al=1 + refinement, AC bands at Al=2 refined twice —
+    ops/jpeg.py:_PROG_SCRIPT) and decode it through the multi-scan
+    coefficient-accumulation path, all inside Arrow-batched
+    ``mapInPandas``. Progressive transmission reorders the SAME
+    quantized coefficients, so the quality-100 block-constant
+    exactness contract carries over and the DuckDB formula oracle
+    hash-checks the decoded stats; any bug in EOB-run handling,
+    refinement correction bits, the DC point transform, or scan
+    sequencing flips the hash."""
+    from ..ops.jpeg import decode_jpeg, encode_jpeg
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule) — see
+    # ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_px": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                bw = int(n_chars) % 3 + 1
+                bh = int(doc_id) % 3 + 1
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = ((int(doc_id) * 43 + bx * 17 + by * 19)
+                          % 256).astype(np.uint8)
+                px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                payload = encode_jpeg(px, 100, progressive=True)
+                dw, dh, _c, arr = decode_jpeg(payload)
+                flat = arr.reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["mean_px"].append(float(flat.mean()))
+                out["px_checksum"].append(
+                    int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, width int, height int, mean_px double, "
+             "px_checksum long")
+        .orderBy("doc_id"))
+
+
+@declared(
     "l5_mixed_codec_decode",
     oracle="""
     WITH m AS (

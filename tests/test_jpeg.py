@@ -132,12 +132,18 @@ def test_decode_image_routes_jpeg_and_rejects_junk():
 
 
 def test_non_baseline_processes_raise_not_implemented():
-    """Flipping SOF0 to SOF2 (progressive) must raise
-    NotImplementedError, not mis-decode."""
+    """Flipping SOF0 to SOF3 (lossless) must raise NotImplementedError,
+    not mis-decode; flipping to SOF2 (progressive — supported since
+    r10) makes the baseline scan header ILLEGAL for the progressive
+    process (Ss=0 with Se=63 is not a valid DC scan), which must be a
+    clean ValueError, not a mis-decode."""
     enc = bytearray(encode_jpeg(np.full((8, 8), 50, np.uint8), 90))
     i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(enc))
     enc[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(enc))
 
 
@@ -223,3 +229,84 @@ def test_non_interleaved_first_scan_decodes_without_crash():
     # Y plane decoded (constant 130), chroma planes zero → the YCbCr
     # transform runs on Cb=Cr=0 without crashing
     assert arr.dtype == np.uint8
+
+
+# -- progressive (SOF2) round-trips: spectral selection + successive
+# approximation (r10). Progressive transmission reorders the SAME
+# quantized coefficients, so progressive decode must be BIT-IDENTICAL
+# to baseline decode of the same pixels at the same quality — a parity
+# a paired encoder/decoder bug cannot fake against the independent
+# baseline path.
+
+
+def _parity(px, quality, **enc_kw):
+    base = decode_jpeg(encode_jpeg(px, quality, **enc_kw))
+    prog = decode_jpeg(encode_jpeg(px, quality, progressive=True,
+                                   **enc_kw))
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3]), (
+        f"progressive != baseline at q={quality} shape={px.shape}")
+
+
+def test_progressive_equals_baseline_grayscale():
+    _parity(_gradient(40, 56), 90)
+    _parity(_gradient(17, 23), 75)           # non-MCU-aligned crop
+    rng = np.random.RandomState(11)
+    _parity(rng.randint(0, 256, (24, 24), dtype=np.uint8), 50)
+
+
+def test_progressive_equals_baseline_color_444_and_420():
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+    _parity(px, 85)
+    _parity(px, 85, subsample=True)           # 4:2:0, non-MCU-aligned
+    smooth = np.stack([_gradient(32, 48)] * 3, axis=2)
+    _parity(smooth, 95, subsample=True)
+
+
+def test_progressive_quality100_block_constant_is_exact():
+    """The declared-query contract extends to progressive: at quality
+    100 a block-constant grayscale image round-trips bit-exactly
+    through the progressive scan script (DC successive approximation
+    reassembles the integer DC, AC scans carry all-zero bands)."""
+    rng = np.random.RandomState(29)
+    blocks = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    dw, dh, c, arr = decode_jpeg(encode_jpeg(px, 100, progressive=True))
+    assert (dw, dh, c) == (32, 24, 1)
+    assert np.array_equal(arr[:, :, 0], px)
+
+
+def test_progressive_fuzz_parity():
+    """Property form: ANY image decodes identically via the progressive
+    and baseline paths — random sizes (incl. non-MCU-aligned), random
+    content, gray and color, with and without 4:2:0."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(8, 40), st.integers(8, 40), st.booleans(),
+           st.booleans(), st.integers(0, 2**31 - 1))
+    def check(h, w, color, subsample, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        _parity(px, 80, subsample=subsample and color)
+
+    check()
+
+
+def test_progressive_file_structure():
+    """The emitted file is structurally progressive: SOF2 marker and
+    one SOS per scan-script entry (6 for grayscale, 14 for color)."""
+    enc = encode_jpeg(_gradient(16, 16), 90, progressive=True)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc[2:4]
+    assert enc.count(b"\xff\xda") >= 6
+    enc3 = encode_jpeg(np.stack([_gradient(16, 16)] * 3, 2), 90,
+                       progressive=True)
+    assert enc3.count(b"\xff\xda") >= 14
+
+
+def test_progressive_rejects_restart_intervals():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_gradient(16, 16), 90, progressive=True,
+                    restart_interval=2)

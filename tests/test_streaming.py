@@ -606,8 +606,25 @@ def test_stateful_topk_modern_api_or_documented_seam(spark, tmp_workdir):
     """T8 via transformWithStateInPandas where the environment supports
     it (protobuf-backed state protocol); otherwise the op must raise
     the documented NotImplementedError seam — never the opaque
-    python-runner crash."""
+    python-runner crash.
+
+    Environment fact, re-verified per run (r9 verdict #7): this sandbox
+    ships no google.protobuf and package installs are prohibited, so
+    the seam branch is the one that executes here. The gate is asserted
+    against a live import probe so tws_available() can never silently
+    disagree with ground truth (a stale gate would either crash the
+    python runner or dead-gate a working API)."""
+    import importlib.util
+
     import pytest
+
+    try:
+        protobuf_actually_present = (
+            importlib.util.find_spec("google.protobuf") is not None)
+    except ModuleNotFoundError:     # no `google` namespace package at all
+        protobuf_actually_present = False
+    assert st.tws_available() == protobuf_actually_present, (
+        "tws_available() disagrees with the live google.protobuf probe")
 
     stream = StreamDir(os.path.join(tmp_workdir, "s"), SCHEMA)
     stream.append(_mk_events(spark, [(1, 0, 1, 5.0), (2, 1, 1, 9.0),

@@ -43,11 +43,11 @@ def _image(seed: int, bw: int, bh: int) -> np.ndarray:
     return np.repeat(np.repeat(blocks, 8, 0), 8, 1)
 
 
-def _bench(images, quality=100, exact=True):
+def _bench(images, quality=100, exact=True, **enc_kw):
     encs = []
     t0 = time.perf_counter()
     for px in images:
-        encs.append(encode_jpeg(px, quality))
+        encs.append(encode_jpeg(px, quality, **enc_kw))
     t_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
     for px, b in zip(images, encs):
@@ -83,6 +83,13 @@ def main() -> None:
         rgb.append(np.stack([(x * 2 + i) % 256, (y * 3) % 256,
                              ((x + y) * 5) % 256], -1).astype(np.uint8))
     out["rgb_420_64x64_q92"] = _bench(rgb, quality=92, exact=False)
+
+    # progressive (r10): same quantized coefficients over a 6-scan
+    # SOF2 script — the honest multi-scan overhead vs the single-scan
+    # baseline on the same images (exactness still asserted: the
+    # block-constant q100 contract carries over to progressive)
+    out["tiny_query_shape_progressive"] = _bench(tiny, progressive=True)
+    out["gray_64x64_progressive"] = _bench(med, progressive=True)
 
     # per-block marginal cost: fit dec_sec across two sizes
     big = [_image(i, 16, 16) for i in range(25)]
