@@ -94,7 +94,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 @ r8, 50 @ r7, 45 @ r6, 50 @ r5, 8 never-recorded (born after the
 # r8 window filled).
 #
-# ROUND 9 (this round): no r8 reds to re-prove, so `_PROMOTED` =
+# ROUND 9: no r8 reds to re-prove, so `_PROMOTED` =
 #   (a) the 8 never-recorded queries (m9_feature_drift_psi, t22-t24,
 #       l2_containment_pairs, l4_gopher_repetition, l3_mmr_rerank,
 #       l3_recall_eval — verified green locally in r8, scheduled here);
@@ -118,31 +118,52 @@ def entry(spark: SparkSession) -> DataFrame:
 #       a5/a14/a15, f_regex, j13, l3_cosine_near_dup).
 # The 17 r5-stale leftovers (p8, s1/s3_s4/s7/s8/s9/s10/s11, t5/t11-t15,
 # tpch_q12, w9/w10) are the ROUND 10 pad pool.
+# ROUND 9 recorded its window clean: 50/50 green (47 hash + 3 rows-
+# only-by-design), 0 red (CORRECTNESS_r09). Staleness census after r9:
+# 50 @ r9, 47 @ r8, 48 @ r7, 41 @ r6, 17 @ r5 — nothing older.
+#
+# ROUND 10 (this round): no r9 reds to re-prove, so `_PROMOTED` =
+#   (a) the 4 queries whose DECLARED PLAN or shared implementation
+#       changed this round, so their prior greens no longer cover the
+#       shipped code: l2_containment_pairs + l2_incremental_dedup
+#       (now declared THROUGH the measured Zipf auto-dispatchers, r9
+#       verdict #4; the incremental plan also gained the hot-bucket
+#       degrade chunking, r9 advice #3), l2_ngram_jaccard_pairs (the
+#       shared size-broadcast decision is now memoized per corpus, r9
+#       advice #2), and the NEW l5_progressive_decode (SOF2
+#       progressive-JPEG decode — spectral selection + successive
+#       approximation — closing the r9 verdict's #6 seam);
+#   (b) the full 17-query r5-stale pad pool named above — after this
+#       window NOTHING in the corpus is older than r6;
+#   (c) padded to exactly 50 with the 29 name-ordered-first r6-stale
+#       greens (a-block aggregates, the l3 ANN quartet, the ML predict
+#       trio, s12-s16 layout kit). The 12 r6 leftovers
+#       (s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad pool.
 _PROMOTED = frozenset({
-    # (a) never recorded — born after the r8 window filled
-    "m9_feature_drift_psi", "t22_funnel_conversion",
-    "t23_retention_cohorts", "t24_purchase_attribution",
-    "l2_containment_pairs", "l4_gopher_repetition", "l3_mmr_rerank",
-    "l3_recall_eval",
-    # (b) plan/output/implementation changed in round 9 — gate must
-    # re-prove the code
-    "l6_dsir_importance", "l4_bigram_lm_score", "l2_incremental_dedup",
-    "l2_ngram_jaccard_pairs", "l5_jpeg_decode", "l5_mixed_codec_decode",
-    "l4_bpe_trained_tokenize", "l5_image_resize", "l5_audio_features",
-    "l5_image_phash",
-    # (c) last driver record r5 (name-ordered first 32)
-    "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
-    "f_regex", "j13_asof_tolerance", "l3_cosine_near_dup",
-    "l4_bpe_token_count", "l4_doc_chunking", "l4_fingerprint",
-    "l4_lang_source_stats", "l4_language_id", "l4_quality_features",
-    "l4_quality_filter", "l4_repetition_ratio", "l4_rolling_hash",
-    "l4_text_normalize", "l4_token_stats", "l5_audio_decode",
-    "l5_binary_meta", "l5_frame_sample_plan", "l5_image_decode",
-    "l6_benchmark_decontam", "l6_boilerplate_removal",
-    "l6_heavy_hitter_terms", "l6_mixture_weighted_sample",
-    "l6_pii_redaction", "l6_sequence_packing", "l6_shard_assign",
-    "m4_ridge_predict", "o4_nulls_ordering", "p6_rename_alias",
-    "p7_systematic_sample",
+    # (a) plan/implementation changed in round 10 (+ the new query)
+    "l2_containment_pairs", "l2_incremental_dedup",
+    "l2_ngram_jaccard_pairs", "l5_progressive_decode",
+    # (b) last driver record r5 — the whole leftover pool
+    "p8_stratified_sample", "s10_orc_roundtrip",
+    "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
+    "s3_s4_stream_dir_roundtrip", "s7_parquet_pruned_scan",
+    "s8_rows_source", "s9_pandas_bridge", "t11_ohlc_rollup",
+    "t12_funnel_analysis", "t13_retention_cohorts",
+    "t14_resample_ffill", "t15_resample_interpolate",
+    "t5_session_window", "tpch_q12", "w10_rolling_median",
+    "w9_running_count_distinct",
+    # (c) last driver record r6 (name-ordered first 29)
+    "a10_unpivot", "a11_string_agg", "a12_corr_covar",
+    "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
+    "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
+    "a5_grouping_sets", "a5_rollup", "j14_lateral_topn", "l2_semdedup",
+    "l3_int8_quant_topk", "l3_ivf_kmeans_topk", "l3_lsh_topk",
+    "l3_pq_topk", "l4_char_entropy", "l4_tfidf_keywords",
+    "l6_quality_classifier", "m5_softmax_predict", "m6_pca_project",
+    "m7_naive_bayes_predict", "p9_hash_sample_per_group",
+    "s12_jsonl_roundtrip", "s13_partitioned_pruned_scan",
+    "s14_bucketed_colocated_join", "s15_table_profile",
+    "s16_zorder_key",
 })
 
 

@@ -50,14 +50,16 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 9 window: two rows-only-by-design pads ride along from the
-    # r5-stale block — a14 (mergeable HLL sketch, approximate by
-    # design) and m4 (ridge GD predict, iterative float accumulation;
-    # pytest-equal to numpy instead) — plus l4_bpe_trained_tokenize
-    # (iterative merge learning, not SQL-expressible; promoted because
-    # its encode pass gained the distinct-word memo this round and the
-    # gate must re-prove the shipped code). Any commit that touches
-    # _PROMOTED must update this set in the SAME commit and re-run the
-    # suite — r7 shipped red by skipping that (VERDICT r7 wrong #1).
-    assert rows_only == {"a14_hll_mergeable_sketch", "m4_ridge_predict",
-                         "l4_bpe_trained_tokenize"}, sorted(rows_only)
+    # round 10 window: seven rows-only-by-design pads ride along from
+    # the r6-stale block — the approximate sketches (a4 HLL count, a13
+    # percentile digest), the iterative ANN trainers (l3 ivf-kmeans,
+    # l3 pq — Lloyd iterations, seed-dependent tie-breaks), and the
+    # iterative/float-accumulating ML scorers (l6 quality classifier,
+    # m5 softmax, m6 PCA — pytest-equal to numpy instead). Any commit
+    # that touches _PROMOTED must update this set in the SAME commit
+    # and re-run the suite — r7 shipped red by skipping that (VERDICT
+    # r7 wrong #1).
+    assert rows_only == {
+        "a4_approx_count_distinct", "a13_approx_percentile",
+        "l3_ivf_kmeans_topk", "l3_pq_topk", "l6_quality_classifier",
+        "m5_softmax_predict", "m6_pca_project"}, sorted(rows_only)

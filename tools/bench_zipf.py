@@ -21,8 +21,17 @@ contract), and writes BENCH_zipf.json with per-plan seconds and
 10×-data ratios. The artifact is what turns each docstring's "on a
 Zipfian corpus the ranking inverts" from an argument into a number.
 
-Usage: python tools/bench_zipf.py [small_dir] [big_dir]
+Usage: python tools/bench_zipf.py [small_dir] [big_dir] [huge_dir]
 Defaults: <repo>/testdata_scale/zipf0.1  <repo>/testdata_scale/zipf1
+          <repo>/testdata_scale/zipf10 (optional tier — skipped when
+          the directory is absent)
+
+The optional HUGE tier (r9 verdict, next #5: one more decade) runs the
+SURVIVING prefix plans only — the count/hash plans are measured
+quadratic at the 10× step (72×/12.8×) and re-running a known loser at
+100× would take hours to prove nothing — and records their
+ratio_10x_huge so the dispatcher's chosen plans are evidenced across
+TWO decades of Zipfian growth.
 """
 
 from __future__ import annotations
@@ -133,8 +142,37 @@ def main() -> None:
               f"({n_hash} pairs)", flush=True)
         arrs.unpersist()
 
+    huge = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        REPO, "testdata_scale", "zipf10")
+    if os.path.isdir(huge):
+        arrs = arrs_of(huge)
+        n_docs = arrs.count()
+        head = dedup.shingle_df_head_ratio(arrs)
+        out["corpora"]["huge"] = {
+            "dir": huge, "n_docs": n_docs,
+            "df_head_ratio": round(head, 4),
+            "plans_measured": "prefix survivors only (count/hash "
+                              "plans are measured-quadratic losers at "
+                              "the 10x step; not re-run at 100x)",
+        }
+        print(f"== huge: {n_docs} docs, df head {head:.4f} "
+              f"(prefix plans only)", flush=True)
+        t_prefix = _time(dedup.containment_pairs_prefix(arrs,
+                                                        threshold=0.6))
+        out["plans"]["containment_prefix"]["huge"] = t_prefix
+        print(f"   containment prefix={t_prefix}s", flush=True)
+        arrs_n, arrs_c = split_of(arrs)
+        t_df = _time(verified_jaccard(
+            dedup.jaccard_prefix_candidates_between(
+                arrs_n, arrs_c, threshold=0.7), arrs_n, arrs_c))
+        out["plans"]["jaccard_df_prefix"]["huge"] = t_df
+        print(f"   incremental df={t_df}s", flush=True)
+        arrs.unpersist()
+
     for plan, d in out["plans"].items():
         d["ratio_10x"] = round(d["big"] / d["small"], 2) if d["small"] else None
+        if "huge" in d:
+            d["ratio_10x_huge"] = round(d["huge"] / d["big"], 2)
 
     path = os.path.join(REPO, "BENCH_zipf.json")
     with open(path, "w") as f:

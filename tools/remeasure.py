@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Quiet single-query re-measurement into BENCH_sf1.json.
+
+The 62-query scaling gate (tools/bench_scale.py) runs hot — queries
+share one session with 61 neighbors, and the runbook's measured ±20%
+(occasionally worse: l6_dup_span_removal recorded 5.74× there vs 1.95×
+quiet, r9 verdict watch #4) means an artifact outlier needs a QUIET
+second opinion before anyone believes it. This tool re-times the named
+queries with the bench_scale protocol (same session confs, same
+warmup-plus-median-of-3) but NOTHING else in the session, and updates
+their entries in BENCH_sf1.json in place (totals/super_linear
+recomputed), stamping each updated row with "quiet_remeasure": true.
+
+Usage: python tools/remeasure.py query1 [query2 ...]   (quiet box)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        sys.exit("usage: remeasure.py query1 [query2 ...]")
+    sf_small = bench.normalize_layout("/root/testdata/sf0.1")
+    sf_big = bench.normalize_layout(
+        os.path.join(REPO, "testdata_scale", "sf1"))
+
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.sql.shuffle.partitions"] = "32"
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark("remeasure", extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    def t_median(name: str, sf_dir: str) -> float:
+        df = registry[name].fn(spark, sf_dir)
+        samples = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        steady = sorted(samples[1:])
+        return round(steady[len(steady) // 2], 3)
+
+    path = os.path.join(REPO, "BENCH_sf1.json")
+    art = json.load(open(path))
+    for name in names:
+        ts = t_median(name, sf_small)
+        tb = t_median(name, sf_big)
+        art["queries"][name] = {
+            "sf0.1_sec": ts, "sf1_sec": tb,
+            "ratio_10x_data": round(tb / ts, 2) if ts else None,
+            "quiet_remeasure": True,
+        }
+        print(f"{name}: {ts}s -> {tb}s  ({art['queries'][name]['ratio_10x_data']}x)",
+              flush=True)
+
+    art["total_sf0.1_sec"] = round(
+        sum(r["sf0.1_sec"] for r in art["queries"].values()), 3)
+    art["total_sf1_sec"] = round(
+        sum(r["sf1_sec"] for r in art["queries"].values()), 3)
+    art["total_ratio"] = round(
+        art["total_sf1_sec"] / art["total_sf0.1_sec"], 2)
+    # same flag criterion as tools/bench_scale.py:136
+    art["super_linear"] = sorted(
+        n for n, r in art["queries"].items()
+        if r["ratio_10x_data"] and r["ratio_10x_data"] > 10.0)
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(f"updated {path}: total_ratio={art['total_ratio']} "
+          f"super_linear={art['super_linear']}")
+
+
+if __name__ == "__main__":
+    main()
