@@ -76,8 +76,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # color type → samples/pixel
 
 
-def encode_png(pixels) -> bytes:
-    """uint8 array (h×w or h×w×channels) → PNG bytes (8-bit, filter 0)."""
+def encode_png(pixels, *, interlace: bool = False) -> bytes:
+    """uint8 array (h×w or h×w×channels) → PNG bytes (8-bit, filter 0).
+    ``interlace=True`` writes the Adam7 layout (7 independently
+    filtered passes) — used to synthesize interlaced fixtures for the
+    decode path."""
     import struct
     import zlib
 
@@ -93,50 +96,45 @@ def encode_png(pixels) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = np.ascontiguousarray(arr[y0::dy, x0::dx])
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue   # empty pass contributes nothing, per spec
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def decode_png(content: bytes):
-    """PNG bytes → (width, height, channels, uint8 array h×w×channels).
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step).
+# Pass k's sub-image holds the pixels at (x_start + i·x_step,
+# y_start + j·y_step); each non-empty pass is filtered INDEPENDENTLY
+# (its own filter byte per scanline, its own "row above").
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    Implements the spec's scanline reconstruction (filters 0-4: None,
-    Sub, Up, Average, Paeth) for 8-bit depth, non-interlaced images —
-    the deterministic decode path behind the L5 seam."""
-    import struct
-    import zlib
 
+def _png_unfilter(raw: bytes, h: int, w: int, c: int, p: int):
+    """Reconstruct one filtered image (spec filters 0-4: None, Sub, Up,
+    Average, Paeth) of h scanlines × w pixels × c samples starting at
+    byte offset ``p`` of the decompressed stream. Returns the (h, w·c)
+    uint8 array and the offset past the consumed bytes — the shared
+    core of the sequential and Adam7 decode paths."""
     import numpy as np
 
-    if content[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload (bad signature)")
-    pos, idat, hdr = 8, [], None
-    while pos + 8 <= len(content):
-        ln, tag = struct.unpack(">I4s", content[pos:pos + 8])
-        pos += 8
-        data = content[pos:pos + ln]
-        pos += ln + 4  # payload + CRC
-        if tag == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if hdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            "only 8-bit non-interlaced PNG is supported here")
-    c = _PNG_CHANNELS[color]
     stride = w * c
-    raw = zlib.decompress(b"".join(idat))
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
     for y in range(h):
+        if p >= len(raw):
+            raise ValueError("truncated PNG pixel data")
         ft = raw[p]
         p += 1
         cur = np.frombuffer(raw, np.uint8, count=stride, offset=p).copy()
@@ -163,7 +161,57 @@ def decode_png(content: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur
         prev = out[y]
-    return w, h, c, out.reshape(h, w, c)
+    return out, p
+
+
+def decode_png(content: bytes):
+    """PNG bytes → (width, height, channels, uint8 array h×w×channels).
+
+    Implements the spec's scanline reconstruction (filters 0-4: None,
+    Sub, Up, Average, Paeth) for 8-bit depth images, sequential AND
+    Adam7-interlaced (r10) — each interlace pass is an independently
+    filtered sub-image scattered back through the pass grid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(content):
+        ln, tag = struct.unpack(">I4s", content[pos:pos + 8])
+        pos += 8
+        data = content[pos:pos + ln]
+        pos += ln + 4  # payload + CRC
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG is supported here")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    c = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, _ = _png_unfilter(raw, h, w, c, 0)
+        return w, h, c, out.reshape(h, w, c)
+    img = np.zeros((h, w, c), dtype=np.uint8)
+    p = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue       # empty pass: not even a filter byte on the wire
+        sub, p = _png_unfilter(raw, ph, pw, c, p)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+    return w, h, c, img
 
 
 def encode_wav(samples, sample_rate: int) -> bytes:

@@ -130,6 +130,13 @@ def test_png_roundtrip_property(w, h, c, seed):
     dw, dh, dc, out = decode_png(encode_png(arr))
     assert (dw, dh, dc) == (w, h, c)
     assert np.array_equal(out, arr)
+    # Adam7 (r10): the interlaced encoding of the SAME pixels — a
+    # different wire layout (7 independently filtered passes, empty
+    # passes absent) — must reconstruct identically. Sizes below 8 px
+    # exercise the empty-pass seam in both encoder and decoder.
+    dw, dh, dc, out = decode_png(encode_png(arr, interlace=True))
+    assert (dw, dh, dc) == (w, h, c)
+    assert np.array_equal(out, arr)
 
 
 @settings(max_examples=40, deadline=None)

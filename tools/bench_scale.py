@@ -58,8 +58,8 @@ SLOWEST = [
     "l5_jpeg_decode", "l5_mixed_codec_decode", "l4_bpe_trained_tokenize",
     "s15_table_profile", "l5_image_resize", "t20_ewma_smooth",
     "t21_session_paths", "u7_scd2_history", "l2_edit_distance_pairs",
-    # r10 addition: new corpus-heavy query enters the gate at birth
-    "l5_progressive_decode",
+    # r10 additions: new corpus-heavy queries enter the gate at birth
+    "l5_progressive_decode", "l5_interlaced_decode",
     "m7_naive_bayes_predict", "l4_tfidf_keywords", "l6_pii_redaction",
     "l6_sequence_packing", "l5_image_phash",
 ]

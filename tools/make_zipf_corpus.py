@@ -19,8 +19,17 @@ prefix-filter plans to "Zipfian corpora" on an argument, not a number
 Near-dup structure: 2 % of docs are near-copies of an earlier doc
 (90 % token overlap) so containment/jaccard queries return real pairs.
 
-Usage: python tools/make_zipf_corpus.py [dst_dir] [n_docs]
-Default: <repo>/testdata_scale/zipf1  50000
+Usage: python tools/make_zipf_corpus.py [dst_dir] [n_docs] [vocab_size]
+Default: <repo>/testdata_scale/zipf1  50000  30000
+
+The optional vocab_size models HEAPS' LAW for larger tiers: real
+corpora grow vocabulary ~n^0.75, which keeps tail-shingle document
+frequencies bounded as the corpus grows — the property the prefix
+plans' near-linear scaling rests on. A 500k-doc tier with the DEFAULT
+30k vocabulary is the bounded-vocab adversary instead: every shingle's
+df grows linearly with n, exact candidate generation is intrinsically
+quadratic there, and the measured answer is the LSH path (see
+tools/bench_zipf.py's huge tier).
 """
 
 from __future__ import annotations
@@ -44,13 +53,13 @@ BOILERPLATE = ("this page is part of the example archive "
 LANGS = ["en", "zh", "de", "fr"]
 
 
-def make(dst: str, n_docs: int) -> None:
+def make(dst: str, n_docs: int, vocab_size: int = VOCAB_SIZE) -> None:
     rng = np.random.default_rng(20260815)
     # Zipf ranks via inverse-CDF over a truncated zeta distribution
-    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = ranks ** -ZIPF_S
     probs /= probs.sum()
-    words = np.array([f"w{i}" for i in range(VOCAB_SIZE)])
+    words = np.array([f"w{i}" for i in range(vocab_size)])
 
     lens = rng.integers(DOC_LEN_MIN, DOC_LEN_MAX + 1, size=n_docs)
     texts: list[str] = []
@@ -60,13 +69,13 @@ def make(dst: str, n_docs: int) -> None:
             src = int(rng.integers(0, i))
             toks = texts[src].split()
             idx = rng.random(len(toks)) < 0.10
-            repl = words[rng.choice(VOCAB_SIZE, size=int(idx.sum()),
+            repl = words[rng.choice(vocab_size, size=int(idx.sum()),
                                     p=probs)]
             toks = np.array(toks, dtype=object)
             toks[idx] = repl
             texts.append(" ".join(toks.tolist()))
             continue
-        toks = words[rng.choice(VOCAB_SIZE, size=int(lens[i]), p=probs)]
+        toks = words[rng.choice(vocab_size, size=int(lens[i]), p=probs)]
         body = " ".join(toks.tolist())
         if rng.random() < BOILERPLATE_FRAC:
             body = body + " " + " ".join(BOILERPLATE)
@@ -83,7 +92,7 @@ def make(dst: str, n_docs: int) -> None:
     os.makedirs(dst, exist_ok=True)
     pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
     print(f"wrote {dst}/documents.parquet: {n_docs} docs, "
-          f"vocab {VOCAB_SIZE}, zipf s={ZIPF_S}, "
+          f"vocab {vocab_size}, zipf s={ZIPF_S}, "
           f"boilerplate {BOILERPLATE_FRAC:.0%}, near-dup {NEAR_DUP_FRAC:.0%}")
 
 
@@ -91,4 +100,5 @@ if __name__ == "__main__":
     dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "testdata_scale", "zipf1")
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
-    make(dst, n)
+    v = int(sys.argv[3]) if len(sys.argv) > 3 else VOCAB_SIZE
+    make(dst, n, v)
