@@ -135,14 +135,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #       approximation — closing the r9 verdict's #6 seam);
 #   (b) the full 17-query r5-stale pad pool named above — after this
 #       window NOTHING in the corpus is older than r6;
-#   (c) padded to exactly 50 with the 29 name-ordered-first r6-stale
+#   (c) padded to exactly 50 with the 28 name-ordered-first r6-stale
 #       greens (a-block aggregates, the l3 ANN quartet, the ML predict
-#       trio, s12-s16 layout kit). The 12 r6 leftovers
-#       (s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad pool.
+#       trio, s12-s15 layout kit). The 13 r6 leftovers (s16_zorder_key
+#       — bumped when l5_interlaced_decode was born mid-round —
+#       s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad pool.
 _PROMOTED = frozenset({
-    # (a) plan/implementation changed in round 10 (+ the new query)
+    # (a) plan/implementation changed in round 10 (+ the two new
+    # queries, entering the gate at birth per the r8 precedent)
     "l2_containment_pairs", "l2_incremental_dedup",
     "l2_ngram_jaccard_pairs", "l5_progressive_decode",
+    "l5_interlaced_decode",
     # (b) last driver record r5 — the whole leftover pool
     "p8_stratified_sample", "s10_orc_roundtrip",
     "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
@@ -163,7 +166,6 @@ _PROMOTED = frozenset({
     "m7_naive_bayes_predict", "p9_hash_sample_per_group",
     "s12_jsonl_roundtrip", "s13_partitioned_pruned_scan",
     "s14_bucketed_colocated_join", "s15_table_profile",
-    "s16_zorder_key",
 })
 
 

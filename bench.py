@@ -96,6 +96,37 @@ BENCH_CONF = {
 }
 
 
+def scale_session(app_name: str):
+    """The shared measurement session of the scale-tier tools
+    (bench_scale / remeasure / ab_spread — one definition so their
+    'same protocol' claims cannot drift apart): BENCH_CONF with
+    shuffle parallelism following the data (32 at sf1) and the 32 GiB
+    heap the r8 gate lesson established (at 8 GiB, dozens of persisted
+    memos evict each other and late queries measure 4× run-to-run
+    swings; a cluster has this memory per executor)."""
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+
+    conf = dict(BENCH_CONF)
+    conf["spark.sql.shuffle.partitions"] = "32"
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_DRIVER_MEMORY", "32g")
+    spark = get_spark(app_name, extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def median_noop_time(df, runs: int = 4) -> float:
+    """The scale-tier timing primitive: `runs` noop-sink executions of
+    an already-constructed DataFrame, median of the post-cold runs."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    steady = sorted(samples[1:])
+    return round(steady[len(steady) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)

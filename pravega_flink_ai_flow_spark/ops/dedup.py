@@ -408,7 +408,12 @@ def jaccard_hash_prefix_candidates_between(arrs_new: DataFrame,
     # extra alloc, no extra rows. Residual: a single corpus-side
     # frequency ≳1e8 still makes a wide row; at that skew the dispatcher
     # routed correctly long before (head ratio signal is O(corpus)).
-    chunks = (F.when(F.size("ns") * F.size("cs") > _BUCKET_PAIR_BUDGET,
+    # bigint multiply: size() is 32-bit, and the product overflows in
+    # exactly the extreme-skew regime the guard protects (65 k × 65 k
+    # wraps to 0 non-ANSI / throws under ANSI — r10 review finding)
+    pair_count = (F.size("ns").cast("bigint")
+                  * F.size("cs").cast("bigint"))
+    chunks = (F.when(pair_count > _BUCKET_PAIR_BUDGET,
                      F.transform("ns", lambda a: F.array(a)))
               .otherwise(F.array(F.col("ns"))))
     pairs = F.flatten(F.transform(
@@ -701,8 +706,6 @@ def shingle_df_head_ratio(arrs: DataFrame, *,
            .agg(F.max("df").alias("max_df"))
            .crossJoin(F.broadcast(arrs.agg(F.count("*").alias("n"))))
            .first())
-    # max_df is NULL when the corpus has docs but zero shingles (every
-    # doc shorter than the shingle size): no head → 0.0, not a TypeError
     # max_df is NULL when the corpus has docs but zero shingles (every
     # doc shorter than the shingle size): no head → 0.0, not a TypeError
     ratio = 0.0 if (not row.n or row.max_df is None) else row.max_df / row.n

@@ -28,7 +28,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -37,8 +36,8 @@ import bench  # noqa: E402
 
 QUERIES = [
     "l5_image_decode", "l5_jpeg_decode", "l5_progressive_decode",
-    "l5_mixed_codec_decode", "l5_audio_decode", "l5_image_resize",
-    "l5_audio_features", "l5_image_phash",
+    "l5_interlaced_decode", "l5_mixed_codec_decode", "l5_audio_decode",
+    "l5_image_resize", "l5_audio_features", "l5_image_phash",
 ]
 
 
@@ -49,7 +48,6 @@ def main() -> None:
         sys.exit(f"{sf_big_raw} missing — run tools/make_sf_scale.py")
     sf_big = bench.normalize_layout(sf_big_raw)
 
-    from pravega_flink_ai_flow_spark.engine.session import get_spark
     from pravega_flink_ai_flow_spark.ops.partitioning import (
         spread as real_spread,
     )
@@ -59,27 +57,15 @@ def main() -> None:
     def conditional_spread(df, target=None, *, force=False):
         return real_spread(df, target, force=False)
 
-    conf = dict(bench.BENCH_CONF)
-    conf["spark.sql.shuffle.partitions"] = "32"
-    conf["spark.driver.memory"] = os.environ.get(
-        "SPARK_DRIVER_MEMORY", "32g")
-    spark = get_spark("ab-spread", extra_conf=conf)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = bench.scale_session("ab-spread")
     registry = load_all()
 
     def run_one(name: str, sf_dir: str, variant: str) -> float:
         qm.spread = real_spread if variant == "force" else conditional_spread
         try:
-            df = registry[name].fn(spark, sf_dir)
-            samples = []
-            for _ in range(4):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
+            return bench.median_noop_time(registry[name].fn(spark, sf_dir))
         finally:
             qm.spread = real_spread
-        steady = sorted(samples[1:])
-        return round(steady[len(steady) // 2], 3)
 
     out = {"queries": {}}
     for scale, sf_dir in (("sf0.1", sf_small), ("sf1", sf_big)):

@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -66,18 +65,11 @@ SLOWEST = [
 
 
 def time_queries(spark, registry, names, sf_dir, runs=4):
-    out = {}
-    for name in names:
-        df = registry[name].fn(spark, sf_dir)
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        # median of post-cold runs (bench.py's steady-state convention)
-        steady = sorted(samples[1:])
-        out[name] = round(steady[len(steady) // 2], 3)
-    return out
+    # shared timing primitive (bench.median_noop_time): median of
+    # post-cold noop-sink runs — one definition across the scale tools
+    return {name: bench.median_noop_time(registry[name].fn(spark, sf_dir),
+                                         runs=runs)
+            for name in names}
 
 
 def main() -> None:
@@ -87,32 +79,16 @@ def main() -> None:
     if not os.path.isdir(sf_big):
         sys.exit(f"{sf_big} missing — run tools/make_sf_scale.py first")
 
-    from pravega_flink_ai_flow_spark.engine.session import get_spark
     from pravega_flink_ai_flow_spark.queries import load_all
 
     registry = load_all()
     names = list(dict.fromkeys(bench.HEADLINE + SLOWEST))
 
-    # same session confs as the recorded bench, except shuffle
-    # parallelism follows the data (a production session sizes
-    # partitions to volume; pinning sf0.1's 8 at 10× the data would
-    # measure a misconfiguration, not the plans)
-    conf = dict(bench.BENCH_CONF)
-    conf["spark.sql.shuffle.partitions"] = "32"
-    # local[32] = ONE shared JVM heap for driver + all 32 executor
-    # threads. The session default (8g) is fine for one query at
-    # sf0.1, but this gate runs 46 queries × 2 scales in one session
-    # with every (appId, sf_dir) memo persisted — at sf1 the cache
-    # pressure caused 4× run-to-run swings on late queries (t16
-    # measured 2.6× one quiet run, 11.9× the next) as hot frames were
-    # evicted and recomputed inside the timed region. 32g makes
-    # eviction a non-event on the 128 GiB box; a cluster would have
-    # this memory per executor, so the SMALL heap was the
-    # misconfiguration, not the big one.
-    conf["spark.driver.memory"] = os.environ.get(
-        "SPARK_DRIVER_MEMORY", "32g")
-    spark = get_spark("bench-scale", extra_conf=conf)
-    spark.sparkContext.setLogLevel("ERROR")
+    # shared scale-tier session (bench.scale_session): BENCH_CONF with
+    # shuffle parallelism following the data and the 32 GiB heap the r8
+    # gate lesson established — see the helper's docstring for the
+    # measured history (t16's 2.6x-vs-11.9x eviction swings at 8 GiB)
+    spark = bench.scale_session("bench-scale")
 
     small = bench.normalize_layout(sf_small)
     big = bench.normalize_layout(sf_big)

@@ -21,10 +21,13 @@ contract), and writes BENCH_zipf.json with per-plan seconds and
 10×-data ratios. The artifact is what turns each docstring's "on a
 Zipfian corpus the ranking inverts" from an argument into a number.
 
-Usage: python tools/bench_zipf.py [small_dir] [big_dir] [huge_dir]
+Usage: python tools/bench_zipf.py [small_dir] [big_dir]
+                                  [huge_bounded_dir] [huge_heaps_dir]
 Defaults: <repo>/testdata_scale/zipf0.1  <repo>/testdata_scale/zipf1
-          <repo>/testdata_scale/zipf10 (optional tier — skipped when
-          the directory is absent)
+          <repo>/testdata_scale/zipf10   <repo>/testdata_scale/zipf10h
+          (each huge tier is optional — skipped when its directory is
+          absent; zipf10 is the bounded-vocab adversary, zipf10h the
+          Heaps'-law-scaled realistic shape)
 
 The optional HUGE tier (r9 verdict, next #5: one more decade) runs the
 SURVIVING prefix plans only — the count/hash plans are measured

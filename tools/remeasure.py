@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -35,26 +34,13 @@ def main() -> None:
     sf_big = bench.normalize_layout(
         os.path.join(REPO, "testdata_scale", "sf1"))
 
-    from pravega_flink_ai_flow_spark.engine.session import get_spark
     from pravega_flink_ai_flow_spark.queries import load_all
 
-    conf = dict(bench.BENCH_CONF)
-    conf["spark.sql.shuffle.partitions"] = "32"
-    conf["spark.driver.memory"] = os.environ.get(
-        "SPARK_DRIVER_MEMORY", "32g")
-    spark = get_spark("remeasure", extra_conf=conf)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = bench.scale_session("remeasure")
     registry = load_all()
 
     def t_median(name: str, sf_dir: str) -> float:
-        df = registry[name].fn(spark, sf_dir)
-        samples = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        steady = sorted(samples[1:])
-        return round(steady[len(steady) // 2], 3)
+        return bench.median_noop_time(registry[name].fn(spark, sf_dir))
 
     path = os.path.join(REPO, "BENCH_sf1.json")
     art = json.load(open(path))
