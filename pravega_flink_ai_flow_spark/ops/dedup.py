@@ -762,6 +762,63 @@ def jaccard_candidates_between_auto(arrs_new: DataFrame,
         arrs_new, arrs_corpus, threshold=threshold)
 
 
+def cap_shingle_df(arrs: DataFrame, *, max_df_frac: float = 0.05,
+                   max_literal: int = 1024) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df_frac``
+    of the corpus BEFORE near-dup signatures/joins — the industrial
+    MinHash hygiene step for skewed corpora.
+
+    Why it exists (measured, BENCH_zipf r10 second decade): on
+    Zipf-token corpora the common shingles' df grows ∝ n REGARDLESS of
+    vocabulary growth (token mass concentrates in the head, so the
+    same common trigrams recur), which makes every exact prefix plan
+    super-linear at 100× docs (43×/26× per decade measured) and gives
+    even LSH banding hot bands (16.3× per decade vs 10× linear): a
+    permutation's global-min shingle is usually a common one, so every
+    doc containing it shares that signature coordinate. Boilerplate
+    and stopword n-grams carry no DEDUP SIGNAL — similarity that rides
+    on them is exactly the similarity production pipelines do not want
+    — so capping df trades a biased sliver of recall for bounded
+    bucket sizes. This is lossless for every pair whose similarity
+    survives on sub-cap shingles (the flat driver corpus caps nothing;
+    pytest pins that).
+
+    Plan: one map-side-combined df aggregate; when the hot set is
+    small (mass conservation bounds it at avg_shingles_per_doc /
+    max_df_frac, and Zipf concentration keeps the real count far
+    below — tens on the measured corpora) it becomes an in-row
+    ``array_except`` against a literal array — no shuffle of the
+    corpus; a hot set past ``max_literal`` falls back to a broadcast
+    anti-join + per-doc rebuild (one groupBy shuffle of the exploded
+    shingles).
+
+    Input/output: (id, shingles array) — docs whose shingles are all
+    hot come back with an empty array (they cannot near-dup on
+    content)."""
+    n_docs = arrs.count()
+    ex = arrs.select("id", F.explode("shingles").alias("shingle"))
+    hot_df = (ex.groupBy("shingle").agg(F.count("*").alias("__df"))
+              .filter(F.col("__df") > max_df_frac * n_docs)
+              .select("shingle"))
+    hot = [r.shingle for r in hot_df.limit(max_literal + 1).collect()]
+    if len(hot) <= max_literal:
+        if not hot:
+            return arrs
+        return arrs.withColumn(
+            "shingles",
+            F.array_except("shingles",
+                           F.array(*[F.lit(s) for s in hot])))
+    kept = ex.join(F.broadcast(hot_df), "shingle", "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.collect_list("shingle").alias("__kept")))
+    return (arrs.drop("shingles")
+            .join(rebuilt, "id", "left")
+            .withColumn("shingles",
+                        F.coalesce(F.col("__kept"),
+                                   F.array().cast("array<string>")))
+            .drop("__kept"))
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 3,
                         num_hashes: int = 64, bands: int = 16,

@@ -1363,6 +1363,38 @@ def test_prefix_candidates_between_lossless_and_lsh_recall(spark):
     assert len(lsh) >= 0.9 * len(exact)
 
 
+def test_cap_shingle_df_paths_agree_and_flat_corpus_is_noop(spark):
+    """df-capped shingling (r10 — the measured answer to hot LSH bands
+    on Zipf corpora): (a) on the FLAT test corpus a 5% cap removes
+    nothing (every declared near-dup query's semantics untouched);
+    (b) on a corpus with a boilerplate shingle, the hot shingle is
+    removed, cold ones kept, all-hot docs come back empty; (c) the
+    in-row literal path and the anti-join fallback (forced via
+    max_literal=0) produce identical outputs."""
+    from pravega_flink_ai_flow_spark.queries import tables as qt
+
+    (docs,) = qt(spark, "/root/testdata/sf0.001", "documents")
+    arrs = dedup.shingle_arrays(docs.limit(200), "doc_id", "text", 3)
+    base = {r.id: sorted(r.shingles) for r in arrs.collect()}
+    capped = {r.id: sorted(r.shingles)
+              for r in dedup.cap_shingle_df(arrs).collect()}
+    assert capped == base                      # flat corpus: no-op
+
+    rows = [(1, ["hot", "a b c", "d e f"]),
+            (2, ["hot", "g h i"]),
+            (3, ["hot"]),                      # all-hot doc
+            (4, ["j k l", "m n o"])]
+    skewed = spark.createDataFrame(rows, "id long, shingles array<string>")
+    want = {1: ["a b c", "d e f"], 2: ["g h i"], 3: [], 4: ["j k l", "m n o"]}
+    lit = {r.id: sorted(r.shingles)
+           for r in dedup.cap_shingle_df(skewed, max_df_frac=0.5).collect()}
+    assert lit == want
+    fb = {r.id: sorted(r.shingles)
+          for r in dedup.cap_shingle_df(skewed, max_df_frac=0.5,
+                                        max_literal=0).collect()}
+    assert fb == want
+
+
 def test_prefix_len_is_float_safe(spark):
     """r9 review finding: floor((1−t)·n)+1 under-floors at t=0.9 (1−t
     rounds DOWN), silently shortening the lossless prefix. (The bare

@@ -191,19 +191,30 @@ def main() -> None:
         out["plans"]["jaccard_df_prefix"]["huge_bounded"] = t_jac
         print(f"   prefix: containment={t_cont}s jaccard={t_jac}s",
               flush=True)
-        # the approximate path on the adversarial shape: banding cost
-        # is O(n·bands) and bucket work is bounded by the band width,
-        # independent of shingle df
-        arrs_n, arrs_c = split_of(arrs)
-        lsh_plan = verified_jaccard(
-            dedup.lsh_candidate_pairs_between(
-                dedup.minhash_signatures_arrow(arrs_n, 64),
-                dedup.minhash_signatures_arrow(arrs_c, 64), 64, 16),
-            arrs_n, arrs_c)
-        t_lsh = _time(lsh_plan)
+        # the approximate path on the adversarial shape; its residual
+        # super-linearity comes from HOT BANDS (a permutation's
+        # global-min shingle is usually a common one), so the
+        # production pipeline shape — df-capped shingling
+        # (ops/dedup.cap_shingle_df) before signatures — is measured
+        # alongside
+        def lsh_time(a):
+            arrs_n, arrs_c = split_of(a)
+            return _time(verified_jaccard(
+                dedup.lsh_candidate_pairs_between(
+                    dedup.minhash_signatures_arrow(arrs_n, 64),
+                    dedup.minhash_signatures_arrow(arrs_c, 64), 64, 16),
+                arrs_n, arrs_c))
+
+        t_lsh = lsh_time(arrs)
         out["plans"].setdefault("jaccard_lsh_banding", {})[
             "huge_bounded"] = t_lsh
-        print(f"   lsh banding={t_lsh}s", flush=True)
+        capped = dedup.cap_shingle_df(arrs).persist()
+        t_capped = lsh_time(capped)
+        out["plans"].setdefault("jaccard_lsh_banding_dfcap", {})[
+            "huge_bounded"] = t_capped
+        print(f"   lsh banding={t_lsh}s df-capped={t_capped}s",
+              flush=True)
+        capped.unpersist()
         arrs.unpersist()
 
     if os.path.isdir(huge_h):
@@ -226,17 +237,26 @@ def main() -> None:
               flush=True)
         arrs.unpersist()
 
-    # LSH at the first decade too, for the bounded-shape 10x ratio
+    # LSH at the first decade too, for the bounded-shape 10x ratios
     if "jaccard_lsh_banding" in out["plans"]:
         arrs = arrs_of(big)
-        arrs_n, arrs_c = split_of(arrs)
-        t_lsh = _time(verified_jaccard(
-            dedup.lsh_candidate_pairs_between(
-                dedup.minhash_signatures_arrow(arrs_n, 64),
-                dedup.minhash_signatures_arrow(arrs_c, 64), 64, 16),
-            arrs_n, arrs_c))
+
+        def lsh_time_big(a):
+            arrs_n, arrs_c = split_of(a)
+            return _time(verified_jaccard(
+                dedup.lsh_candidate_pairs_between(
+                    dedup.minhash_signatures_arrow(arrs_n, 64),
+                    dedup.minhash_signatures_arrow(arrs_c, 64), 64, 16),
+                arrs_n, arrs_c))
+
+        t_lsh = lsh_time_big(arrs)
         out["plans"]["jaccard_lsh_banding"]["big"] = t_lsh
-        print(f"   lsh banding @50k={t_lsh}s", flush=True)
+        capped = dedup.cap_shingle_df(arrs).persist()
+        t_capped = lsh_time_big(capped)
+        out["plans"]["jaccard_lsh_banding_dfcap"]["big"] = t_capped
+        print(f"   lsh banding @50k={t_lsh}s df-capped={t_capped}s",
+              flush=True)
+        capped.unpersist()
         arrs.unpersist()
 
     for plan, d in out["plans"].items():
