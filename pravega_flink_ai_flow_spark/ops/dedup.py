@@ -365,8 +365,12 @@ def jaccard_hash_prefix_candidates_between(arrs_new: DataFrame,
     make_zipf_corpus.py, max shingle df ≈ 19 % of docs;
     BENCH_zipf.json): this plan 5.3 s → 108 s for 10× docs (20.4×, the
     hot-bucket quadratic) while df-order runs 1.8 s → 5.2 s (2.9×).
-    Dispatch rule: flat/Heaps-law shingle df → this generator; Zipfian
-    head (one cheap df aggregate tells you) → df-order.
+    Dispatch rule: flat shingle df → this generator; Zipfian head (one
+    cheap df aggregate tells you) → df-order. (r10 note: "Heaps-law
+    vocabulary growth keeps real corpora flat" was measured and
+    refuted at 500 k docs — Zipf token concentration keeps common-
+    shingle df ∝ n at any vocabulary size; the ladder past the first
+    decade is LSH banding, BENCH_zipf huge tiers.)
 
     Input: two (id, shingles) frames. Output: distinct
     (id_new, id_corpus) pairs."""
@@ -575,15 +579,21 @@ def containment_pairs(arrs: DataFrame, *, threshold: float,
     fat-buffer aggregate); pass True/False to pin it. Both containments are single exact-int
     divisions — bit-identical across engines, never rounded.
 
-    Scale honesty: on THIS bounded-vocab synthetic corpus the
-    co-shingle pair count itself grows super-linearly (df ∝ corpus →
-    pairs ∝ n²; 11.3 M groups at sf1) — intrinsic to exact all-pairs
-    containment, not to the plan; Heaps-law real corpora grow their
-    shingle vocabulary with the corpus, keeping df — and the pair
-    count — near-linear for content shingles, and
-    :func:`containment_prefix_candidates` handles the boilerplate
-    head. Input: (id, shingles array). Output: (id_a < id_b,
-    cont_a_in_b, cont_b_in_a)."""
+    Scale honesty (revised r10 with second-decade measurements): the
+    co-shingle pair count grows super-linearly whenever shingle df
+    grows with the corpus (df ∝ n → pairs ∝ n²; 11.3 M groups at sf1)
+    — intrinsic to exact all-pairs containment, not to the plan. The
+    r9 hope that Heaps-law vocabulary growth bounds df was MEASURED
+    AND REFUTED at 500 k docs (BENCH_zipf huge tiers: 43× per decade
+    on the bounded-vocab AND the Heaps-scaled corpus alike — Zipf
+    token mass concentrates in the head, so common shingles recur ∝ n
+    regardless of vocabulary size). The production ladder on skewed
+    corpora is therefore: this plan / the prefix plan per the
+    dispatcher at the first decade, then LSH banding past it —
+    measured the second-decade survivor at 16×/decade vs 23-47× for
+    every exact plan (:func:`cap_shingle_df` rides along there for
+    pair QUALITY; measured wall-neutral). Input: (id, shingles
+    array). Output: (id_a < id_b, cont_a_in_b, cont_b_in_a)."""
     shingled = arrs.select("id", F.explode("shingles").alias("shingle"))
     sizes = arrs.select("id", F.size("shingles").alias("__n"))
     inter = (shingled.alias("a")
@@ -633,6 +643,14 @@ def containment_prefix_candidates(arrs: DataFrame, *,
     (62.6×, the quadratic), this plan 1.3 s → 4.3 s (3.3×). Both are
     exact; pytest pins their output equality on the full test corpus,
     and bench_zipf asserts it on the skewed one.
+
+    Second-decade honesty (r10, 500 k docs): even this plan goes
+    super-linear another 10× out (~43×/decade — rare-shingle df itself
+    grows ∝ n under Zipf token draws, on bounded AND Heaps-scaled
+    vocabularies alike), so "survives" means "survives the decade the
+    dispatcher sees"; past it the measured path is LSH banding
+    (16×/decade, BENCH_zipf huge tiers; :func:`cap_shingle_df` for
+    pair quality).
 
     Input: (id, shingles array). Output: distinct (id_a < id_b)."""
     shingled = arrs.select("id", F.size("shingles").alias("__n"),
@@ -768,20 +786,21 @@ def cap_shingle_df(arrs: DataFrame, *, max_df_frac: float = 0.05,
     of the corpus BEFORE near-dup signatures/joins — the industrial
     MinHash hygiene step for skewed corpora.
 
-    Why it exists (measured, BENCH_zipf r10 second decade): on
-    Zipf-token corpora the common shingles' df grows ∝ n REGARDLESS of
-    vocabulary growth (token mass concentrates in the head, so the
-    same common trigrams recur), which makes every exact prefix plan
-    super-linear at 100× docs (43×/26× per decade measured) and gives
-    even LSH banding hot bands (16.3× per decade vs 10× linear): a
-    permutation's global-min shingle is usually a common one, so every
-    doc containing it shares that signature coordinate. Boilerplate
-    and stopword n-grams carry no DEDUP SIGNAL — similarity that rides
-    on them is exactly the similarity production pipelines do not want
-    — so capping df trades a biased sliver of recall for bounded
-    bucket sizes. This is lossless for every pair whose similarity
-    survives on sub-cap shingles (the flat driver corpus caps nothing;
-    pytest pins that).
+    Why it exists: boilerplate and stopword n-grams carry no DEDUP
+    SIGNAL — similarity that rides on them (the shared footer, the
+    navigation chrome) is exactly the similarity production pipelines
+    do NOT want to act on — so capping df removes a biased sliver of
+    unwanted recall while leaving every pair whose similarity survives
+    on sub-cap shingles untouched (the flat driver corpus caps
+    nothing; pytest pins that). Its role is PAIR QUALITY, not speed:
+    the r10 hot-band hypothesis ("a permutation's global-min shingle
+    is usually common, so the cap should fix LSH's 16×/decade") was
+    measured and came back NEUTRAL (BENCH_zipf huge_bounded: capped
+    23.53 s vs uncapped 23.72 s at 500 k docs — with 64 permutations
+    over ~130-shingle docs a common shingle rarely owns the min, so
+    hot bands were never the driver). Kept with this honest note
+    because the quality rationale stands on its own and the repo rule
+    is to record the measurement either way.
 
     Plan: one map-side-combined df aggregate; when the hot set is
     small (mass conservation bounds it at avg_shingles_per_doc /

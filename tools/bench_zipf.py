@@ -191,12 +191,11 @@ def main() -> None:
         out["plans"]["jaccard_df_prefix"]["huge_bounded"] = t_jac
         print(f"   prefix: containment={t_cont}s jaccard={t_jac}s",
               flush=True)
-        # the approximate path on the adversarial shape; its residual
-        # super-linearity comes from HOT BANDS (a permutation's
-        # global-min shingle is usually a common one), so the
-        # production pipeline shape — df-capped shingling
-        # (ops/dedup.cap_shingle_df) before signatures — is measured
-        # alongside
+        # the approximate path on the adversarial shape; the df-capped
+        # variant (ops/dedup.cap_shingle_df before signatures) is
+        # measured alongside — it came back wall-NEUTRAL (hot bands
+        # were not the residual driver; the cap's value is pair
+        # quality), and the artifact records that finding either way
         def lsh_time(a):
             arrs_n, arrs_c = split_of(a)
             return _time(verified_jaccard(
