@@ -132,20 +132,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #       shared size-broadcast decision is now memoized per corpus, r9
 #       advice #2), and the NEW l5_progressive_decode (SOF2
 #       progressive-JPEG decode — spectral selection + successive
-#       approximation — closing the r9 verdict's #6 seam);
+#       approximation — closing the r9 verdict's #6 seam), plus the
+#       two queries born after the rotation commit and reconciled in
+#       the same commit as their birth per the runbook:
+#       l5_interlaced_decode (Adam7 PNG) and l2_dfcap_jaccard_pairs
+#       (df-capped shingling — the measured second-decade Zipf
+#       survivor, entering the gate at birth);
 #   (b) the full 17-query r5-stale pad pool named above — after this
 #       window NOTHING in the corpus is older than r6;
-#   (c) padded to exactly 50 with the 28 name-ordered-first r6-stale
+#   (c) padded to exactly 50 with the 27 name-ordered-first r6-stale
 #       greens (a-block aggregates, the l3 ANN quartet, the ML predict
-#       trio, s12-s15 layout kit). The 13 r6 leftovers (s16_zorder_key
+#       trio, s12-s14 layout kit). The 14 r6 leftovers (s16_zorder_key
 #       — bumped when l5_interlaced_decode was born mid-round —
-#       s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad pool.
+#       s15_table_profile — bumped when l2_dfcap_jaccard_pairs was
+#       born — s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad
+#       pool.
 _PROMOTED = frozenset({
     # (a) plan/implementation changed in round 10 (+ the two new
     # queries, entering the gate at birth per the r8 precedent)
     "l2_containment_pairs", "l2_incremental_dedup",
     "l2_ngram_jaccard_pairs", "l5_progressive_decode",
-    "l5_interlaced_decode",
+    "l5_interlaced_decode", "l2_dfcap_jaccard_pairs",
     # (b) last driver record r5 — the whole leftover pool
     "p8_stratified_sample", "s10_orc_roundtrip",
     "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
@@ -165,7 +172,7 @@ _PROMOTED = frozenset({
     "l6_quality_classifier", "m5_softmax_predict", "m6_pca_project",
     "m7_naive_bayes_predict", "p9_hash_sample_per_group",
     "s12_jsonl_roundtrip", "s13_partitioned_pruned_scan",
-    "s14_bucketed_colocated_join", "s15_table_profile",
+    "s14_bucketed_colocated_join",
 })
 
 

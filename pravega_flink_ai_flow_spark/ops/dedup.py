@@ -494,6 +494,11 @@ _SIZES_BCAST_CACHE: dict[tuple[str, int], bool] = {}
 # fraction) -> measured df-head ratio; see shingle_df_head_ratio.
 _DF_HEAD_CACHE: dict[tuple[str, int, float | None], float] = {}
 
+# (applicationId, semanticHash of the shingle-array plan, cap fraction,
+# literal budget) -> the collected hot-shingle list; see cap_shingle_df.
+# Only literal-path (small) hot sets are cached.
+_HOT_SHINGLE_CACHE: dict[tuple[str, int, float, int], list] = {}
+
 
 def _resolve_broadcast_sizes(sizes: DataFrame,
                              broadcast_sizes: bool | None) -> bool:
@@ -813,13 +818,23 @@ def cap_shingle_df(arrs: DataFrame, *, max_df_frac: float = 0.05,
 
     Input/output: (id, shingles array) — docs whose shingles are all
     hot come back with an empty array (they cannot near-dup on
-    content)."""
-    n_docs = arrs.count()
+    content). The corpus count + hot-set collect run at plan
+    CONSTRUCTION; both are memoized per (session, corpus plan, cap) —
+    the same principle as :data:`_SIZES_BCAST_CACHE` (r9 advice #2)."""
+    memo_key = (arrs.sparkSession.sparkContext.applicationId,
+                arrs.semanticHash(), max_df_frac, max_literal)
     ex = arrs.select("id", F.explode("shingles").alias("shingle"))
-    hot_df = (ex.groupBy("shingle").agg(F.count("*").alias("__df"))
-              .filter(F.col("__df") > max_df_frac * n_docs)
-              .select("shingle"))
-    hot = [r.shingle for r in hot_df.limit(max_literal + 1).collect()]
+    hot_df = None
+    if memo_key in _HOT_SHINGLE_CACHE:
+        hot = _HOT_SHINGLE_CACHE[memo_key]
+    else:
+        n_docs = arrs.count()
+        hot_df = (ex.groupBy("shingle").agg(F.count("*").alias("__df"))
+                  .filter(F.col("__df") > max_df_frac * n_docs)
+                  .select("shingle"))
+        hot = [r.shingle for r in hot_df.limit(max_literal + 1).collect()]
+        if len(hot) <= max_literal:
+            _HOT_SHINGLE_CACHE[memo_key] = hot
     if len(hot) <= max_literal:
         if not hot:
             return arrs

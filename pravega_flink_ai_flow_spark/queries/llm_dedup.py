@@ -161,6 +161,58 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l2_dfcap_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hot AS (
+        SELECT shingle FROM shingled GROUP BY shingle
+        HAVING COUNT(*) > 0.01 * CAST((SELECT COUNT(*) FROM documents)
+                                      AS DOUBLE)
+    ),
+    kept AS (
+        SELECT id, shingle FROM shingled
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM kept GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("L2",),
+)
+def l2_dfcap_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-CAPPED exact Jaccard pairs (r10): shingles appearing in more
+    than 1 % of documents are dropped BEFORE pairing
+    (:func:`ops.dedup.cap_shingle_df` — one df aggregate, then an
+    in-row ``array_except`` against the small hot set; no corpus
+    shuffle), then the count-based inverted index scores the survivors
+    at ≥ 0.7. This is the industrial MinHash hygiene shape: similarity
+    that rides on boilerplate/stopword n-grams is recall production
+    dedup does NOT want, and dropping it also bounds the hot-shingle
+    fan-out that makes exact pairing quadratic on Zipfian corpora
+    (BENCH_zipf). On this corpus the 1 % cap removes ~30-45 shingles
+    and every true near-dup pair survives on its unique content grams
+    — the oracle recomputes the identical cap in SQL, so the gate
+    proves cap + pairing end-to-end, including the float df-threshold
+    arithmetic (both engines compare COUNT > 0.01·n in IEEE
+    doubles)."""
+    arrs = _shingle_arrays(spark, sf_dir)
+    capped = dedup.cap_shingle_df(arrs, max_df_frac=0.01)
+    return (dedup.jaccard_count_pairs(capped, threshold=0.7)
+            .orderBy("id_a", "id_b"))
+
+
+@declared(
     "l2_edit_distance_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
