@@ -135,16 +135,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #       approximation — closing the r9 verdict's #6 seam), plus the
 #       two queries born after the rotation commit and reconciled in
 #       the same commit as their birth per the runbook:
-#       l5_interlaced_decode (Adam7 PNG) and l2_dfcap_jaccard_pairs
+#       l5_interlaced_decode (Adam7 PNG), l2_dfcap_jaccard_pairs
 #       (df-capped shingling — the measured second-decade Zipf
-#       survivor, entering the gate at birth);
+#       survivor) and l6_pretrain_pipeline (the e2e quality→dedup→
+#       decontam→export composite), all entering the gate at birth;
 #   (b) the full 17-query r5-stale pad pool named above — after this
 #       window NOTHING in the corpus is older than r6;
-#   (c) padded to exactly 50 with the 27 name-ordered-first r6-stale
+#   (c) padded to exactly 50 with the 26 name-ordered-first r6-stale
 #       greens (a-block aggregates, the l3 ANN quartet, the ML predict
-#       trio, s12-s14 layout kit). The 14 r6 leftovers (s16_zorder_key
+#       trio, s12/s13 layout kit). The 15 r6 leftovers (s16_zorder_key
 #       — bumped when l5_interlaced_decode was born mid-round —
-#       s15_table_profile — bumped when l2_dfcap_jaccard_pairs was
+#       s15_table_profile and s14_bucketed_colocated_join — bumped
+#       when l2_dfcap_jaccard_pairs and l6_pretrain_pipeline were
 #       born — s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad
 #       pool.
 _PROMOTED = frozenset({
@@ -153,6 +155,7 @@ _PROMOTED = frozenset({
     "l2_containment_pairs", "l2_incremental_dedup",
     "l2_ngram_jaccard_pairs", "l5_progressive_decode",
     "l5_interlaced_decode", "l2_dfcap_jaccard_pairs",
+    "l6_pretrain_pipeline",
     # (b) last driver record r5 — the whole leftover pool
     "p8_stratified_sample", "s10_orc_roundtrip",
     "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
@@ -172,7 +175,6 @@ _PROMOTED = frozenset({
     "l6_quality_classifier", "m5_softmax_predict", "m6_pca_project",
     "m7_naive_bayes_predict", "p9_hash_sample_per_group",
     "s12_jsonl_roundtrip", "s13_partitioned_pruned_scan",
-    "s14_bucketed_colocated_join",
 })
 
 

@@ -71,6 +71,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         tpch_full,
         llm_dedup,
         llm_export,
+        llm_pipeline,
         llm_similarity,
         llm_text,
         ml_queries,

@@ -381,3 +381,22 @@ def test_containment_pairs_sizes_join_broadcast_after_agg(spark):
     assert plan.count("BroadcastHashJoin") >= 2   # __na and __nb joins
     assert "first(" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pretrain_pipeline_composition_contracts(spark):
+    """l6_pretrain_pipeline (the e2e chain): the quality gate must stay
+    Arrow-native (MapInArrow, not BatchEvalPython), the benchmark gram
+    probe must be a BROADCAST semi-join (the training corpus never
+    shuffles by gram), nothing may go cartesian, and the whole four-
+    stage chain must stay within a bounded shuffle budget — digest
+    window, contaminated-id distinct, anti-join, lang window, and the
+    presentation orderBy account for the allowance; an extra Exchange
+    beyond it is a silent fifth shuffle at 100 TB."""
+    import re
+    plan = _plan(spark, "l6_pretrain_pipeline")
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan        # gram semi-probe
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 8, f"pipeline planned {n} exchanges"

@@ -59,6 +59,7 @@ SLOWEST = [
     "t21_session_paths", "u7_scd2_history", "l2_edit_distance_pairs",
     # r10 additions: new corpus-heavy queries enter the gate at birth
     "l5_progressive_decode", "l5_interlaced_decode",
+    "l2_dfcap_jaccard_pairs", "l6_pretrain_pipeline",
     "m7_naive_bayes_predict", "l4_tfidf_keywords", "l6_pii_redaction",
     "l6_sequence_packing", "l5_image_phash",
 ]
