@@ -138,24 +138,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #       l5_interlaced_decode (Adam7 PNG), l2_dfcap_jaccard_pairs
 #       (df-capped shingling — the measured second-decade Zipf
 #       survivor) and l6_pretrain_pipeline (the e2e quality→dedup→
-#       decontam→export composite), all entering the gate at birth;
+#       decontam→export composite), all entering the gate at birth,
+#       and the four other PNG-codec consumers re-promoted when the
+#       shared scanline-filter path was vectorized late in the round
+#       (l5_image_decode, l5_image_phash, l5_image_resize,
+#       l5_mixed_codec_decode — prior greens ran the old codec);
 #   (b) the full 17-query r5-stale pad pool named above — after this
 #       window NOTHING in the corpus is older than r6;
-#   (c) padded to exactly 50 with the 26 name-ordered-first r6-stale
-#       greens (a-block aggregates, the l3 ANN quartet, the ML predict
-#       trio, s12/s13 layout kit). The 15 r6 leftovers (s16_zorder_key
-#       — bumped when l5_interlaced_decode was born mid-round —
-#       s15_table_profile and s14_bucketed_colocated_join — bumped
-#       when l2_dfcap_jaccard_pairs and l6_pretrain_pipeline were
-#       born — s17/s18/s19, t16-t21, u4/u6/u7) are the ROUND 11 pad
-#       pool.
+#   (c) padded to exactly 50 with the 22 name-ordered-first r6-stale
+#       greens (a-block aggregates, the l3 ANN quartet, m5/m6). The
+#       19 r6 leftovers (s16_zorder_key — bumped when
+#       l5_interlaced_decode was born mid-round — s15_table_profile
+#       and s14_bucketed_colocated_join — bumped when
+#       l2_dfcap_jaccard_pairs and l6_pretrain_pipeline were born —
+#       m7_naive_bayes_predict, p9_hash_sample_per_group, s12/s13 —
+#       bumped for the four l5 re-promotions — s17/s18/s19, t16-t21,
+#       u4/u6/u7) are the ROUND 11 pad pool.
 _PROMOTED = frozenset({
     # (a) plan/implementation changed in round 10 (+ the two new
     # queries, entering the gate at birth per the r8 precedent)
     "l2_containment_pairs", "l2_incremental_dedup",
     "l2_ngram_jaccard_pairs", "l5_progressive_decode",
     "l5_interlaced_decode", "l2_dfcap_jaccard_pairs",
-    "l6_pretrain_pipeline",
+    "l6_pretrain_pipeline", "l5_image_decode", "l5_image_phash",
+    "l5_image_resize", "l5_mixed_codec_decode",
     # (b) last driver record r5 — the whole leftover pool
     "p8_stratified_sample", "s10_orc_roundtrip",
     "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
@@ -173,8 +179,6 @@ _PROMOTED = frozenset({
     "l3_int8_quant_topk", "l3_ivf_kmeans_topk", "l3_lsh_topk",
     "l3_pq_topk", "l4_char_entropy", "l4_tfidf_keywords",
     "l6_quality_classifier", "m5_softmax_predict", "m6_pca_project",
-    "m7_naive_bayes_predict", "p9_hash_sample_per_group",
-    "s12_jsonl_roundtrip", "s13_partitioned_pruned_scan",
 })
 
 

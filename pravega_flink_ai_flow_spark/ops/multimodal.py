@@ -98,17 +98,25 @@ def encode_png(pixels, *, interlace: bool = False) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
                        1 if interlace else 0)
+
+    def filter0_block(sub) -> bytes:
+        # whole filtered sub-image in one numpy op: a zero filter byte
+        # column prepended to the scanlines — one tobytes per pass
+        # instead of a python loop per scanline (the per-scanline form
+        # dominated the per-image cost of the tiny interlace passes)
+        rows = sub.reshape(sub.shape[0], -1)
+        blk = np.zeros((rows.shape[0], rows.shape[1] + 1), np.uint8)
+        blk[:, 1:] = rows
+        return blk.tobytes()
+
     if interlace:
-        parts = []
-        for x0, y0, dx, dy in _ADAM7:
-            sub = np.ascontiguousarray(arr[y0::dy, x0::dx])
-            if sub.shape[0] == 0 or sub.shape[1] == 0:
-                continue   # empty pass contributes nothing, per spec
-            parts.extend(b"\x00" + sub[y].tobytes()
-                         for y in range(sub.shape[0]))
-        raw = b"".join(parts)
+        raw = b"".join(
+            filter0_block(np.ascontiguousarray(arr[y0::dy, x0::dx]))
+            for x0, y0, dx, dy in _ADAM7
+            if arr[y0::dy, x0::dx].shape[0] and arr[y0::dy, x0::dx].shape[1]
+        )   # empty pass contributes nothing, per spec
     else:
-        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        raw = filter0_block(arr)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
@@ -130,15 +138,27 @@ def _png_unfilter(raw: bytes, h: int, w: int, c: int, p: int):
     import numpy as np
 
     stride = w * c
+    need = h * (stride + 1)
+    if len(raw) - p < need:
+        raise ValueError("truncated PNG pixel data")
+    block = np.frombuffer(raw, np.uint8, count=need,
+                          offset=p).reshape(h, stride + 1)
+    p += need
+    fts = block[:, 0]
+    # vectorized fast paths for the filters that need no left-neighbor
+    # recurrence: all-None is a plain slice; all-Up is a wrapping
+    # column cumsum (uint8 accumulate == mod-256 by construction).
+    # These cover our own encoder (filter 0) and the common screen-
+    # content case; mixed/Sub/Average/Paeth take the general loop.
+    if not fts.any():
+        return np.ascontiguousarray(block[:, 1:]), p
+    if (fts == 2).all():
+        return np.add.accumulate(block[:, 1:], axis=0, dtype=np.uint8), p
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        if p >= len(raw):
-            raise ValueError("truncated PNG pixel data")
-        ft = raw[p]
-        p += 1
-        cur = np.frombuffer(raw, np.uint8, count=stride, offset=p).copy()
-        p += stride
+        ft = int(fts[y])
+        cur = block[y, 1:].copy()
         if ft == 1:    # Sub: + left
             for i in range(c, stride):
                 cur[i] = (int(cur[i]) + int(cur[i - c])) & 0xFF
