@@ -84,6 +84,16 @@ def main() -> None:
 
     registry = load_all()
     names = list(dict.fromkeys(bench.HEADLINE + SLOWEST))
+    # extra positional args = an explicit query subset (e.g. the
+    # linear-by-design paths for the sf1 → sf10 second-decade gate,
+    # where the intrinsically quadratic all-pairs scorers and the
+    # pure-python codec sweeps would dominate wall-clock without
+    # adding scaling information); $SCALE_ARTIFACT redirects the
+    # output so the canonical BENCH_sf1.json is never clobbered by a
+    # tier run
+    if len(sys.argv) > 3:
+        names = list(dict.fromkeys(sys.argv[3:]))
+    artifact = os.environ.get("SCALE_ARTIFACT", "BENCH_sf1.json")
 
     # shared scale-tier session (bench.scale_session): BENCH_CONF with
     # shuffle parallelism following the data and the 32 GiB heap the r8
@@ -106,10 +116,15 @@ def main() -> None:
     t_small = time_queries(spark, registry, names, small)
     t_big = time_queries(spark, registry, names, big)
 
+    # key names derive from the tier dir basenames so a tier run
+    # (sf1 → sf10) writes honestly-labelled keys (sf1_sec / sf10_sec);
+    # the default run keeps the exact keys remeasure.py edits in place
+    ks = os.path.basename(sf_small.rstrip("/")) + "_sec"
+    kb = os.path.basename(sf_big.rstrip("/")) + "_sec"
     rows = {}
     for name in names:
         ts, tb = t_small[name], t_big[name]
-        rows[name] = {"sf0.1_sec": ts, "sf1_sec": tb,
+        rows[name] = {ks: ts, kb: tb,
                       "ratio_10x_data": round(tb / ts, 2) if ts else None}
     flagged = {n: r for n, r in rows.items()
                if r["ratio_10x_data"] and r["ratio_10x_data"] > 10.0}
@@ -118,22 +133,22 @@ def main() -> None:
         "data_growth": 10.0,
         "sf_small": sf_small,
         "sf_big": sf_big,
-        "total_sf0.1_sec": round(sum(t_small.values()), 3),
-        "total_sf1_sec": round(sum(t_big.values()), 3),
+        f"total_{ks}": round(sum(t_small.values()), 3),
+        f"total_{kb}": round(sum(t_big.values()), 3),
         "total_ratio": round(sum(t_big.values()) / sum(t_small.values()), 2),
         "super_linear": sorted(flagged),
         "queries": rows,
     }
-    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+    with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({k: out[k] for k in ("total_sf0.1_sec", "total_sf1_sec",
+    print(json.dumps({k: out[k] for k in (f"total_{ks}", f"total_{kb}",
                                           "total_ratio", "super_linear")}))
     # ratio can be None when a sub-ms steady median rounds to 0.0 —
     # don't let the report print crash after the artifact is written
     for name, r in sorted(rows.items(),
                           key=lambda kv: -(kv[1]["ratio_10x_data"] or 0.0)):
         print(f"  {r['ratio_10x_data'] or 0.0:6.2f}x  "
-              f"{r['sf0.1_sec']:7.3f}s -> {r['sf1_sec']:7.3f}s  {name}")
+              f"{r[ks]:7.3f}s -> {r[kb]:7.3f}s  {name}")
     spark.stop()
 
 
