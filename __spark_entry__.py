@@ -171,7 +171,9 @@ _PROMOTED = frozenset({
     "t14_resample_ffill", "t15_resample_interpolate",
     "t5_session_window", "tpch_q12", "w10_rolling_median",
     "w9_running_count_distinct",
-    # (c) last driver record r6 (name-ordered first 29)
+    # (c) last driver record r6 (name-ordered first 22 — see the
+    #     header comment; the other 19 r6 greens are the round-11 pad
+    #     pool)
     "a10_unpivot", "a11_string_agg", "a12_corr_covar",
     "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
     "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",

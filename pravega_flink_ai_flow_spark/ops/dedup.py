@@ -494,10 +494,35 @@ _SIZES_BCAST_CACHE: dict[tuple[str, int], bool] = {}
 # fraction) -> measured df-head ratio; see shingle_df_head_ratio.
 _DF_HEAD_CACHE: dict[tuple[str, int, float | None], float] = {}
 
-# (applicationId, semanticHash of the shingle-array plan, cap fraction,
-# literal budget) -> the collected hot-shingle list; see cap_shingle_df.
-# Only literal-path (small) hot sets are cached.
-_HOT_SHINGLE_CACHE: dict[tuple[str, int, float, int], list] = {}
+# (applicationId, semanticHash of the shingle-array plan, input-file
+# fingerprint, cap fraction, literal budget) -> the collected
+# hot-shingle list; see cap_shingle_df. Only literal-path (small) hot
+# sets are cached. Unlike _SIZES_BCAST_CACHE/_DF_HEAD_CACHE (cached
+# DECISIONS, where staleness costs performance) this caches query
+# RESULTS, where staleness flips output rows — so the key also
+# fingerprints the input files: semanticHash identifies the plan, not
+# the data, and a path rewritten mid-session (tier regeneration) must
+# miss (r10 review).
+_HOT_SHINGLE_CACHE: dict[tuple, list] = {}
+
+
+def _input_fingerprint(df: DataFrame) -> tuple:
+    """(uri, size, mtime_ns) per input file of ``df``'s plan, sorted —
+    a data-identity key for caches that store collected results.
+    Non-file URIs (no local stat) keep (uri, -1, -1); a plan with no
+    file sources (local relation) returns () — its rows are baked
+    into the plan hash itself."""
+    import os
+    from urllib.parse import urlparse
+
+    out = []
+    for uri in df.inputFiles():
+        try:
+            st = os.stat(urlparse(uri).path)
+            out.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((uri, -1, -1))
+    return tuple(sorted(out))
 
 
 def _resolve_broadcast_sizes(sizes: DataFrame,
@@ -819,10 +844,13 @@ def cap_shingle_df(arrs: DataFrame, *, max_df_frac: float = 0.05,
     Input/output: (id, shingles array) — docs whose shingles are all
     hot come back with an empty array (they cannot near-dup on
     content). The corpus count + hot-set collect run at plan
-    CONSTRUCTION; both are memoized per (session, corpus plan, cap) —
-    the same principle as :data:`_SIZES_BCAST_CACHE` (r9 advice #2)."""
+    CONSTRUCTION; both are memoized per (session, corpus plan,
+    input-file fingerprint, cap) — the :data:`_SIZES_BCAST_CACHE`
+    principle (r9 advice #2) plus a data-identity component, because
+    this memo stores collected RESULTS (see _HOT_SHINGLE_CACHE)."""
     memo_key = (arrs.sparkSession.sparkContext.applicationId,
-                arrs.semanticHash(), max_df_frac, max_literal)
+                arrs.semanticHash(), _input_fingerprint(arrs),
+                max_df_frac, max_literal)
     ex = arrs.select("id", F.explode("shingles").alias("shingle"))
     hot_df = None
     if memo_key in _HOT_SHINGLE_CACHE:

@@ -151,7 +151,15 @@ def _png_unfilter(raw: bytes, h: int, w: int, c: int, p: int):
     # These cover our own encoder (filter 0) and the common screen-
     # content case; mixed/Sub/Average/Paeth take the general loop.
     if not fts.any():
-        return np.ascontiguousarray(block[:, 1:]), p
+        out = np.ascontiguousarray(block[:, 1:])
+        if not out.flags.writeable:
+            # h == 1: the slice is already contiguous, so
+            # ascontiguousarray returns the read-only frombuffer view
+            # itself — copy so the contract (writable array, no
+            # reference pinning the whole decompressed stream) holds
+            # shape-independently (r10 review)
+            out = out.copy()
+        return out, p
     if (fts == 2).all():
         return np.add.accumulate(block[:, 1:], axis=0, dtype=np.uint8), p
     out = np.empty((h, stride), dtype=np.uint8)

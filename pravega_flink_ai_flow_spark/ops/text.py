@@ -167,13 +167,20 @@ def language_id_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
 
 
 def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", *,
+                  emit_text: bool = False) -> DataFrame:
     """Frame-level quality featurization: one ``mapInArrow`` pass
     computing ``(*id_cols, n_tok, stopword_ratio, punct_ratio,
     mean_word_len, quality)`` — the Arrow-kernel twin of
     :func:`quality_score` and friends (same CLAUDE.md rationale as
     :func:`language_id_frame`: per-token HOF lambdas evaluate
     interpreted).
+
+    ``emit_text=True`` appends ``text_col`` itself to the output —
+    the pass already reads it, so downstream stages that need the raw
+    text (the pretrain pipeline's dedup/decontam stages) get it for
+    zero extra Arrow transfer, instead of shipping the payload twice
+    via an aliased pass-through id column (r10 review).
 
     Bit-identical doubles by construction: every ratio is an exact
     integer count divided once in IEEE double, every sum is a sum of
@@ -190,6 +197,9 @@ def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
     out_schema = (f"{id_fields}, n_tok int, stopword_ratio double, "
                   "punct_ratio double, mean_word_len double, "
                   "quality double")
+    if emit_text:
+        out_schema += (f", {text_col} "
+                       f"{df.schema[text_col].dataType.simpleString()}")
     punct_re = r"[.,;:!?'\"()\[\]]"
 
     def featurize(batches):
@@ -234,9 +244,12 @@ def quality_frame(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
                        pa.array(punct_ratio, pa.float64(), mask=nulls),
                        pa.array(wl, pa.float64(), mask=nulls),
                        pa.array(quality, pa.float64(), mask=nulls)])
-            yield pa.record_batch(
-                cols, names=[*id_cols, "n_tok", "stopword_ratio",
-                             "punct_ratio", "mean_word_len", "quality"])
+            names = [*id_cols, "n_tok", "stopword_ratio",
+                     "punct_ratio", "mean_word_len", "quality"]
+            if emit_text:
+                cols.append(rb.column(text_col))
+                names.append(text_col)
+            yield pa.record_batch(cols, names=names)
 
     return df.select(*id_cols, text_col).mapInArrow(featurize, out_schema)
 

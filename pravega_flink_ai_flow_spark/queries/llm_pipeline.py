@@ -133,15 +133,15 @@ def l6_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages as separate jobs with interchange materialization)."""
     (docs,) = tables(spark, sf_dir, "documents")
 
-    # stage 1: quality gate (Arrow featurization pass; the text column
-    # rides along as an aliased pass-through id col — quality_frame
-    # selects (*id_cols, text_col), so the raw name would duplicate)
-    qf = T.quality_frame(docs.withColumn("__text", F.col("text")),
-                         id_cols=("doc_id", "lang", "__text"))
+    # stage 1: quality gate (Arrow featurization pass; emit_text=True
+    # passes the raw text through the SAME Arrow column the pass
+    # already reads — one payload crossing, not the doubled transfer
+    # of an aliased pass-through id col)
+    qf = T.quality_frame(docs, id_cols=("doc_id", "lang"),
+                         emit_text=True)
     kept = (qf.filter((F.col("quality") >= 0.6) &
                       F.col("n_tok").cast("double").between(20, 1000))
-            .select("doc_id", "lang",
-                    F.col("__text").alias("text"), "quality",
+            .select("doc_id", "lang", "text", "quality",
                     F.col("n_tok").cast("long").alias("n_tokens")))
 
     # stage 2: exact dedup — smallest id per digest (one narrow-key
