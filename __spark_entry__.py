@@ -142,18 +142,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #       and the four other PNG-codec consumers re-promoted when the
 #       shared scanline-filter path was vectorized late in the round
 #       (l5_image_decode, l5_image_phash, l5_image_resize,
-#       l5_mixed_codec_decode — prior greens ran the old codec);
+#       l5_mixed_codec_decode — prior greens ran the old codec), and
+#       l3_ivf_topk + l3_recall_eval when the sf1→sf10 gate measured
+#       the fixed-stride IVF quantizer quadratic (12.9× wall at 10×
+#       data) and the nlist≈√N auto-rule replaced it — their outputs
+#       changed with the centroid set (l2_semdedup and
+#       l3_ivf_kmeans_topk changed identically but were already in
+#       the (c) pads below);
 #   (b) the full 17-query r5-stale pad pool named above — after this
 #       window NOTHING in the corpus is older than r6;
-#   (c) padded to exactly 50 with the 22 name-ordered-first r6-stale
-#       greens (a-block aggregates, the l3 ANN quartet, m5/m6). The
-#       19 r6 leftovers (s16_zorder_key — bumped when
-#       l5_interlaced_decode was born mid-round — s15_table_profile
-#       and s14_bucketed_colocated_join — bumped when
+#   (c) padded to exactly 50 with the 20 name-ordered-first r6-stale
+#       greens (a-block aggregates, the l3 ANN quartet). The 21 r6
+#       leftovers (s16_zorder_key — bumped when l5_interlaced_decode
+#       was born mid-round — s15_table_profile and
+#       s14_bucketed_colocated_join — bumped when
 #       l2_dfcap_jaccard_pairs and l6_pretrain_pipeline were born —
-#       m7_naive_bayes_predict, p9_hash_sample_per_group, s12/s13 —
-#       bumped for the four l5 re-promotions — s17/s18/s19, t16-t21,
-#       u4/u6/u7) are the ROUND 11 pad pool.
+#       m5_softmax_predict and m6_pca_project — bumped for the two
+#       IVF-sizing re-promotions — m7_naive_bayes_predict,
+#       p9_hash_sample_per_group, s12/s13 — bumped for the four l5
+#       re-promotions — s17/s18/s19, t16-t21, u4/u6/u7) are the
+#       ROUND 11 pad pool.
 _PROMOTED = frozenset({
     # (a) plan/implementation changed in round 10 (+ the two new
     # queries, entering the gate at birth per the r8 precedent)
@@ -162,6 +170,7 @@ _PROMOTED = frozenset({
     "l5_interlaced_decode", "l2_dfcap_jaccard_pairs",
     "l6_pretrain_pipeline", "l5_image_decode", "l5_image_phash",
     "l5_image_resize", "l5_mixed_codec_decode",
+    "l3_ivf_topk", "l3_recall_eval",
     # (b) last driver record r5 — the whole leftover pool
     "p8_stratified_sample", "s10_orc_roundtrip",
     "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
@@ -171,8 +180,8 @@ _PROMOTED = frozenset({
     "t14_resample_ffill", "t15_resample_interpolate",
     "t5_session_window", "tpch_q12", "w10_rolling_median",
     "w9_running_count_distinct",
-    # (c) last driver record r6 (name-ordered first 22 — see the
-    #     header comment; the other 19 r6 greens are the round-11 pad
+    # (c) last driver record r6 (name-ordered first 20 — see the
+    #     header comment; the other 21 r6 greens are the round-11 pad
     #     pool)
     "a10_unpivot", "a11_string_agg", "a12_corr_covar",
     "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
@@ -180,7 +189,7 @@ _PROMOTED = frozenset({
     "a5_grouping_sets", "a5_rollup", "j14_lateral_topn", "l2_semdedup",
     "l3_int8_quant_topk", "l3_ivf_kmeans_topk", "l3_lsh_topk",
     "l3_pq_topk", "l4_char_entropy", "l4_tfidf_keywords",
-    "l6_quality_classifier", "m5_softmax_predict", "m6_pca_project",
+    "l6_quality_classifier",
 })
 
 

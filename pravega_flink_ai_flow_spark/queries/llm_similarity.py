@@ -276,7 +276,7 @@ def l3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (
-        SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 50 = 0
+        SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % (SELECT GREATEST(1, CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT)) FROM e) = 0
     ),
     csim AS (
         SELECT e.vec_id, e.v, cents.cent_id,
@@ -344,7 +344,7 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True, dim=64)
+        k=_TOP_K, centroid_stride=None, nprobe=8, exclude_self=True, dim=64)
     return out.orderBy("q_id", "rank")
 
 
@@ -408,11 +408,11 @@ def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_KMEANS_CENT_CACHE, spark, sf_dir,
         lambda: similarity.ivf_train_quantizer(
             corpus, corpus_id="c_id", corpus_vec="c_vec",
-            centroid_stride=50, kmeans_iters=6))
+            centroid_stride=None, kmeans_iters=6))
     out = similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True, dim=64,
+        k=_TOP_K, centroid_stride=None, nprobe=8, exclude_self=True, dim=64,
         centroid_rows=cents)
     return out.orderBy("q_id", "rank")
 
@@ -517,7 +517,7 @@ _SEMDEDUP_CENT_CACHE: dict[tuple[str, str], list] = {}
     oracle="""
     WITH RECURSIVE
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT GREATEST(1, CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT)) FROM e) = 0),
     assign AS (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cid AS cell,
@@ -563,7 +563,10 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smallest id) per transitive duplicate group, with the surviving
     row's cluster assignment as evidence.
 
-    The quantizer is the deterministic strided subsample (vec_id % 50),
+    The quantizer is the deterministic strided subsample (vec_id %
+    auto-stride, the √N sizing rule of ops.similarity.
+    auto_centroid_stride — a fixed stride is a measured second-decade
+    quadratic, BENCH_sf10.json r10),
     NOT the k-means-refined one, so centroid assignment is expressible
     in the DuckDB oracle and the whole pipeline — assignment,
     within-cluster pair search, transitive keeper resolution — sits
@@ -576,7 +579,7 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: similarity.ivf_train_quantizer(
             emb.select(F.col("vec_id").alias("c_id"),
                        F.col("embedding").alias("c_vec")),
-            centroid_stride=50, kmeans_iters=0))
+            centroid_stride=None, kmeans_iters=0))
     kept = similarity.semdedup(
         emb, id_col="vec_id", vec_col="embedding",
         centroid_rows=cents, threshold=0.4)
@@ -709,7 +712,7 @@ def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (
-        SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 50 = 0
+        SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % (SELECT GREATEST(1, CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT)) FROM e) = 0
     ),
     csim AS (
         SELECT e.vec_id, e.v, cents.cent_id,
@@ -810,7 +813,7 @@ def l3_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = (similarity.ivf_topk(
         queries, corpus, query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec",
-        k=_TOP_K, centroid_stride=50, nprobe=8, exclude_self=True,
+        k=_TOP_K, centroid_stride=None, nprobe=8, exclude_self=True,
         dim=64)
         .select("q_id", "c_id").withColumn("__hit", F.lit(1)))
     return (brute.join(F.broadcast(ivf), ["q_id", "c_id"], "left")

@@ -312,16 +312,30 @@ def test_frame_sample_plan(spark):
 
 
 def test_ivf_topk_recall_on_testdata(spark):
-    """SURVEY §2.12 tolerance bound: IVF cell-probing must recover ≥0.9
-    of the exact top-k at the declared parameters (nprobe=8,
-    self-matches excluded). Deterministic subsampled centroids."""
+    """SURVEY §2.12 tolerance bound under the √N nlist rule (r10 —
+    the old fixed stride made nlist grow linearly and cell assignment
+    quadratic; at test scale it also left so few cells that nprobe=8
+    probed ALL of them, making the former ≥0.9 bound a brute-force
+    artifact). The synthetic embeddings are near-uniform — IVF's
+    worst case, where recall ≈ probed fraction — so the honest
+    deterministic contract is (a) the measured floor with margin
+    (0.66 / 0.70 at sf0.001 / sf0.01) and (b) recall strictly above
+    the probed-cell fraction (the clustering gain a random cell
+    partition would not deliver); real clustered embeddings sit far
+    above both."""
+    import math
+
     from pravega_flink_ai_flow_spark.queries import load_all
     reg = load_all()
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf, n_corpus in (("/root/testdata/sf0.001", 500),
+                         ("/root/testdata/sf0.01", 500)):
         exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
         approx = {(r.q_id, r.c_id) for r in reg["l3_ivf_topk"].fn(spark, sf).collect()}
         recall = len(exact & approx) / len(exact)
-        assert recall >= 0.9, (sf, recall)
+        n_cells = math.ceil(n_corpus / max(
+            1, math.ceil(n_corpus / math.ceil(math.sqrt(n_corpus)))))
+        assert recall >= 0.6, (sf, recall)
+        assert recall > 8 / n_cells, (sf, recall, n_cells)
 
 
 def test_rolling_hash_is_order_sensitive(spark):
@@ -1135,18 +1149,25 @@ def test_kmeans_distributed_matches_driver_numpy(spark):
 
 
 def test_ivf_kmeans_topk_recall(spark):
-    """The k-means-refined IVF must hold the same ≥0.9 recall bound as
-    the strided quantizer (measured 0.94 at sf0.01 — better than the
-    0.90 strided baseline at identical nprobe)."""
+    """The Lloyd-refined quantizer must BEAT the strided one at
+    identical nprobe — the whole point of the training step (measured
+    0.82 vs 0.66 at sf0.001, 0.78 vs 0.70 at sf0.01 under the √N
+    nlist rule) — and hold a 0.75 floor on this worst-case
+    near-uniform corpus. Deterministic end to end, so the comparison
+    is exact, not flaky."""
     from pravega_flink_ai_flow_spark.queries import load_all
     reg = load_all()
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         exact = {(r.q_id, r.c_id)
                  for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
-        approx = {(r.q_id, r.c_id)
-                  for r in reg["l3_ivf_kmeans_topk"].fn(spark, sf).collect()}
-        recall = len(exact & approx) / len(exact)
-        assert recall >= 0.9, (sf, recall)
+        strided = {(r.q_id, r.c_id)
+                   for r in reg["l3_ivf_topk"].fn(spark, sf).collect()}
+        refined = {(r.q_id, r.c_id)
+                   for r in reg["l3_ivf_kmeans_topk"].fn(spark, sf).collect()}
+        r_strided = len(exact & strided) / len(exact)
+        r_refined = len(exact & refined) / len(exact)
+        assert r_refined >= 0.75, (sf, r_refined)
+        assert r_refined > r_strided, (sf, r_refined, r_strided)
 
 
 def test_pq_topk_recall(spark):
