@@ -513,12 +513,15 @@ def _input_fingerprint(df: DataFrame) -> tuple:
     file sources (local relation) returns () — its rows are baked
     into the plan hash itself."""
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     out = []
     for uri in df.inputFiles():
         try:
-            st = os.stat(urlparse(uri).path)
+            # Hadoop Path URIs percent-encode specials — unquote or a
+            # path with a space stats the wrong file, degrades to
+            # (-1, -1) and reintroduces the stale-cache bug
+            st = os.stat(unquote(urlparse(uri).path))
             out.append((uri, st.st_size, st.st_mtime_ns))
         except OSError:
             out.append((uri, -1, -1))

@@ -137,16 +137,40 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         "ts", F.timestamp_micros(F.expr(f"ts div {divisor}")))
 
 
+def _sf_dir_fingerprint(sf_dir: str) -> tuple:
+    """(name, size, mtime_ns) per parquet file under ``sf_dir`` — the
+    data-identity component of :func:`session_memo` keys. Every
+    session-scoped cache here stores COLLECTED results (models,
+    centroid rows, query matrices) derived from the tables in
+    ``sf_dir``; a path alone identifies the plan, not the data, and a
+    tier regenerated in place mid-session must miss (the same rule as
+    ops.dedup._HOT_SHINGLE_CACHE, r10 review). One scandir of ≤10
+    files per lookup — driver-side noise."""
+    import os
+
+    try:
+        with os.scandir(sf_dir) as it:
+            return tuple(sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in it if e.name.endswith(".parquet")))
+    except OSError:
+        return ()
+
+
 def session_memo(store: dict, spark: SparkSession, sf_dir: str, compute):
-    """Get-or-compute memoization keyed by (applicationId, sf_dir) —
-    the shared pattern for fixed artifacts of a query definition
-    (trained models, collected query matrices, quantizers): repeated
-    invocations in one session (bench loops, oracle sweeps, the
-    plan-contract corpus sweep) must not re-pay their Spark jobs.
-    Keyed by applicationId so a restarted SparkContext never sees a
-    stale artifact. ``None`` is a cachable result (oversized-split
-    sentinels), hence the explicit `in` check."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    """Get-or-compute memoization keyed by (applicationId, sf_dir,
+    data fingerprint) — the shared pattern for fixed artifacts of a
+    query definition (trained models, collected query matrices,
+    quantizers): repeated invocations in one session (bench loops,
+    oracle sweeps, the plan-contract corpus sweep) must not re-pay
+    their Spark jobs. Keyed by applicationId so a restarted
+    SparkContext never sees a stale artifact, and by
+    :func:`_sf_dir_fingerprint` so a tier rewritten at the same path
+    never serves stale collected results. ``None`` is a cachable
+    result (oversized-split sentinels), hence the explicit `in`
+    check."""
+    key = (spark.sparkContext.applicationId, sf_dir,
+           _sf_dir_fingerprint(sf_dir))
     if key not in store:
         store[key] = compute()
     return store[key]

@@ -325,13 +325,15 @@ def test_ivf_topk_recall_on_testdata(spark):
     above both."""
     import math
 
-    from pravega_flink_ai_flow_spark.queries import load_all
+    from pravega_flink_ai_flow_spark.queries import load_all, tables
     reg = load_all()
-    for sf, n_corpus in (("/root/testdata/sf0.001", 500),
-                         ("/root/testdata/sf0.01", 500)):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         exact = {(r.q_id, r.c_id) for r in reg["l3_brute_force_topk"].fn(spark, sf).collect()}
         approx = {(r.q_id, r.c_id) for r in reg["l3_ivf_topk"].fn(spark, sf).collect()}
         recall = len(exact & approx) / len(exact)
+        (emb,) = tables(spark, sf, "embeddings")
+        n_corpus = emb.count()   # the stride rule's own input, not a
+        # hardcoded copy that silently drifts if a tier is regenerated
         n_cells = math.ceil(n_corpus / max(
             1, math.ceil(n_corpus / math.ceil(math.sqrt(n_corpus)))))
         assert recall >= 0.6, (sf, recall)

@@ -93,7 +93,17 @@ def main() -> None:
     # tier run
     if len(sys.argv) > 3:
         names = list(dict.fromkeys(sys.argv[3:]))
-    artifact = os.environ.get("SCALE_ARTIFACT", "BENCH_sf1.json")
+        unknown = sorted(set(names) - set(registry))
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")  # fail before the
+            # session builds and both tiers warm up for nothing
+    # default artifact name follows the big-tier basename (sf1 run →
+    # BENCH_sf1.json, sf10 tier run → BENCH_sf10.json), so a tier run
+    # can never clobber the canonical record by forgetting the
+    # override env var
+    artifact = os.environ.get(
+        "SCALE_ARTIFACT",
+        f"BENCH_{os.path.basename(sf_big.rstrip('/'))}.json")
 
     # shared scale-tier session (bench.scale_session): BENCH_CONF with
     # shuffle parallelism following the data and the 32 GiB heap the r8
