@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Measure the incremental-dedup crossover the l2_incremental_dedup
+docstring argues: per crawl batch of size b against a corpus of size
+C, the EXACT hash-prefix replan costs O(C + b) per batch (the corpus
+shingle table is re-read every time), while the banded-probe path
+pays a one-time O(C) setup (shingle → MinHash → lsh_band_table,
+persisted as parquet) and then O(b) per batch — so over B batches it
+is B·O(C+b) vs O(C) + B·O(b), and the probe should win from B ≥ 2
+WHEN its ~1% recall loss at j≈0.7 is acceptable.
+
+This tool turns that argument into numbers: B batches (the held-out
+doc_id % 10 ≥ 8 slice, split round-robin) are deduped against the
+corpus (doc_id % 10 < 8) BOTH ways in one session, each batch job run
+twice (cold + steady; steady reported), and the probe's verified
+pairs are compared against the exact plan's per batch for recall.
+Verification in the probe path joins candidates back to the PERSISTED
+corpus shingle parquet — on local disk that join scans the shingle
+table (noted in the artifact; at 100 TB the store is bucketed by id,
+making the lookup O(matches), so the measured probe time is an upper
+bound on the claim).
+
+Writes BENCH_incremental.json at the repo root.
+
+Usage: python tools/bench_incremental.py [tier_dir] [B]
+Defaults: <repo>/testdata_scale/sf10  4
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed_twice(fn):
+    """(cold_sec, steady_sec, result-of-steady-run)."""
+    t0 = time.perf_counter()
+    fn()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fn()
+    return round(cold, 3), round(time.perf_counter() - t0, 3), out
+
+
+def main() -> None:
+    tier = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "testdata_scale", "sf10")
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from pravega_flink_ai_flow_spark.ops import dedup
+    from pravega_flink_ai_flow_spark.queries import tables
+
+    spark = bench.scale_session("bench-incremental")
+    tier = bench.normalize_layout(tier)
+    (docs,) = tables(spark, tier, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batches = [docs.filter((F.col("doc_id") % 10 >= 8)
+                           & ((F.col("doc_id") / 10).cast("long")
+                              % n_batches == k))
+               for k in range(n_batches)]
+
+    work = tempfile.mkdtemp(prefix="bench_incr_")
+    sh_path = os.path.join(work, "corpus_shingles")
+    band_path = os.path.join(work, "corpus_bands")
+
+    def verified(cands, arrs_n, arrs_c):
+        """Exact-Jaccard ≥ 0.7 verify — the l2_incremental_dedup tail."""
+        sa = arrs_n.select(F.col("id").alias("id_new"),
+                           F.col("shingles").alias("sh_n"))
+        sb = arrs_c.select(F.col("id").alias("id_corpus"),
+                           F.col("shingles").alias("sh_c"))
+        j = (cands.join(sa, "id_new").join(sb, "id_corpus")
+             .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+             .withColumn("jac", F.col("inter") / (
+                 F.size("sh_n") + F.size("sh_c") - F.col("inter")))
+             .filter(F.col("jac") >= 0.7)
+             .select("id_new", "id_corpus"))
+        return j
+
+    # ---- one-time probe-path setup (timed): persist the corpus
+    # shingle store and the banded bucket table — the write-once
+    # ingest artifacts of the 100 TB shape
+    def setup():
+        arrs_c = dedup.shingle_arrays(dedup.spread(corpus),
+                                      "doc_id", "text", 3)
+        arrs_c.write.mode("overwrite").parquet(sh_path)
+        stored_sh = spark.read.parquet(sh_path)
+        sig_c = dedup.minhash_signatures_arrow(stored_sh, 64)
+        dedup.lsh_band_table(sig_c, 64, 16, out_id="id_corpus") \
+            .write.mode("overwrite").parquet(band_path)
+        return None
+
+    t0 = time.perf_counter()
+    setup()
+    setup_sec = round(time.perf_counter() - t0, 3)
+    stored_sh = spark.read.parquet(sh_path)
+    stored_bands = spark.read.parquet(band_path)
+
+    exact_rows, probe_rows = [], []
+    recalls = []
+    for k, batch in enumerate(batches):
+        # EXACT replan: the declared-query shape — corpus shingles
+        # recomputed per batch (that IS the B·O(C+b) cost being
+        # measured), candidates from the measured auto-dispatcher.
+        def exact_run():
+            arrs_c = dedup.shingle_arrays(dedup.spread(corpus),
+                                          "doc_id", "text", 3).persist()
+            arrs_n = dedup.shingle_arrays(batch, "doc_id", "text", 3) \
+                          .persist()
+            cands = dedup.jaccard_candidates_between_auto(
+                arrs_n, arrs_c, threshold=0.7)
+            out = {(r.id_new, r.id_corpus)
+                   for r in verified(cands, arrs_n, arrs_c).collect()}
+            arrs_c.unpersist()
+            arrs_n.unpersist()
+            return out
+
+        # PROBE: band only the batch, equi-join the stored bucket
+        # table, verify against the stored shingle parquet — the
+        # corpus documents are never rescanned or re-shingled.
+        def probe_run():
+            arrs_n = dedup.shingle_arrays(batch, "doc_id", "text", 3) \
+                          .persist()
+            sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
+            cands = dedup.lsh_probe_banded(sig_n, stored_bands, 64, 16)
+            out = {(r.id_new, r.id_corpus)
+                   for r in verified(cands, arrs_n, stored_sh).collect()}
+            arrs_n.unpersist()
+            return out
+
+        ce, se, exact_pairs = timed_twice(exact_run)
+        cp, sp, probe_pairs = timed_twice(probe_run)
+        rec = (len(probe_pairs & exact_pairs) / len(exact_pairs)
+               if exact_pairs else 1.0)
+        recalls.append(round(rec, 4))
+        exact_rows.append({"cold_sec": ce, "steady_sec": se,
+                           "pairs": len(exact_pairs)})
+        probe_rows.append({"cold_sec": cp, "steady_sec": sp,
+                           "pairs": len(probe_pairs)})
+        print(f"batch {k}: exact {se:.2f}s ({len(exact_pairs)} pairs)  "
+              f"probe {sp:.2f}s ({len(probe_pairs)} pairs)  "
+              f"recall {rec:.4f}", flush=True)
+
+    exact_total = round(sum(r["steady_sec"] for r in exact_rows), 3)
+    probe_total = round(setup_sec
+                        + sum(r["steady_sec"] for r in probe_rows), 3)
+    # smallest B where setup + B·probe < B·exact (per-batch steadies
+    # averaged); None if the probe never catches up
+    avg_e = exact_total / n_batches
+    avg_p = (probe_total - setup_sec) / n_batches
+    crossover = (None if avg_p >= avg_e
+                 else max(1, int(setup_sec / (avg_e - avg_p)) + 1))
+    out = {
+        "metric": "incremental_dedup_crossover",
+        "tier": tier,
+        "corpus_docs": corpus.count(),
+        "batch_docs": [b.count() for b in batches],
+        "setup_sec": setup_sec,
+        "exact_batches": exact_rows,
+        "probe_batches": probe_rows,
+        "exact_total_sec": exact_total,
+        "probe_total_sec_incl_setup": probe_total,
+        "recall_per_batch": recalls,
+        "crossover_batches": crossover,
+        "note": ("probe verify joins the persisted shingle parquet — a "
+                 "local-disk scan per batch; with an id-bucketed store "
+                 "the lookup is O(matches), so probe times are an upper "
+                 "bound"),
+    }
+    with open(os.path.join(REPO, "BENCH_incremental.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "setup_sec", "exact_total_sec", "probe_total_sec_incl_setup",
+        "crossover_batches", "recall_per_batch")}))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
