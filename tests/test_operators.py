@@ -1150,6 +1150,27 @@ def test_kmeans_distributed_matches_driver_numpy(spark):
     assert np.allclose(got, C, atol=1e-10)
 
 
+def test_auto_stride_rule_matches_oracle_sql():
+    """The √N nlist rule must agree bit-for-bit between the Spark side
+    (ops.similarity._stride_rule, python math on the memoized count)
+    and the DuckDB scalar subquery the three strided-quantizer oracles
+    inline — otherwise the centroid sets diverge and every hash gate
+    on them goes red. Probes the rule across six orders of magnitude
+    including perfect squares and off-by-one neighbors (the ceil/sqrt
+    double-rounding edge cases)."""
+    import duckdb
+
+    from pravega_flink_ai_flow_spark.ops.similarity import _stride_rule
+
+    ns = [1, 2, 3, 4, 10, 44, 45, 499, 500, 2000, 2025, 2026,
+          20_000, 199_999, 200_000, 1_000_000, 10_000_019]
+    for n in ns:
+        want = duckdb.sql(
+            f"SELECT GREATEST(1, CAST(ceil({n} / ceil(sqrt({n}))) "
+            f"AS BIGINT))").fetchone()[0]
+        assert _stride_rule(n) == want, (n, _stride_rule(n), want)
+
+
 def test_ivf_kmeans_topk_recall(spark):
     """The Lloyd-refined quantizer must BEAT the strided one at
     identical nprobe — the whole point of the training step (measured
