@@ -137,51 +137,92 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         "ts", F.timestamp_micros(F.expr(f"ts div {divisor}")))
 
 
+def _path_fingerprint(path: str) -> tuple:
+    """(name, size, mtime_ns) identity of one parquet table — a plain
+    file, or a directory layout (``events.parquet/part-*.parquet``,
+    which :func:`_read_events` supports) fingerprinted by its INNER
+    files: a part file overwritten in place keeps the directory's own
+    stat unchanged, so the directory entry alone would lie (r10
+    review #3)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                return tuple(sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it if e.is_file()))
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return ()
+
+
 def _sf_dir_fingerprint(sf_dir: str) -> tuple:
-    """(name, size, mtime_ns) per parquet file under ``sf_dir`` — the
-    data-identity component of :func:`session_memo` keys. Every
-    session-scoped cache here stores COLLECTED results (models,
-    centroid rows, query matrices) derived from the tables in
-    ``sf_dir``; a path alone identifies the plan, not the data, and a
-    tier regenerated in place mid-session must miss (the same rule as
+    """Concatenated :func:`_path_fingerprint` of every parquet table
+    under ``sf_dir`` — the data-identity component of
+    :func:`session_memo` keys. Every session-scoped cache here stores
+    results derived from the tables in ``sf_dir`` (collected models,
+    centroid rows, query matrices — or persisted/checkpointed frames,
+    see the eviction note in session_memo); a path alone identifies
+    the plan, not the data, and a tier regenerated in place
+    mid-session must miss (the same rule as
     ops.dedup._HOT_SHINGLE_CACHE, r10 review). One scandir of ≤10
-    files per lookup — driver-side noise."""
+    entries per lookup — driver-side noise."""
     import os
 
     try:
         with os.scandir(sf_dir) as it:
-            return tuple(sorted(
-                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                for e in it if e.name.endswith(".parquet")))
+            names = sorted(e.name for e in it
+                           if e.name.endswith(".parquet"))
     except OSError:
         return ()
+    return tuple((n, _path_fingerprint(os.path.join(sf_dir, n)))
+                 for n in names)
 
 
 def session_memo(store: dict, spark: SparkSession, sf_dir: str, compute):
     """Get-or-compute memoization keyed by (applicationId, sf_dir,
     data fingerprint) — the shared pattern for fixed artifacts of a
     query definition (trained models, collected query matrices,
-    quantizers): repeated invocations in one session (bench loops,
-    oracle sweeps, the plan-contract corpus sweep) must not re-pay
-    their Spark jobs. Keyed by applicationId so a restarted
-    SparkContext never sees a stale artifact, and by
+    quantizers, persisted shingle frames): repeated invocations in one
+    session (bench loops, oracle sweeps, the plan-contract corpus
+    sweep) must not re-pay their Spark jobs. Keyed by applicationId so
+    a restarted SparkContext never sees a stale artifact, and by
     :func:`_sf_dir_fingerprint` so a tier rewritten at the same path
-    never serves stale collected results. ``None`` is a cachable
-    result (oversized-split sentinels), hence the explicit `in`
-    check."""
-    key = (spark.sparkContext.applicationId, sf_dir,
-           _sf_dir_fingerprint(sf_dir))
+    never serves stale results. A superseded entry (same app +
+    sf_dir, older fingerprint) is EVICTED when the new one is
+    computed — some stores hold .persist()ed / localCheckpoint'd
+    DataFrames (llm_dedup), and without eviction every in-place
+    rewrite would pin another copy's executor storage for the session
+    (the scale_session docstring's memo-thrash failure mode). ``None``
+    is a cachable result (oversized-split sentinels), hence the
+    explicit `in` check."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, _sf_dir_fingerprint(sf_dir))
     if key not in store:
+        for old in [k for k in store if k[:2] == (app_id, sf_dir)]:
+            try:
+                unpersist = getattr(store[old], "unpersist", None)
+                if callable(unpersist):
+                    unpersist(False)
+            except Exception:
+                pass
+            del store[old]
         store[key] = compute()
     return store[key]
 
 
-# (appId, sf_dir, table) -> DataFrame. A DataFrame is an immutable logical
-# plan, so reuse across queries is safe; what it saves is the per-read
-# driver-side work (file listing + parquet footer/schema resolution) that
-# otherwise repeats for every query in a bench/gate run. Keyed by
-# applicationId so a restarted SparkContext never sees stale plans.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (appId, sf_dir, table, path fingerprint) -> DataFrame. A DataFrame is
+# an immutable logical plan, so reuse across queries is safe; what it
+# saves is the per-read driver-side work (file listing + parquet
+# footer/schema resolution) that otherwise repeats for every query in a
+# bench/gate run. Keyed by applicationId so a restarted SparkContext
+# never sees stale plans, and by the path fingerprint so a table
+# rewritten in place re-resolves its file index — without it the
+# fingerprinted session_memo layer above would miss correctly but then
+# recompute from THIS cache's stale listing (r10 review)."""
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
@@ -203,10 +244,13 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     app_id = spark.sparkContext.applicationId
     out = []
     for n in names:
-        key = (app_id, sf_dir, n)
+        path = f"{sf_dir}/{n}.parquet"
+        key = (app_id, sf_dir, n, _path_fingerprint(path))
         df = _TABLE_CACHE.get(key)
         if df is None:
-            path = f"{sf_dir}/{n}.parquet"
+            for old in [k for k in _TABLE_CACHE
+                        if k[0] == app_id and k[1] == sf_dir and k[2] == n]:
+                del _TABLE_CACHE[old]
             df = (_read_events(spark, path) if n == "events"
                   else spark.read.parquet(path))
             _TABLE_CACHE[key] = df

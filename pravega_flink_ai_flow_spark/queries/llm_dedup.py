@@ -679,10 +679,11 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time O(C) banding — so over B batches it is B·O(C+b) vs
     O(C) + B·O(b). MEASURED at the 500 k-doc sf10 tier
     (tools/bench_incremental.py → BENCH_incremental.json, r10): exact
-    11.4–25.2 s per batch vs probe 2.4–6.8 s after a 9.6 s one-time
-    setup — the probe wins from the FIRST batch, with recall 1.0 on
-    all four measured batches (the theoretical ~1% banding loss at
-    j≈0.7 did not materialize on this corpus's duplicate structure).
+    8.4–12.5 s per batch vs probe 1.8–2.7 s after a 9.7 s one-time
+    setup — the probe wins from the SECOND batch (the B ≥ 2 claim,
+    measured), with recall 1.0 on all four measured batches (the
+    theoretical ~1% banding loss at j≈0.7 did not materialize on this
+    corpus's duplicate structure).
     The exact plan stays declared because its output is hash-provable;
     measured at 10× data it scales at 4.4× (BENCH_sf1.json,
     job-floor-dominated — fine), and the probe is the measured swap-in

@@ -334,8 +334,8 @@ def test_ivf_topk_recall_on_testdata(spark):
         (emb,) = tables(spark, sf, "embeddings")
         n_corpus = emb.count()   # the stride rule's own input, not a
         # hardcoded copy that silently drifts if a tier is regenerated
-        n_cells = math.ceil(n_corpus / max(
-            1, math.ceil(n_corpus / math.ceil(math.sqrt(n_corpus)))))
+        from pravega_flink_ai_flow_spark.ops.similarity import _stride_rule
+        n_cells = math.ceil(n_corpus / _stride_rule(n_corpus))
         assert recall >= 0.6, (sf, recall)
         assert recall > 8 / n_cells, (sf, recall, n_cells)
 

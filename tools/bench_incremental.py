@@ -113,10 +113,14 @@ def main() -> None:
         # recomputed per batch (that IS the B·O(C+b) cost being
         # measured), candidates from the measured auto-dispatcher.
         def exact_run():
+            # both sides spread exactly as the declared query does —
+            # a filtered file scan's partition count lies (CLAUDE.md),
+            # and an under-parallelized batch would inflate the exact
+            # path the crossover claim is quoted against
             arrs_c = dedup.shingle_arrays(dedup.spread(corpus),
                                           "doc_id", "text", 3).persist()
-            arrs_n = dedup.shingle_arrays(batch, "doc_id", "text", 3) \
-                          .persist()
+            arrs_n = dedup.shingle_arrays(dedup.spread(batch),
+                                          "doc_id", "text", 3).persist()
             cands = dedup.jaccard_candidates_between_auto(
                 arrs_n, arrs_c, threshold=0.7)
             out = {(r.id_new, r.id_corpus)
@@ -129,8 +133,8 @@ def main() -> None:
         # table, verify against the stored shingle parquet — the
         # corpus documents are never rescanned or re-shingled.
         def probe_run():
-            arrs_n = dedup.shingle_arrays(batch, "doc_id", "text", 3) \
-                          .persist()
+            arrs_n = dedup.shingle_arrays(dedup.spread(batch),
+                                          "doc_id", "text", 3).persist()
             sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
             cands = dedup.lsh_probe_banded(sig_n, stored_bands, 64, 16)
             out = {(r.id_new, r.id_corpus)
