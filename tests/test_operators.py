@@ -1150,6 +1150,54 @@ def test_kmeans_distributed_matches_driver_numpy(spark):
     assert np.allclose(got, C, atol=1e-10)
 
 
+def test_session_memo_misses_and_evicts_on_tier_rewrite(spark, tmp_path):
+    """The data-identity contract of the session caches (r10 review):
+    a tier rewritten IN PLACE mid-session must (a) miss session_memo
+    (fresh compute, not stale collected results), (b) evict the
+    superseded entry and unpersist a persisted DataFrame value, and
+    (c) miss the tables() plan cache so the recompute doesn't read a
+    stale file index one layer down."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pravega_flink_ai_flow_spark.queries import (
+        _TABLE_CACHE, session_memo, tables,
+    )
+
+    tier = tmp_path / "tier"
+    tier.mkdir()
+    path = str(tier / "documents.parquet")
+
+    def write(vals):
+        pq.write_table(pa.table({"doc_id": list(range(len(vals))),
+                                 "text": vals}), path)
+
+    write(["alpha", "beta"])
+    store: dict = {}
+    calls = []
+
+    def compute():
+        (docs,) = tables(spark, str(tier), "documents")
+        df = docs.persist()
+        calls.append(df)
+        return df
+
+    first = session_memo(store, spark, str(tier), compute)
+    assert session_memo(store, spark, str(tier), compute) is first
+    assert len(calls) == 1 and first.count() == 2
+
+    write(["alpha", "beta", "gamma"])  # same path, new data
+    second = session_memo(store, spark, str(tier), compute)
+    assert len(calls) == 2 and second is not first
+    assert second.count() == 3, \
+        "tables() served a stale plan after the in-place rewrite"
+    assert not first.is_cached, "superseded persisted memo not evicted"
+    assert len(store) == 1, "superseded session_memo key not removed"
+    assert len([k for k in _TABLE_CACHE
+                if k[1] == str(tier)]) == 1, \
+        "superseded _TABLE_CACHE entry not removed"
+
+
 def test_auto_stride_rule_matches_oracle_sql():
     """The √N nlist rule must agree bit-for-bit between the Spark side
     (ops.similarity._stride_rule, python math on the memoized count)
