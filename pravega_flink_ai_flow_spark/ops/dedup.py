@@ -507,23 +507,45 @@ _HOT_SHINGLE_CACHE: dict[tuple, list] = {}
 
 
 def _input_fingerprint(df: DataFrame) -> tuple:
-    """(uri, size, mtime_ns) per input file of ``df``'s plan, sorted —
+    """(uri, size, mtime) per input file of ``df``'s plan, sorted —
     a data-identity key for caches that store collected results.
-    Non-file URIs (no local stat) keep (uri, -1, -1); a plan with no
-    file sources (local relation) returns () — its rows are baked
-    into the plan hash itself."""
+    A plan with no file sources (local relation) returns () — its
+    rows are baked into the plan hash itself.
+
+    Only ``file:``/scheme-less URIs are os.stat'ed (r10 advice: the
+    bare ``urlparse(uri).path`` of an ``hdfs://``/``s3a://`` URI can
+    stat an UNRELATED local file at the same path — a wrong-but-
+    plausible fingerprint). Remote schemes ask the URI's own Hadoop
+    FileSystem for (length, modificationTime); a filesystem that
+    can't answer (unknown scheme, auth failure) degrades to
+    (uri, -1, -1) — path-identity caching, stale-able on in-place
+    remote rewrites, the documented residual."""
     import os
     from urllib.parse import unquote, urlparse
 
     out = []
+    jvm = hconf = None
     for uri in df.inputFiles():
+        scheme = urlparse(uri).scheme
+        if scheme in ("", "file"):
+            try:
+                # Hadoop Path URIs percent-encode specials — unquote or
+                # a path with a space stats the wrong file, degrades to
+                # (-1, -1) and reintroduces the stale-cache bug
+                st = os.stat(unquote(urlparse(uri).path))
+                out.append((uri, st.st_size, st.st_mtime_ns))
+            except OSError:
+                out.append((uri, -1, -1))
+            continue
         try:
-            # Hadoop Path URIs percent-encode specials — unquote or a
-            # path with a space stats the wrong file, degrades to
-            # (-1, -1) and reintroduces the stale-cache bug
-            st = os.stat(unquote(urlparse(uri).path))
-            out.append((uri, st.st_size, st.st_mtime_ns))
-        except OSError:
+            if jvm is None:
+                spark = df.sparkSession
+                jvm = spark._jvm
+                hconf = spark._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            st = p.getFileSystem(hconf).getFileStatus(p)
+            out.append((uri, st.getLen(), st.getModificationTime()))
+        except Exception:
             out.append((uri, -1, -1))
     return tuple(sorted(out))
 

@@ -143,7 +143,16 @@ def _path_fingerprint(path: str) -> tuple:
     which :func:`_read_events` supports) fingerprinted by its INNER
     files: a part file overwritten in place keeps the directory's own
     stat unchanged, so the directory entry alone would lie (r10
-    review #3)."""
+    review #3).
+
+    Known residual (r10 advice #4): on filesystems with coarse mtime
+    granularity, a same-size in-place rewrite landing within one
+    timestamp tick is indistinguishable — session_memo/_TABLE_CACHE
+    would serve the stale result. Acceptable here because tier
+    regeneration (parquet write of ≥thousands of rows) takes well
+    over any real filesystem's tick; if sub-second rewrite tooling
+    ever appears, add a content sentinel (parquet footer length or a
+    generation file) to this tuple."""
     import os
 
     try:

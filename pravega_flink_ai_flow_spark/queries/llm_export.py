@@ -94,7 +94,7 @@ def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base
             .withColumn("tok_offset", (cum - F.col("n_tokens")).cast("long"))
             .withColumn("pack_id",
-                        F.floor(F.col("tok_offset") / _PACK_BUDGET).cast("long"))
+                        F.expr(f"tok_offset div {_PACK_BUDGET}"))
             .orderBy("lang", "doc_id"))
 
 

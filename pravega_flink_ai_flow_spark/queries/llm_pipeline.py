@@ -170,8 +170,7 @@ def l6_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (clean
             .withColumn("tok_offset", (cum - F.col("n_tokens")).cast("long"))
             .withColumn("pack_id",
-                        F.floor(F.col("tok_offset") / _PACK_BUDGET)
-                        .cast("long"))
+                        F.expr(f"tok_offset div {_PACK_BUDGET}"))
             .withColumn("shard", F.pmod(h, F.lit(_N_SHARDS)).cast("int"))
             .select("doc_id", "lang", "quality", "n_tokens",
                     "tok_offset", "pack_id", "shard")

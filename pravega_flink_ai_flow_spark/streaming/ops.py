@@ -308,24 +308,31 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         survivors = new.join(dup_ids, "id", "left_anti").persist()
 
         # Idempotent appends (r9 advice #4): filter each append against
-        # the ids ALREADY IN ITS TARGET, so checkpoint retries — even
+        # the rows ALREADY IN ITS TARGET, so checkpoint retries — even
         # ones that crashed between the two appends — never duplicate
         # store rows. The two filters are independent on purpose: a
         # store-keyed filter on the bands append would permanently skip
         # bands rows for ids whose store append landed before the crash.
-        def _not_yet_in(df: DataFrame, target: str, key: str) -> DataFrame:
+        # The bands filter keys on (id_corpus, band_id), not id alone
+        # (r10 advice #1): a torn non-transactional parquet commit can
+        # leave a PARTIAL band set visible for an id, and an id-keyed
+        # retry would permanently skip the missing bands — silent
+        # candidate-recall loss, worse than the duplicate rows the
+        # old at-least-once behavior allowed.
+        def _not_yet_in(df: DataFrame, target: str,
+                        keys: list[str]) -> DataFrame:
             if not _has_parquet(target):
                 return df
-            return df.join(spark.read.parquet(target).select(key),
-                           key, "left_anti")
+            return df.join(spark.read.parquet(target).select(*keys),
+                           keys, "left_anti")
 
-        _not_yet_in(survivors, store_dir, "id") \
+        _not_yet_in(survivors, store_dir, ["id"]) \
             .select("id", "shingles", "sig") \
             .write.mode("append").parquet(store_dir)
         band_rows = dedup.lsh_band_table(survivors.select("id", "sig"),
                                          num_hashes, bands,
                                          out_id="id_corpus")
-        _not_yet_in(band_rows, bands_dir, "id_corpus") \
+        _not_yet_in(band_rows, bands_dir, ["id_corpus", "band_id"]) \
             .write.mode("append").parquet(bands_dir)
         if out_table is not None:
             kept = batch_df.join(

@@ -1198,6 +1198,44 @@ def test_session_memo_misses_and_evicts_on_tier_rewrite(spark, tmp_path):
         "superseded _TABLE_CACHE entry not removed"
 
 
+def test_input_fingerprint_never_stats_local_path_of_remote_uri(spark, tmp_path):
+    """r10 advice #2: ``_input_fingerprint`` must not feed a REMOTE
+    URI's path to ``os.stat`` — an ``s3a://bucket/<path>`` whose path
+    happens to exist locally would fingerprint the unrelated local
+    file (wrong-but-plausible identity). Remote schemes go through the
+    URI's own Hadoop FileSystem; schemes Hadoop can't serve degrade to
+    the documented (uri, -1, -1) path-identity fallback. Local
+    ``file:`` URIs keep the exact os.stat identity."""
+    from pravega_flink_ai_flow_spark.ops.dedup import _input_fingerprint
+
+    local = tmp_path / "decoy.txt"
+    local.write_text("decoy")
+    st = os.stat(local)
+
+    class _FakeDF:
+        def __init__(self, uris):
+            self.sparkSession = spark
+            self._uris = uris
+
+        def inputFiles(self):
+            return self._uris
+
+    # (a) file: URI → real stat identity
+    (fp,) = _input_fingerprint(_FakeDF([local.as_uri()]))
+    assert fp == (local.as_uri(), st.st_size, st.st_mtime_ns)
+
+    # (b) remote URI whose PATH exists locally → must NOT be the local
+    # stat; s3a has no FileSystem impl in this build, so the documented
+    # degrade is (uri, -1, -1)
+    remote = f"s3a://bucket{local}"
+    (fp,) = _input_fingerprint(_FakeDF([remote]))
+    assert fp == (remote, -1, -1)
+
+    # (c) unknown scheme → same safe degrade, no exception
+    (fp,) = _input_fingerprint(_FakeDF(["nosuchfs://x/y"]))
+    assert fp == ("nosuchfs://x/y", -1, -1)
+
+
 def test_auto_stride_rule_matches_oracle_sql():
     """The √N nlist rule must agree bit-for-bit between the Spark side
     (ops.similarity._stride_rule, python math on the memoized count)

@@ -470,6 +470,60 @@ def test_streaming_near_dedup_heals_mid_append_crash(spark, tmp_workdir):
             .distinct().collect()} == {1, 2}            # bands healed
 
 
+def test_streaming_near_dedup_heals_torn_partial_bands(spark, tmp_workdir):
+    """r10 advice #1: a torn non-transactional parquet commit can leave
+    a PARTIAL band set visible for an id (some of its 16 band rows
+    landed, the rest didn't). An id-keyed idempotency filter would see
+    the id present and permanently skip the MISSING bands — silent
+    candidate-recall loss. The (id_corpus, band_id)-keyed filter must
+    backfill exactly the missing band rows, no duplicates."""
+    from pravega_flink_ai_flow_spark.ops import dedup
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    d1 = "the quick brown fox jumps over the lazy dog in the bright morning"
+    stream.append(spark.createDataFrame([(1, d1)], doc_schema))
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+
+    # craft the torn state: doc 2's store row landed AND a partial
+    # band set (band_id < 8 of 16) landed before the crash
+    d2 = "completely unrelated text about query engines and shuffles here"
+    batch2 = spark.createDataFrame([(2, d2)], doc_schema)
+    arrs = dedup.shingle_arrays(batch2, "doc_id", "text")
+    sigs = dedup.minhash_signatures_from_arrays(arrs, 64)
+    (arrs.join(sigs, "id").select("id", "shingles", "sig")
+     .write.mode("append").parquet(store))
+    partial = dedup.lsh_band_table(sigs, 64, 16, out_id="id_corpus") \
+        .filter(F.col("band_id") < 8)
+    partial.write.mode("append").parquet(store + "_bands")
+    bands = spark.read.parquet(store + "_bands")
+    assert bands.filter(F.col("id_corpus") == 2).count() == 8
+
+    # the retry: same batch arrives through the stream
+    stream.append(batch2)
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+
+    bands = spark.read.parquet(store + "_bands")
+    per_id = {r.id_corpus: r.n for r in bands.groupBy("id_corpus")
+              .agg(F.count("*").alias("n")).collect()}
+    assert per_id == {1: 16, 2: 16}, \
+        f"torn band set not healed exactly: {per_id}"
+    assert (bands.count()
+            == bands.dropDuplicates(["id_corpus", "band_id"]).count())
+    assert spark.read.parquet(store).count() == 2       # store row not duped
+
+
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
     """Continuous-aggregate pattern: partial aggregates appended per
     drain, merged at read — must equal a full batch recompute."""
