@@ -728,14 +728,13 @@ def containment_prefix_candidates(arrs: DataFrame, *,
             .distinct())
 
 
-def containment_pairs_prefix(arrs: DataFrame, *,
-                             threshold: float) -> DataFrame:
-    """Exact max-containment ≥ ``threshold`` pairs: prefix-filtered
-    candidates (:func:`containment_prefix_candidates`, lossless) +
-    in-row ``array_intersect`` verify — same output columns as
-    :func:`containment_pairs`, but the only pair-shaped shuffle carries
-    the near-linear candidate set instead of every co-shingle pair."""
-    cand = containment_prefix_candidates(arrs, threshold=threshold)
+def _containment_verify(cand: DataFrame, arrs: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Exact in-row containment verify of (id_a, id_b) candidates:
+    join both shingle arrays back, ``array_intersect`` inside the row,
+    keep pairs where EITHER direction reaches ``threshold``. Shared by
+    every containment plan whose candidate generator runs first — the
+    verify is what makes a lossy generator's OUTPUT precision exact."""
     sa = arrs.select(F.col("id").alias("id_a"),
                      F.col("shingles").alias("__sa"))
     sb = arrs.select(F.col("id").alias("id_b"),
@@ -746,6 +745,41 @@ def containment_pairs_prefix(arrs: DataFrame, *,
             .withColumn("cont_b_in_a", common / F.size("__sb"))
             .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
             .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
+
+
+def containment_pairs_prefix(arrs: DataFrame, *,
+                             threshold: float) -> DataFrame:
+    """Exact max-containment ≥ ``threshold`` pairs: prefix-filtered
+    candidates (:func:`containment_prefix_candidates`, lossless) +
+    in-row ``array_intersect`` verify — same output columns as
+    :func:`containment_pairs`, but the only pair-shaped shuffle carries
+    the near-linear candidate set instead of every co-shingle pair."""
+    cand = containment_prefix_candidates(arrs, threshold=threshold)
+    return _containment_verify(cand, arrs, threshold)
+
+
+def containment_pairs_lsh(arrs: DataFrame, *, threshold: float,
+                          num_hashes: int = 64,
+                          bands: int = 16) -> DataFrame:
+    """Max-containment ≥ ``threshold`` pairs with LSH-BANDED candidate
+    generation + exact verify — the corpus-scale rung of the
+    containment ladder (BENCH_zipf huge tiers, 500 k Zipf docs: every
+    exact candidate generator 23-47×/decade because df ∝ n for every
+    shingle, LSH banding 16×/decade at 23.7 s vs 161-177 s).
+
+    Semantics: PRECISION is exact (the verify recomputes true
+    containment in-row and re-applies the threshold), RECALL is the
+    LSH candidate step's — and MinHash banding targets JACCARD, so an
+    asymmetric pair (short doc swallowed by a long one: max-
+    containment high, Jaccard = |A|/|B| low) is under-sampled relative
+    to a symmetric near-dup. The measured recall floor vs the exact
+    plan lives in BENCH_zipf.json (``containment_lsh_recall``); the
+    auto dispatcher routes here only above
+    :data:`_SCALE_DISPATCH_DOCS` on a Zipf-headed corpus, with a
+    :class:`ScaleDispatchWarning` naming the trade."""
+    sig = minhash_signatures_arrow(arrs, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    return _containment_verify(cand, arrs, threshold)
 
 
 def shingle_df_head_ratio(arrs: DataFrame, *,
@@ -793,21 +827,122 @@ def shingle_df_head_ratio(arrs: DataFrame, *,
 # measured-best plan with margin
 _DF_HEAD_DISPATCH = 0.05
 
+# The CORPUS-SCALE tier of the dispatch (r10 verdict #1): the df-head
+# signal alone is scale-blind — it measures ~0.19 at 50 k AND 500 k
+# Zipf docs while the exact plans go from winning (prefix 3.8 s at
+# 50 k) to intrinsically quadratic (161-177 s at 500 k, 23-47× per
+# decade under bounded AND Heaps vocabularies — df ∝ n for every
+# shingle) and LSH banding becomes the only survivor (23.7 s,
+# 16×/decade; BENCH_zipf huge tiers). Above this doc count on a
+# Zipf-headed corpus the auto dispatchers escalate to the banded-LSH +
+# exact-verify ladder and warn, because LSH changes RECALL semantics
+# (precision stays exact — the verify step recomputes the true
+# measure). 200 k splits the measured decade: at 50 k exact is cheap
+# enough that its recall guarantee is worth the 2.6× wall vs LSH; by
+# 500 k it is 7× the LSH wall and climbing quadratically. Deliberately
+# late — the answer-changing route needs exact to be clearly
+# pathological, not merely slower. Flat corpora (df head below the
+# dispatch) never escalate: their exact plans are measured sub-linear
+# through sf10.
+_SCALE_DISPATCH_DOCS = 200_000
+
+_N_DOCS_CACHE: dict[tuple[str, int], int] = {}
+
+
+class ScaleDispatchWarning(UserWarning):
+    """Emitted when an auto dispatcher leaves the exact-plan family:
+    the routed plan keeps exact PRECISION (verify step) but inherits
+    LSH candidate RECALL. Silence it by passing the route explicitly
+    (``scale_escalation='exact'`` to pin the lossless plan, or call
+    the LSH op directly to accept the trade without the warning)."""
+
+
+def corpus_doc_count(arrs: DataFrame) -> int:
+    """Memoized doc count of a corpus frame — the n_docs half of the
+    scale-dispatch signal. One column-pruned count per (session,
+    corpus plan); at 100 TB this is a table statistic computed at
+    ingest, like :func:`shingle_df_head_ratio`."""
+    key = (arrs.sparkSession.sparkContext.applicationId,
+           arrs.semanticHash())
+    if key not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[key] = arrs.count()
+    return _N_DOCS_CACHE[key]
+
+
+def auto_route(df_head_ratio: float, n_docs: int) -> str:
+    """The PURE decision table of the dedup auto dispatchers —
+    ``'flat'`` (count-index / hash-prefix exact plans), ``'zipf_exact'``
+    (df-ordered prefix exact plans), or ``'lsh'`` (banded-LSH
+    candidates + exact verify). Exported so tools and tests can pin
+    routing against corpus statistics without building plans; the
+    dispatchers below apply exactly this table (plus the
+    ``scale_escalation='exact'`` override)."""
+    if df_head_ratio <= _DF_HEAD_DISPATCH:
+        return "flat"
+    if n_docs >= _SCALE_DISPATCH_DOCS:
+        return "lsh"
+    return "zipf_exact"
+
+
+def _escalate(op: str, n_docs: int, scale_escalation: str) -> bool:
+    """Shared scale-tier decision + warning of the auto dispatchers."""
+    import warnings
+
+    if scale_escalation not in ("lsh", "exact"):
+        raise ValueError(f"scale_escalation must be 'lsh' or 'exact', "
+                         f"got {scale_escalation!r}")
+    if n_docs < _SCALE_DISPATCH_DOCS:
+        return False
+    if scale_escalation == "exact":
+        warnings.warn(
+            f"{op}: exact candidate generation pinned on a Zipf-headed "
+            f"corpus of {n_docs:,} docs — measured 23-47x per decade "
+            f"past {_SCALE_DISPATCH_DOCS:,} docs (BENCH_zipf huge "
+            f"tiers: exact 161-177s vs LSH 23.7s at 500k)",
+            ScaleDispatchWarning, stacklevel=3)
+        return False
+    warnings.warn(
+        f"{op}: corpus-scale escalation to banded-LSH + exact-verify at "
+        f"{n_docs:,} Zipf-headed docs (>= {_SCALE_DISPATCH_DOCS:,}): "
+        f"every exact candidate plan measured 23-47x per decade here "
+        f"while LSH holds 16x (BENCH_zipf huge tiers, 500k docs: "
+        f"161-177s vs 23.7s). Precision stays exact (verify step); "
+        f"candidate RECALL becomes LSH's — floor measured in "
+        f"BENCH_zipf.json. Pass scale_escalation='exact' to pin the "
+        f"lossless plan.", ScaleDispatchWarning, stacklevel=3)
+    return True
+
 
 def containment_pairs_auto(arrs: DataFrame, *, threshold: float,
-                           df_head_ratio: float = None) -> DataFrame:
+                           df_head_ratio: float = None,
+                           n_docs: int = None,
+                           scale_escalation: str = "lsh") -> DataFrame:
     """Max-containment ≥ ``threshold`` pairs with MEASURED plan
     dispatch: below :data:`_DF_HEAD_DISPATCH` df-head the count-based
     inverted index (:func:`containment_pairs` — wins every flat-corpus
     comparison, BENCH_sf1), above it the small-side prefix plan
     (:func:`containment_pairs_prefix` — 3.3× vs the count plan's 62.6×
-    at 10× Zipfian docs, BENCH_zipf). Pass a cached ``df_head_ratio``
-    (the per-corpus statistic) to skip the signal aggregate; both
-    branches are exact, so dispatch can never change the answer, only
-    the wall-clock."""
+    at 10× Zipfian docs, BENCH_zipf) — and past
+    :data:`_SCALE_DISPATCH_DOCS` docs on such a Zipf-headed corpus,
+    the banded-LSH + exact-verify ladder
+    (:func:`containment_pairs_lsh`), with a
+    :class:`ScaleDispatchWarning`, because there EVERY exact generator
+    is measured intrinsically quadratic (df ∝ n for every shingle —
+    BENCH_zipf huge tiers). The escalated route keeps exact precision
+    but LSH recall; ``scale_escalation='exact'`` pins the lossless
+    plan (still warns, so the 40×/decade choice is never silent).
+
+    Pass cached ``df_head_ratio`` / ``n_docs`` (per-corpus statistics)
+    to skip the signal aggregates. Below the scale tier both branches
+    are exact, so dispatch can never change the answer, only the
+    wall-clock."""
     if df_head_ratio is None:
         df_head_ratio = shingle_df_head_ratio(arrs)
     if df_head_ratio > _DF_HEAD_DISPATCH:
+        if n_docs is None:
+            n_docs = corpus_doc_count(arrs)
+        if _escalate("containment_pairs_auto", n_docs, scale_escalation):
+            return containment_pairs_lsh(arrs, threshold=threshold)
         return containment_pairs_prefix(arrs, threshold=threshold)
     return containment_pairs(arrs, threshold=threshold)
 
@@ -815,20 +950,38 @@ def containment_pairs_auto(arrs: DataFrame, *, threshold: float,
 def jaccard_candidates_between_auto(arrs_new: DataFrame,
                                     arrs_corpus: DataFrame, *,
                                     threshold: float,
-                                    df_head_ratio: float = None
+                                    df_head_ratio: float = None,
+                                    n_docs: int = None,
+                                    scale_escalation: str = "lsh"
                                     ) -> DataFrame:
     """Batch×corpus jaccard candidates with the same measured dispatch:
     flat df head → the in-row hash-ordered prefix generator
     (:func:`jaccard_hash_prefix_candidates_between`, fastest on every
     flat measurement); Zipfian head → the df-ordered generator
     (:func:`jaccard_prefix_candidates_between`, 2.9× vs 20.4× at 10×
-    skewed docs, BENCH_zipf). Both are lossless, so dispatch only
-    moves wall-clock. The signal runs over the corpus side (the big
-    one — the batch inherits its distribution at 100 TB); pass the
-    cached per-corpus statistic to skip it."""
+    skewed docs, BENCH_zipf); Zipfian head AND corpus past
+    :data:`_SCALE_DISPATCH_DOCS` docs → MinHash LSH banding between
+    the two sides (:func:`lsh_candidate_pairs_between` over
+    :func:`minhash_signatures_arrow`), with a
+    :class:`ScaleDispatchWarning` — the measured 16×/decade survivor
+    where every exact generator runs 23-47×/decade (BENCH_zipf huge
+    tiers). The escalated candidates are NOT lossless (callers verify
+    for precision; recall floor in BENCH_zipf.json);
+    ``scale_escalation='exact'`` pins the lossless df-order plan.
+
+    The signal runs over the corpus side (the big one — the batch
+    inherits its distribution at 100 TB); pass the cached per-corpus
+    statistics to skip it."""
     if df_head_ratio is None:
         df_head_ratio = shingle_df_head_ratio(arrs_corpus)
     if df_head_ratio > _DF_HEAD_DISPATCH:
+        if n_docs is None:
+            n_docs = corpus_doc_count(arrs_corpus)
+        if _escalate("jaccard_candidates_between_auto", n_docs,
+                     scale_escalation):
+            return lsh_candidate_pairs_between(
+                minhash_signatures_arrow(arrs_new, 64),
+                minhash_signatures_arrow(arrs_corpus, 64), 64, 16)
         return jaccard_prefix_candidates_between(
             arrs_new, arrs_corpus, threshold=threshold)
     return jaccard_hash_prefix_candidates_between(

@@ -1686,6 +1686,154 @@ def test_dedup_plan_dispatch_by_df_head(spark):
         assert via_auto == via_df
 
 
+def test_scale_dispatch_decision_table():
+    """The r11 corpus-scale tier as a pure table (BENCH_zipf): the
+    df-head signal alone measured ~0.19 at BOTH 50 k and 500 k Zipf
+    docs while exact plans went from winning to 23-47×/decade — so the
+    route must depend on (df_head, n_docs) together."""
+    # flat corpora never escalate, at any size (exact plans measured
+    # sub-linear through sf10)
+    assert dedup.auto_route(0.005, 50_000) == "flat"
+    assert dedup.auto_route(0.005, 5_000_000) == "flat"
+    # Zipf head, first decade: exact prefix plans (measured winners)
+    assert dedup.auto_route(0.19, 5_000) == "zipf_exact"
+    assert dedup.auto_route(0.19, 50_000) == "zipf_exact"
+    # Zipf head, second decade: LSH is the measured survivor
+    assert dedup.auto_route(0.19, 500_000) == "lsh"
+    assert dedup.auto_route(0.19, dedup._SCALE_DISPATCH_DOCS) == "lsh"
+    assert dedup.auto_route(
+        0.19, dedup._SCALE_DISPATCH_DOCS - 1) == "zipf_exact"
+    # the r10 verdict's motivating user: 5M-doc Zipf corpus
+    assert dedup.auto_route(0.19, 5_000_000) == "lsh"
+
+
+def test_auto_dispatchers_escalate_to_lsh_at_corpus_scale(spark):
+    """Routing pin for the scale tier (r10 verdict #1): with injected
+    corpus statistics past _SCALE_DISPATCH_DOCS on a Zipf head, both
+    auto dispatchers must (a) build the LSH plan — visible as the
+    MapInArrow signature pass — and (b) warn with ScaleDispatchWarning;
+    scale_escalation='exact' must pin the lossless plan and STILL warn
+    (the 40×/decade choice is never silent); first-decade statistics
+    must keep the exact plans warning-free."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common footer grams here")
+         for i in range(8)], "doc_id long, text string")
+    arrs = dedup.shingle_arrays(docs, "doc_id", "text", k=3)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # (a) escalated: LSH signature pass present, warning emitted
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        esc = dedup.containment_pairs_auto(
+            arrs, threshold=0.6, df_head_ratio=0.19, n_docs=500_000)
+        assert [x for x in w if issubclass(x.category,
+                                           dedup.ScaleDispatchWarning)]
+    assert "MapInArrow" in plan_of(esc)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        esc_j = dedup.jaccard_candidates_between_auto(
+            arrs, arrs, threshold=0.7, df_head_ratio=0.19,
+            n_docs=500_000)
+        assert [x for x in w if issubclass(x.category,
+                                           dedup.ScaleDispatchWarning)]
+    assert "MapInArrow" in plan_of(esc_j)
+
+    # (b) pinned exact: no LSH pass, still warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pinned = dedup.containment_pairs_auto(
+            arrs, threshold=0.6, df_head_ratio=0.19, n_docs=500_000,
+            scale_escalation="exact")
+        assert [x for x in w if issubclass(x.category,
+                                           dedup.ScaleDispatchWarning)]
+    assert "MapInArrow" not in plan_of(pinned)
+
+    # (c) first decade: exact, silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        first = dedup.containment_pairs_auto(
+            arrs, threshold=0.6, df_head_ratio=0.19, n_docs=50_000)
+        assert not [x for x in w if issubclass(
+            x.category, dedup.ScaleDispatchWarning)]
+    assert "MapInArrow" not in plan_of(first)
+
+    # (d) junk mode rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.containment_pairs_auto(
+            arrs, threshold=0.6, df_head_ratio=0.19, n_docs=500_000,
+            scale_escalation="maybe")
+
+
+def test_containment_lsh_exact_precision_and_subset_recall(spark):
+    """The escalated containment path's semantics: PRECISION exact
+    (verify recomputes true containment — every emitted pair is a true
+    pair with exact values), RECALL ⊆ the exact plan's. On a corpus of
+    verbatim duplicates (J = 1 → always co-bucketed) recall is 1.0 and
+    the outputs are identical."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " extra trailing words here"),
+         (3, "completely different text about spark shuffle partitions"),
+         (4, "another unrelated document mentioning catalyst optimizer")],
+        "doc_id long, text string")
+    arrs = dedup.shingle_arrays(docs, "doc_id", "text", k=3)
+    exact = {tuple(r) for r in
+             dedup.containment_pairs_prefix(arrs, threshold=0.6).collect()}
+    lsh = {tuple(r) for r in
+           dedup.containment_pairs_lsh(arrs, threshold=0.6).collect()}
+    assert lsh <= exact            # exact precision: no false pairs
+    assert (0, 1) in {(a, b) for a, b, *_ in lsh}   # verbatim dup found
+    # every emitted containment value matches the exact plan's value
+    exact_by_pair = {(a, b): (ca, cb) for a, b, ca, cb in exact}
+    for a, b, ca, cb in lsh:
+        assert exact_by_pair[(a, b)] == (ca, cb)
+
+
+_ZIPF10 = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "testdata_scale", "zipf10")
+
+
+@pytest.mark.skipif(not os.path.isdir(_ZIPF10),
+                    reason="zipf10 corpus not generated on this box")
+def test_zipf10_corpus_routes_to_lsh(spark):
+    """The r10 verdict's done-criterion, pinned on the REAL 500 k-doc
+    Zipf corpus: the measured statistics (df head ≈ 0.19, n = 500 k)
+    must route the auto dispatchers to the LSH ladder. Statistics are
+    computed live (one df aggregate + one count over the corpus — the
+    signals a 100 TB deployment stores as table stats); no pair plan
+    is executed."""
+    import warnings
+
+    docs = spark.read.parquet(os.path.join(_ZIPF10, "documents.parquet"))
+    arrs = dedup.shingle_arrays(dedup.spread(docs), "doc_id", "text", 3)
+    # the sampled signal (the shingle_df_head_ratio docstring: dispatch
+    # needs one order of magnitude, and a doc sample preserves the head
+    # RATIO) — sampled BEFORE shingling so only ~10 k docs are shingled;
+    # the full 65 M-shingle aggregate takes ~3 min and proves nothing
+    # more here; bench_zipf records the full-signal value (0.187)
+    sample = dedup.shingle_arrays(
+        dedup.spread(docs.sample(fraction=0.02, seed=7)),
+        "doc_id", "text", 3)
+    head = dedup.shingle_df_head_ratio(sample)
+    n_docs = docs.count()          # parquet metadata count
+    assert n_docs >= dedup._SCALE_DISPATCH_DOCS
+    assert head > dedup._DF_HEAD_DISPATCH
+    assert dedup.auto_route(head, n_docs) == "lsh"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan = dedup.containment_pairs_auto(
+            arrs, threshold=0.6, df_head_ratio=head, n_docs=n_docs)
+        assert [x for x in w if issubclass(x.category,
+                                           dedup.ScaleDispatchWarning)]
+    assert "MapInArrow" in \
+        plan._jdf.queryExecution().executedPlan().toString()
+
+
 def test_word_ngram_hash_frame_glen_matches_strings(spark):
     texts = [(0, "alpha  bb c dddd ee"), (1, "one two"), (2, "  solo  ")]
     docs = spark.createDataFrame(texts, "doc_id long, text string")

@@ -121,8 +121,11 @@ def main() -> None:
                                           "doc_id", "text", 3).persist()
             arrs_n = dedup.shingle_arrays(dedup.spread(batch),
                                           "doc_id", "text", 3).persist()
+            # scale_escalation pinned: this arm IS the exact baseline
+            # the probe's recall is quoted against — the r11 corpus-
+            # scale tier must not silently swap it for LSH candidates
             cands = dedup.jaccard_candidates_between_auto(
-                arrs_n, arrs_c, threshold=0.7)
+                arrs_n, arrs_c, threshold=0.7, scale_escalation="exact")
             out = {(r.id_new, r.id_corpus)
                    for r in verified(cands, arrs_n, arrs_c).collect()}
             arrs_c.unpersist()

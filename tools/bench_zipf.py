@@ -102,16 +102,20 @@ def main() -> None:
         # recorded so the artifact shows dispatch choosing the measured
         # winner on the skewed corpus (and would expose a mis-route)
         head = dedup.shingle_df_head_ratio(arrs)
-        zipfian = head > dedup._DF_HEAD_DISPATCH
+        route = dedup.auto_route(head, n_docs)
         out["corpora"][label] = {
             "dir": sf_dir, "n_docs": n_docs,
             "df_head_ratio": round(head, 4),
-            "auto_containment_route": "prefix" if zipfian else "count",
-            "auto_jaccard_route": "df_prefix" if zipfian else "hash_prefix",
+            "auto_route": route,
+            "auto_containment_route": {
+                "flat": "count", "zipf_exact": "prefix",
+                "lsh": "lsh"}[route],
+            "auto_jaccard_route": {
+                "flat": "hash_prefix", "zipf_exact": "df_prefix",
+                "lsh": "lsh_banding"}[route],
         }
         print(f"== {label}: {n_docs} docs, df head {head:.4f} -> "
-              f"{'prefix/df' if zipfian else 'count/hash'} routes",
-              flush=True)
+              f"route {route}", flush=True)
 
         # --- containment: count plan vs prefix plan
         count_plan = dedup.containment_pairs(arrs, threshold=0.6)
@@ -173,6 +177,28 @@ def main() -> None:
                 arrs_n, arrs_c, threshold=0.7), arrs_n, arrs_c))
         return t_cont, t_jac
 
+    def containment_lsh_recall(arrs, label):
+        """Escalated-containment wall + recall floor vs the exact plan
+        (r11: the dispatcher routes here above _SCALE_DISPATCH_DOCS, so
+        the artifact must carry what the route trades away). Precision
+        is exact by construction (shared verify); recall is counted on
+        the skinny pair sets."""
+        exact = dedup.containment_pairs_prefix(arrs, threshold=0.6) \
+            .select("id_a", "id_b").persist()
+        lsh = dedup.containment_pairs_lsh(arrs, threshold=0.6)
+        t_lsh = _time(lsh)
+        lp = lsh.select("id_a", "id_b").persist()
+        n_exact, n_lsh = exact.count(), lp.count()
+        n_hit = lp.join(exact, ["id_a", "id_b"]).count()
+        recall = round(n_hit / n_exact, 4) if n_exact else 1.0
+        out["plans"].setdefault("containment_lsh", {})[label] = t_lsh
+        out["corpora"][label]["containment_lsh_recall"] = recall
+        out["corpora"][label]["containment_pairs_exact"] = n_exact
+        print(f"   containment lsh={t_lsh}s recall={recall} "
+              f"({n_hit}/{n_exact} exact pairs)", flush=True)
+        exact.unpersist()
+        lp.unpersist()
+
     if os.path.isdir(huge_b):
         arrs = arrs_of(huge_b)
         n_docs = arrs.count()
@@ -180,17 +206,20 @@ def main() -> None:
         out["corpora"]["huge_bounded"] = {
             "dir": huge_b, "n_docs": n_docs,
             "df_head_ratio": round(head, 4),
+            "auto_route": dedup.auto_route(head, n_docs),
             "note": "bounded 30k vocab at 500k docs: df ~ n for every "
                     "shingle, exact candidate generation intrinsically "
-                    "quadratic; LSH is the measured survivor",
+                    "quadratic; LSH is the measured survivor and (r11) "
+                    "the dispatched route",
         }
-        print(f"== huge_bounded: {n_docs} docs, df head {head:.4f}",
-              flush=True)
+        print(f"== huge_bounded: {n_docs} docs, df head {head:.4f} -> "
+              f"route {dedup.auto_route(head, n_docs)}", flush=True)
         t_cont, t_jac = prefix_pair_times(arrs)
         out["plans"]["containment_prefix"]["huge_bounded"] = t_cont
         out["plans"]["jaccard_df_prefix"]["huge_bounded"] = t_jac
         print(f"   prefix: containment={t_cont}s jaccard={t_jac}s",
               flush=True)
+        containment_lsh_recall(arrs, "huge_bounded")
         # the approximate path on the adversarial shape; the df-capped
         # variant (ops/dedup.cap_shingle_df before signatures) is
         # measured alongside — it came back wall-NEUTRAL (hot bands
@@ -207,6 +236,27 @@ def main() -> None:
         t_lsh = lsh_time(arrs)
         out["plans"].setdefault("jaccard_lsh_banding", {})[
             "huge_bounded"] = t_lsh
+        # recall floor of the escalated jaccard route: verified LSH
+        # output vs the verified exact-generator output (was a prose
+        # "~99 %" claim — now a recorded number)
+        arrs_n, arrs_c = split_of(arrs)
+        exact_j = verified_jaccard(
+            dedup.jaccard_prefix_candidates_between(
+                arrs_n, arrs_c, threshold=0.7), arrs_n, arrs_c).persist()
+        lsh_j = verified_jaccard(
+            dedup.lsh_candidate_pairs_between(
+                dedup.minhash_signatures_arrow(arrs_n, 64),
+                dedup.minhash_signatures_arrow(arrs_c, 64), 64, 16),
+            arrs_n, arrs_c).persist()
+        n_ej, n_lj = exact_j.count(), lsh_j.count()
+        n_hit = lsh_j.join(exact_j, ["id_new", "id_corpus"]).count()
+        j_recall = round(n_hit / n_ej, 4) if n_ej else 1.0
+        out["corpora"]["huge_bounded"]["jaccard_lsh_recall"] = j_recall
+        out["corpora"]["huge_bounded"]["jaccard_pairs_exact"] = n_ej
+        print(f"   jaccard lsh recall={j_recall} ({n_hit}/{n_ej})",
+              flush=True)
+        exact_j.unpersist()
+        lsh_j.unpersist()
         capped = dedup.cap_shingle_df(arrs).persist()
         t_capped = lsh_time(capped)
         out["plans"].setdefault("jaccard_lsh_banding_dfcap", {})[
@@ -223,6 +273,7 @@ def main() -> None:
         out["corpora"]["huge_heaps"] = {
             "dir": huge_h, "n_docs": n_docs,
             "df_head_ratio": round(head, 4),
+            "auto_route": dedup.auto_route(head, n_docs),
             "note": "Heaps-law vocabulary (~n^0.75) at 500k docs — the "
                     "realistic growth shape the prefix plans are "
                     "designed for",
@@ -256,6 +307,7 @@ def main() -> None:
         print(f"   lsh banding @50k={t_lsh}s df-capped={t_capped}s",
               flush=True)
         capped.unpersist()
+        containment_lsh_recall(arrs, "big")   # first-decade recall point
         arrs.unpersist()
 
     for plan, d in out["plans"].items():
