@@ -3,10 +3,10 @@
 
 The Spark-side plumbing — schema, partition sizing, Arrow-batched UDF
 signatures — is real and tested. PNG, JPEG (baseline sequential and
-progressive) and PCM16 WAV decode for REAL (pure python/numpy codecs —
-no media libraries in this container); the remaining formats (WebP,
-MP3, video) stay behind ``NotImplementedError`` / a deterministic
-fake, clearly marked.
+progressive), GIF (87a/89a, real LZW) and PCM16 WAV decode for REAL
+(pure python/numpy codecs — no media libraries in this container); the
+remaining formats (WebP, MP3, video) stay behind
+``NotImplementedError`` / a deterministic fake, clearly marked.
 
 At 100 TB the rules encoded here: payloads ride in ``BinaryType`` columns
 (never base64 strings), metadata lives in a pruned-friendly struct,
@@ -242,6 +242,228 @@ def decode_png(content: bytes):
     return w, h, c, img
 
 
+# GIF (87a/89a): real LZW codec — the last common web-corpus image
+# format that is feasible pure-python (variable-width LSB-first codes,
+# 12-bit dict cap with clear-code reset, 4-pass row interlace, local
+# color tables, 89a extension blocks). Encoder writes a grayscale
+# global palette; decoder returns palette-mapped RGB.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+# GIF row-interlace pass grid: (first_row, row_step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+_GIF_MAX_CODE = 4096        # 12-bit LZW dictionary cap (GIF spec)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at mcs+1 bits,
+    packed LSB-first; emits CLEAR up front and again whenever the
+    dictionary hits the 12-bit cap. Width grows the moment the just-
+    added entry's value reaches ``1 << width`` (the next emitted code
+    may be that entry — the cScSc case — so it must already fit)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    prev = -1
+    for sym in indices:
+        if prev < 0:
+            prev = sym
+            continue
+        code = table.get((prev, sym))
+        if code is not None:
+            prev = code
+            continue
+        emit(prev, width)
+        if next_code < _GIF_MAX_CODE:
+            table[(prev, sym)] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table.clear()
+            width, next_code = mcs + 1, eoi + 1
+        prev = sym
+    if prev >= 0:
+        emit(prev, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytearray:
+    """Inverse of :func:`_lzw_encode`; tolerates deferred clears (the
+    dictionary freezes at the 12-bit cap until a CLEAR arrives)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out          # stream ended without EOI — tolerate
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width, prev = mcs + 1, None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream (first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]     # the cScSc case
+        else:
+            raise ValueError("corrupt GIF LZW stream (code gap)")
+        out += entry
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW stream overruns the raster")
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    """Wrap a byte stream into GIF data sub-blocks (≤255 + terminator)."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(pixels, *, interlace: bool = False) -> bytes:
+    """uint8 array (h×w, values = palette indices) → GIF89a bytes with
+    a 256-entry grayscale global palette (index i → RGB (i,i,i)) and a
+    REAL LZW-compressed raster. ``interlace=True`` writes the 4-pass
+    row order with the interlace flag set."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_gif takes a 2-D index array")
+    h, w = arr.shape
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    if interlace:
+        rows = np.concatenate([arr[y0::dy] for y0, dy in _GIF_PASSES])
+        raster = rows.tobytes()
+    else:
+        raster = arr.tobytes()
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT, 256 entries
+            + palette
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                          0x40 if interlace else 0)
+            + bytes([8])                                 # LZW min code size
+            + _gif_subblocks(_lzw_encode(raster, 8))
+            + b"\x3b")
+
+
+def decode_gif(content: bytes):
+    """GIF bytes → (width, height, 3, uint8 RGB array h×w×3).
+
+    Implements the 87a/89a container (global + local color tables,
+    extension-block skipping, 4-pass row de-interlace) and the
+    variable-width LZW raster decode; decodes the FIRST image block
+    (animation frames beyond it are out of scope here)."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(content) < 14:
+        raise ValueError("truncated GIF (no logical screen descriptor)")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:                   # trailer
+            break
+        if block == 0x21:                   # extension: label + sub-blocks
+            pos += 1
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block introducer 0x{block:02x}")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB",
+                                                   content[pos:pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(content, np.uint8, 3 * n,
+                                  pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        mcs = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos]:
+            ln = content[pos]
+            chunks.append(content[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), mcs, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF raster")
+        rows = np.frombuffer(bytes(idx), np.uint8,
+                             iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:                  # de-interlace
+            ordered = np.empty_like(rows)
+            r = 0
+            for y0, dy in _GIF_PASSES:
+                n_rows = len(range(y0, ih, dy))
+                ordered[y0::dy] = rows[r:r + n_rows]
+                r += n_rows
+            rows = ordered
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[top:top + ih, left:left + iw] = table[rows]
+        return w, h, 3, img
+    raise ValueError("GIF contains no image block")
+
+
 def encode_wav(samples, sample_rate: int) -> bytes:
     """int16 sample array (mono) → PCM16 WAV bytes (stdlib ``wave``)."""
     import io
@@ -274,19 +496,22 @@ def decode_wav(content: bytes):
 
 
 def decode_image(content: bytes):
-    """Image decode seam. PNG and JPEG — baseline sequential AND
-    progressive (r10) — decode for real (pure python — :mod:`.jpeg`
-    implements both T.81 DCT processes); formats still needing
-    external codec libraries (WebP, video frames) raise — swap in
+    """Image decode seam. PNG, JPEG — baseline sequential AND
+    progressive (r10) — and GIF 87a/89a (r11) decode for real (pure
+    python — :mod:`.jpeg` implements both T.81 DCT processes; the LZW
+    raster codec lives above); formats still needing external codec
+    libraries (WebP, video frames) raise — swap in
     PIL.Image.open(io.BytesIO(content)) where it's available."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(content)
+    if content[:6] in _GIF_SIGS:
+        return decode_gif(content)
     raise NotImplementedError(
-        "non-PNG/JPEG image decode requires an image library not present "
-        "in this container; swap this seam for PIL.Image.open(...)")
+        "non-PNG/JPEG/GIF image decode requires an image library not "
+        "present in this container; swap this seam for PIL.Image.open(...)")
 
 
 def resize_nearest(arr, out_h: int, out_w: int):

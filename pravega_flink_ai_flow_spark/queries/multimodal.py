@@ -253,6 +253,84 @@ def l5_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l5_gif_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 9 + 4 AS INTEGER)  AS width,
+               CAST(doc_id % 13 + 3 AS INTEGER)  AS height,
+               CAST(doc_id % 2 AS INTEGER)       AS interlaced
+        FROM documents
+    )
+    SELECT m.doc_id, m.width, m.height, m.interlaced,
+           (SELECT AVG(CAST((m.doc_id * 53 + x.r * 7 + y.r * 11) % 256
+                            AS DOUBLE))
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS mean_px,
+           (SELECT CAST(SUM(((m.doc_id * 53 + x.r * 7 + y.r * 11) % 256)
+                            * (y.r * m.width + x.r)) AS BIGINT)
+            FROM unnest(generate_series(0, m.width - 1)) x(r),
+                 unnest(generate_series(0, m.height - 1)) y(r)) AS px_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5",),
+)
+def l5_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (r11 — the last common web-corpus image format
+    feasible pure-python; WebP/video stay honest external-lib seams):
+    per doc, synthesize a grayscale image with pixel (x,y) =
+    (doc_id·53 + x·7 + y·11) mod 256 at sizes 4-12 × 3-15 (straddling
+    GIF's 4-pass 8-row interlace grid so degenerate passes occur),
+    write it through the LZW encoder — odd doc_ids through the
+    interlaced row order — and decode it back via the magic-byte
+    ``decode_image`` seam inside Arrow-batched ``mapInPandas``. GIF is
+    lossless (palette indices survive LZW exactly), so the DuckDB
+    formula oracle hash-checks the decoded stats; a code-width, clear-
+    reset, palette-mapping, or de-interlace bug flips the hash. The
+    hand-derived spec bitstream (tests/test_properties.py::
+    test_gif_lzw_spec_vector) anchors the wire format itself, since a
+    roundtrip-only contract could hide complementary encode/decode
+    bugs."""
+    from ..ops.multimodal import decode_image, encode_gif
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    # forced spread of the skinny meta rows: the codec work below is
+    # interpreter-bound per row (repo perf rule) — see
+    # ops/partitioning.spread
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "interlaced": [], "mean_px": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                w = int(n_chars) % 9 + 4
+                h = doc_id % 13 + 3
+                il = doc_id % 2 == 1
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((doc_id * 53 + x * 7 + y * 11)
+                      % 256).astype(np.uint8)
+                dw, dh, _c, arr = decode_image(
+                    encode_gif(px, interlace=il))
+                flat = arr[:, :, 0].reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["interlaced"].append(int(il))
+                out["mean_px"].append(float(flat.mean()))
+                out["px_checksum"].append(
+                    int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, width int, height int, interlaced int, "
+             "mean_px double, px_checksum long")
+        .orderBy("doc_id"))
+
+
+@declared(
     "l5_progressive_decode",
     oracle="""
     WITH m AS (

@@ -141,6 +141,110 @@ def test_png_roundtrip_property(w, h, c, seed):
 
 @settings(max_examples=40, deadline=None)
 @given(
+    w=st.integers(1, 24), h=st.integers(1, 20),
+    kind=st.sampled_from(["random", "gradient", "constant"]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, kind, interlace, seed):
+    """GIF (r11): LZW encode → container → decode must reproduce the
+    index raster exactly through the grayscale palette; heights below
+    8 exercise degenerate interlace passes (GIF's 4-pass row grid)."""
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        decode_gif, encode_gif)
+    rng = np.random.default_rng(seed)
+    if kind == "random":
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    elif kind == "gradient":
+        px = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5)
+              % 256).astype(np.uint8)
+    else:
+        px = np.full((h, w), seed % 256, np.uint8)
+    dw, dh, dc, out = decode_gif(encode_gif(px, interlace=interlace))
+    assert (dw, dh, dc) == (w, h, 3)
+    # grayscale palette: every channel carries the index raster
+    assert np.array_equal(out[:, :, 0], px)
+    assert np.array_equal(out[:, :, 1], px)
+    assert np.array_equal(out[:, :, 2], px)
+
+
+def test_gif_lzw_spec_vector():
+    """Pin the LZW bitstream against a HAND-DERIVED spec vector — the
+    parity anchor for a codec with no reference decoder in this
+    container (a self-consistent encode/decode pair could hide a
+    complementary width-rule bug that real decoders would reject).
+
+    Indices [0,1,1,0,0,0], mcs=2 → clear=4, eoi=5, first free code 6,
+    initial width 3. Encoder emits CLEAR(4),0,1,1 at width 3 (adding
+    entries 6=[0,1], 7=[1,1], 8=[1,0] — adding 8 == 1<<3 bumps the
+    width), then 0, 9=[0,0], EOI(5) at width 4. LSB-first packing of
+    100|000|100|100|0000|1001|0101 → bytes 0x44 0x02 0x59."""
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        _lzw_decode, _lzw_encode)
+    data = _lzw_encode(bytes([0, 1, 1, 0, 0, 0]), 2)
+    assert data == bytes([0x44, 0x02, 0x59])
+    assert bytes(_lzw_decode(data, 2, 6)) == bytes([0, 1, 1, 0, 0, 0])
+
+
+def test_gif_dict_overflow_and_routing():
+    """A high-entropy 128×128 raster drives the LZW dictionary past the
+    12-bit cap (4096 codes → CLEAR emission + mid-stream reset on both
+    sides), sequential AND interlaced; decode_image must route GIF by
+    signature; truncated/foreign payloads must raise."""
+    import numpy as np
+    import pytest
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        decode_gif, decode_image, encode_gif)
+    px = np.random.default_rng(11).integers(
+        0, 256, size=(128, 128), dtype=np.uint8)
+    for il in (False, True):
+        _, _, _, out = decode_gif(encode_gif(px, interlace=il))
+        assert np.array_equal(out[:, :, 0], px)
+    _, _, dc, _ = decode_image(encode_gif(px))
+    assert dc == 3
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)    # truncated descriptor
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+
+
+def test_gif_container_features():
+    """Container-level seams: 89a extension blocks (graphic control,
+    comment) are skipped; a LOCAL color table overrides the global one;
+    GIF87a signature is accepted."""
+    import struct
+
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        _gif_subblocks, _lzw_encode, decode_gif)
+
+    w = h = 3
+    px = np.arange(9, dtype=np.uint8).reshape(3, 3) % 4
+    # 4-entry LOCAL palette (red ramp), mcs=2; GLOBAL palette is a
+    # decoy (all blue) — a decoder using the wrong table fails the
+    # channel check below
+    global_pal = bytes([0, 0, 255] * 4)
+    local_pal = bytes(v for i in range(4) for v in (60 * i, 0, 0))
+    gce = b"\x21\xf9" + _gif_subblocks(b"\x00\x00\x00\x00")
+    comment = b"\x21\xfe" + _gif_subblocks(b"synthetic")
+    payload = (b"GIF87a"
+               + struct.pack("<HHBBB", w, h, 0x81, 0, 0)   # 4-entry GCT
+               + global_pal
+               + gce + comment
+               + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x81)  # LCT
+               + local_pal
+               + bytes([2])
+               + _gif_subblocks(_lzw_encode(px.tobytes(), 2))
+               + b"\x3b")
+    dw, dh, dc, out = decode_gif(payload)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert np.array_equal(out[:, :, 0], px * 60)   # local red ramp used
+    assert (out[:, :, 2] == 0).all()               # not the blue decoy
+
+
+@settings(max_examples=40, deadline=None)
+@given(
     samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
     rate=st.sampled_from([8000, 16000, 44100]),
 )
