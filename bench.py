@@ -47,16 +47,25 @@ def normalize_layout(sf_dir: str) -> str:
     row group per table, which caps Spark's scan parallelism at exactly
     1 task — a toy-scale artifact no real deployment has (at 100 TB you
     control layout: ~128 MB row groups, thousands of files). Rewrite
-    each table once with pyarrow into ~16 row groups (bit-identical
-    schema — events keeps its TIMESTAMP(NANOS) physical type) under
-    ``.bench_layout/`` so the timed pass scans the layout a production
-    dataset would actually have. Rewrite cost ~2 s, cached across runs
-    by source mtime."""
+    each table once with pyarrow into row groups of ~8 MB ON DISK
+    (bit-identical schema — events keeps its TIMESTAMP(NANOS) physical
+    type) under ``.bench_layout/v2-*`` so the timed pass scans the
+    layout a production dataset would actually have. SIZE-based, not
+    count-based (v2, r11): the old fixed ``num_rows // 16`` made the
+    row-group count scale-invariant, so at sf10 every byte-split beyond
+    the 16 row-group midpoints was EMPTY and scan-bound queries ran
+    16-wide at every tier — that floor was the whole 8-9× "super-
+    linear-ish" tail of BENCH_sf10 (tpch_q5, j9_asof_join: stages
+    stalled at exactly 16 running tasks). 8 MB matches BENCH_CONF's
+    ``maxPartitionBytes`` so one group ≈ one split; small tables keep a
+    16-group floor (the measured sf0.1 layout). Rewrite cost ~2 s,
+    cached across runs by source mtime; the version prefix invalidates
+    layouts written by the old rule."""
     try:
         import pyarrow.parquet as pq
 
         out_dir = os.path.join(REPO, ".bench_layout",
-                               os.path.basename(sf_dir.rstrip("/")))
+                               "v2-" + os.path.basename(sf_dir.rstrip("/")))
         os.makedirs(out_dir, exist_ok=True)
         for fn in sorted(os.listdir(sf_dir)):
             if not fn.endswith(".parquet"):
@@ -66,8 +75,12 @@ def normalize_layout(sf_dir: str) -> str:
                     and os.path.getmtime(dst) >= os.path.getmtime(src)):
                 continue
             tbl = pq.read_table(src)
-            pq.write_table(tbl, dst,
-                           row_group_size=max(16384, tbl.num_rows // 16))
+            n_bytes = os.path.getsize(src)
+            rows_per_8mb = max(1, int(tbl.num_rows * 8 * 2**20
+                                      / max(n_bytes, 1)))
+            group = max(16384, min(tbl.num_rows // 16 or 16384,
+                                   rows_per_8mb))
+            pq.write_table(tbl, dst, row_group_size=group)
         return out_dir
     except Exception:
         return sf_dir  # bench must run even if the rewrite can't

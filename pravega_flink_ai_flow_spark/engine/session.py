@@ -31,6 +31,20 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime bloom-filter semi-join pruning (r11, measured on TPC-H Q5
+    # at the sf10 tier: the date-filtered orders side prunes the 60 M-row
+    # lineitem shuffle 5.75 s → 3.64 s, -37%). Spark's defaults block it
+    # both here AND at production scale: applicationSideScanSizeThreshold
+    # defaults to 10 GB (the probe side must be huge) while
+    # creationSideThreshold defaults to 10 MB (the build side must be
+    # tiny) — a selective-dim ⋈ fact join at 100 TB has a build side far
+    # over 10 MB, so the default pair almost never fires. 64 MB / 256 MB
+    # lets mid-size filtered dims prune fact shuffles from sf1 up while
+    # leaving sf0.1-and-below plans untouched (scan < 64 MB).
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": str(64 * 1024 * 1024),
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        str(256 * 1024 * 1024),
     # local runs read small parquet; keep partition count sane
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
