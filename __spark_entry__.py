@@ -162,34 +162,53 @@ def entry(spark: SparkSession) -> DataFrame:
 #       p9_hash_sample_per_group, s12/s13 — bumped for the four l5
 #       re-promotions — s17/s18/s19, t16-t21, u4/u6/u7) are the
 #       ROUND 11 pad pool.
+# ROUND 10 recorded its window clean: 50/50 green (45 hash + 5 rows-
+# only-by-design), 0 red (CORRECTNESS_r10). Staleness census after
+# r10 (recomputed from the artifacts): 50 @ r10, 42 @ r9, 47 @ r8,
+# 47 @ r7, 21 @ r6 — nothing older, 0 never-recorded.
+#
+# ROUND 11 (this round): no r10 reds to re-prove, so `_PROMOTED` =
+#   (a) the queries whose DECLARED PLAN or shared implementation
+#       changed this round, so their prior greens no longer cover the
+#       shipped code: l2_containment_pairs + l2_incremental_dedup +
+#       l2_ngram_jaccard_pairs (the shared dedup dispatcher gained the
+#       corpus-scale tier and the remote-URI fingerprint fix — their
+#       declared paths run through that code), l6_sequence_packing +
+#       l6_pretrain_pipeline (pack_id moved to integer div, r10
+#       advice #3), l5_mixed_codec_decode (decode_image seam gained
+#       the GIF route), and the NEW l5_gif_decode (LZW codec —
+#       entering the gate at birth per the r8 precedent);
+#   (b) the full 21-query r6-stale pad pool named above (s12-s19,
+#       m5/m6/m7, p9, t16-t21, u4/u6/u7) — after this window NOTHING
+#       in the corpus is older than r7;
+#   (c) padded to exactly 50 with the 22 name-ordered-first r7-stale
+#       greens (a6-a9+a16, the f_* scalar families, j1/j2/j3/j10-j12/
+#       j15). The 25 r7 leftovers (j4-j9 block, l1/l2/l3 core, m2/m3,
+#       o1-o3, p1-p3, l4_pmi_collocations) are the ROUND 12 pad pool.
 _PROMOTED = frozenset({
-    # (a) plan/implementation changed in round 10 (+ the two new
-    # queries, entering the gate at birth per the r8 precedent)
+    # (a) plan/implementation changed in round 11 (+ the new query,
+    # entering the gate at birth)
     "l2_containment_pairs", "l2_incremental_dedup",
-    "l2_ngram_jaccard_pairs", "l5_progressive_decode",
-    "l5_interlaced_decode", "l2_dfcap_jaccard_pairs",
-    "l6_pretrain_pipeline", "l5_image_decode", "l5_image_phash",
-    "l5_image_resize", "l5_mixed_codec_decode",
-    "l3_ivf_topk", "l3_recall_eval",
-    # (b) last driver record r5 — the whole leftover pool
-    "p8_stratified_sample", "s10_orc_roundtrip",
-    "s11_ddl_connector_roundtrip", "s1_csv_roundtrip",
-    "s3_s4_stream_dir_roundtrip", "s7_parquet_pruned_scan",
-    "s8_rows_source", "s9_pandas_bridge", "t11_ohlc_rollup",
-    "t12_funnel_analysis", "t13_retention_cohorts",
-    "t14_resample_ffill", "t15_resample_interpolate",
-    "t5_session_window", "tpch_q12", "w10_rolling_median",
-    "w9_running_count_distinct",
-    # (c) last driver record r6 (name-ordered first 20 — see the
-    #     header comment; the other 21 r6 greens are the round-11 pad
+    "l2_ngram_jaccard_pairs", "l6_sequence_packing",
+    "l6_pretrain_pipeline", "l5_mixed_codec_decode", "l5_gif_decode",
+    # (b) last driver record r6 — the whole leftover pool
+    "m5_softmax_predict", "m6_pca_project", "m7_naive_bayes_predict",
+    "p9_hash_sample_per_group", "s12_jsonl_roundtrip",
+    "s13_partitioned_pruned_scan", "s14_bucketed_colocated_join",
+    "s15_table_profile", "s16_zorder_key", "s17_schema_evolution",
+    "s18_permissive_csv", "s19_compaction", "t16_user_similarity_topk",
+    "t17_per_key_trend", "t18_gap_detection", "t19_anomaly_zscore",
+    "t20_ewma_smooth", "t21_session_paths", "u4_except",
+    "u6_merge_upsert", "u7_scd2_history",
+    # (c) last driver record r7 (name-ordered first 22 — see the
+    #     header comment; the other 25 r7 greens are the round-12 pad
     #     pool)
-    "a10_unpivot", "a11_string_agg", "a12_corr_covar",
-    "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
-    "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
-    "a5_grouping_sets", "a5_rollup", "j14_lateral_topn", "l2_semdedup",
-    "l3_int8_quant_topk", "l3_ivf_kmeans_topk", "l3_lsh_topk",
-    "l3_pq_topk", "l4_char_entropy", "l4_tfidf_keywords",
-    "l6_quality_classifier",
+    "a16_equidepth_histogram", "a6_positional_aggs", "a7_stats",
+    "a8_having", "a9_pivot", "f_array", "f_bitwise", "f_cast",
+    "f_conditional", "f_datetime", "f_explode_wordcount", "f_json",
+    "f_map", "f_math", "f_pandas_udf_normalize", "f_string",
+    "f_vector_dot", "j10_interval_join_batch", "j11_salted_skew_join",
+    "j12_null_safe_join", "j15_recursive_hierarchy", "j1_inner_join",
 })
 
 

@@ -50,17 +50,14 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 10 window: five rows-only-by-design pads — the approximate
-    # sketches (a4 HLL count, a13 percentile digest), the iterative
-    # ANN trainers (l3 ivf-kmeans, l3 pq — Lloyd iterations,
-    # seed-dependent tie-breaks), and the quality classifier
-    # (float-accumulating; pytest-equal to numpy instead). m5/m6 were
-    # demoted to the r11 pad pool when the IVF-sizing re-promotions
-    # (l3_ivf_topk, l3_recall_eval — both hash-gated) took their
-    # window slots. Any commit that touches _PROMOTED must update
-    # this set in the SAME commit and re-run the suite — r7 shipped
-    # red by skipping that (VERDICT r7 wrong #1).
+    # round 11 window: two rows-only-by-design pads — the iterative
+    # trainers m5 (softmax, float-accumulating SGD) and m6 (PCA —
+    # sign/rotation-indeterminate eigenvectors), both pytest-equal to
+    # numpy; they enter from the r6-stale pad pool (r10 verdict watch
+    # #4 asked to spend fewer window slots on rows-only queries — 2
+    # this round vs 5 in r10, and both are genuinely r6-stale). Any
+    # commit that touches _PROMOTED must update this set in the SAME
+    # commit and re-run the suite — r7 shipped red by skipping that
+    # (VERDICT r7 wrong #1).
     assert rows_only == {
-        "a4_approx_count_distinct", "a13_approx_percentile",
-        "l3_ivf_kmeans_topk", "l3_pq_topk",
-        "l6_quality_classifier"}, sorted(rows_only)
+        "m5_softmax_predict", "m6_pca_project"}, sorted(rows_only)
