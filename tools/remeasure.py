@@ -11,7 +11,7 @@ warmup-plus-median-of-3) but NOTHING else in the session, and updates
 their entries in BENCH_sf1.json in place (totals/super_linear
 recomputed), stamping each updated row with "quiet_remeasure": true.
 
-Usage: python tools/remeasure.py query1 [query2 ...]   (quiet box)
+Usage: python tools/remeasure.py [--tier sf1|sf10] query1 [...]   (quiet box)
 """
 
 from __future__ import annotations
@@ -27,12 +27,28 @@ import bench  # noqa: E402
 
 
 def main() -> None:
-    names = sys.argv[1:]
+    # --tier sf10 re-measures the sf1 → sf10 decade into BENCH_sf10.json
+    # (r11: the outlier re-checks were hand-rolled twice before this);
+    # default stays the sf0.1 → sf1 decade into BENCH_sf1.json.
+    args = sys.argv[1:]
+    tier = "sf1"
+    if args and args[0] == "--tier":
+        tier = args[1]
+        args = args[2:]
+    names = args
     if not names:
-        sys.exit("usage: remeasure.py query1 [query2 ...]")
-    sf_small = bench.normalize_layout("/root/testdata/sf0.1")
+        sys.exit("usage: remeasure.py [--tier sf1|sf10] query1 [query2 ...]")
+    if tier == "sf1":
+        small_dir, ks = "/root/testdata/sf0.1", "sf0.1_sec"
+    elif tier == "sf10":
+        small_dir = os.path.join(REPO, "testdata_scale", "sf1")
+        ks = "sf1_sec"
+    else:
+        sys.exit(f"unknown tier {tier!r} (sf1 or sf10)")
+    sf_small = bench.normalize_layout(small_dir)
     sf_big = bench.normalize_layout(
-        os.path.join(REPO, "testdata_scale", "sf1"))
+        os.path.join(REPO, "testdata_scale", tier))
+    kb = f"{tier}_sec"
 
     from pravega_flink_ai_flow_spark.queries import load_all
 
@@ -42,25 +58,25 @@ def main() -> None:
     def t_median(name: str, sf_dir: str) -> float:
         return bench.median_noop_time(registry[name].fn(spark, sf_dir))
 
-    path = os.path.join(REPO, "BENCH_sf1.json")
+    path = os.path.join(REPO, f"BENCH_{tier}.json")
     art = json.load(open(path))
     for name in names:
         ts = t_median(name, sf_small)
         tb = t_median(name, sf_big)
         art["queries"][name] = {
-            "sf0.1_sec": ts, "sf1_sec": tb,
+            ks: ts, kb: tb,
             "ratio_10x_data": round(tb / ts, 2) if ts else None,
             "quiet_remeasure": True,
         }
         print(f"{name}: {ts}s -> {tb}s  ({art['queries'][name]['ratio_10x_data']}x)",
               flush=True)
 
-    art["total_sf0.1_sec"] = round(
-        sum(r["sf0.1_sec"] for r in art["queries"].values()), 3)
-    art["total_sf1_sec"] = round(
-        sum(r["sf1_sec"] for r in art["queries"].values()), 3)
+    art[f"total_{ks}"] = round(
+        sum(r[ks] for r in art["queries"].values()), 3)
+    art[f"total_{kb}"] = round(
+        sum(r[kb] for r in art["queries"].values()), 3)
     art["total_ratio"] = round(
-        art["total_sf1_sec"] / art["total_sf0.1_sec"], 2)
+        art[f"total_{kb}"] / art[f"total_{ks}"], 2)
     # same flag criterion as tools/bench_scale.py:136
     art["super_linear"] = sorted(
         n for n, r in art["queries"].items()
