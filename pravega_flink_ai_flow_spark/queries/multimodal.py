@@ -410,7 +410,8 @@ def l5_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'gif' END AS codec,
                CAST((n_chars % 3 + 1) * 8 AS INTEGER)      AS width,
                CAST(((doc_id // 2) % 2 + 1) * 8 AS INTEGER) AS height
         FROM documents
@@ -431,15 +432,19 @@ def l5_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l5_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format ingest through the ONE decode seam: per doc the
-    payload is encoded as PNG (even doc_id) or baseline JPEG (odd),
+    payload is encoded as PNG (doc_id % 3 == 0), baseline JPEG (== 1)
+    or GIF (== 2, r11 — the third real codec joins the routing query),
     then decoded by ``ops.multimodal.decode_image`` — which must route
     by the payload's own magic bytes, exactly how a real binary-column
     ingest handles a crawl of mixed formats. Block-constant grayscale
-    at JPEG quality 100 keeps BOTH codecs bit-exact, so the formula
-    oracle hash-checks the decoded stats; a routing bug (wrong codec,
-    signature misread) or either codec regressing flips the gate."""
+    at JPEG quality 100 keeps ALL THREE codecs bit-exact, so the
+    formula oracle hash-checks the decoded stats; a routing bug (wrong
+    codec, signature misread) or any codec regressing flips the gate.
+    Stats read channel 0 (GIF decodes palette-mapped RGB; PNG/JPEG
+    grayscale decode 1-channel — channel 0 is the index raster in
+    every case)."""
     from ..ops.jpeg import encode_jpeg
-    from ..ops.multimodal import decode_image, encode_png
+    from ..ops.multimodal import decode_image, encode_gif, encode_png
 
     (docs,) = tables(spark, sf_dir, "documents")
     # forced spread of the skinny meta rows: the codec work below is
@@ -461,12 +466,15 @@ def l5_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blocks = ((doc_id * 41 + bx * 13 + by * 29)
                           % 256).astype(np.uint8)
                 px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-                if doc_id % 2 == 0:
+                route = doc_id % 3
+                if route == 0:
                     payload, codec = encode_png(px), "png"
-                else:
+                elif route == 1:
                     payload, codec = encode_jpeg(px, 100), "jpeg"
+                else:
+                    payload, codec = encode_gif(px), "gif"
                 dw, dh, _c, arr = decode_image(payload)
-                flat = arr.reshape(-1).astype(np.int64)
+                flat = arr[:, :, 0].reshape(-1).astype(np.int64)
                 out["doc_id"].append(doc_id)
                 out["codec"].append(codec)
                 out["width"].append(dw)
