@@ -181,10 +181,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) the full 21-query r6-stale pad pool named above (s12-s19,
 #       m5/m6/m7, p9, t16-t21, u4/u6/u7) — after this window NOTHING
 #       in the corpus is older than r7;
-#   (c) padded to exactly 50 with the 22 name-ordered-first r7-stale
-#       greens (a6-a9+a16, the f_* scalar families, j1/j2/j3/j10-j12/
-#       j15). The 25 r7 leftovers (j4-j9 block, l1/l2/l3 core, m2/m3,
-#       o1-o3, p1-p3, l4_pmi_collocations) are the ROUND 12 pad pool.
+#   (c) padded to exactly 50 with the 20 name-ordered-first r7-stale
+#       greens (a6-a9+a16, the f_* scalar families, j2/j3/j10-j12).
+#       Two late (a) additions took the last two pad slots when the
+#       all-pairs GEMM ops gained the auto n_blocks rule mid-round
+#       (l3_allpairs_topk, l3_cosine_near_dup — t16, the third
+#       consumer, was already in (b)); j15/j1 join the 25 other
+#       r7 leftovers (j4-j9 block, l1/l2/l3 core, m2/m3, o1-o3,
+#       p1-p3, l4_pmi_collocations) as the ROUND 12 pad pool.
 _PROMOTED = frozenset({
     # (a) plan/implementation changed in round 11 (+ the new query,
     # entering the gate at birth)
@@ -208,7 +212,9 @@ _PROMOTED = frozenset({
     "f_conditional", "f_datetime", "f_explode_wordcount", "f_json",
     "f_map", "f_math", "f_pandas_udf_normalize", "f_string",
     "f_vector_dot", "j10_interval_join_batch", "j11_salted_skew_join",
-    "j12_null_safe_join", "j15_recursive_hierarchy", "j1_inner_join",
+    "j12_null_safe_join",
+    # (a, late) auto-n_blocks consumers — see the header comment
+    "l3_allpairs_topk", "l3_cosine_near_dup",
 })
 
 

@@ -123,7 +123,7 @@ def l3_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     top = similarity.allpairs_topk_blocked(
         emb, id_col="vec_id", vec_col="embedding",
-        k=_TOP_K + 1, n_blocks=8, round_dp=6)
+        k=_TOP_K + 1, round_dp=6)   # n_blocks: auto (blocks ∝ N)
     top = (top.filter(F.col("vec_id_a") != F.col("vec_id_b"))
            .select(F.col("vec_id_a").alias("q_id"),
                    F.col("vec_id_b").alias("c_id"), "cosine"))
@@ -501,8 +501,7 @@ def l3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-shaped plan for a mid-threshold sweep."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     return (similarity.cosine_near_dup_pairs_blocked(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.45,
-        n_blocks=8)
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45)
         .orderBy("id_a", "id_b"))
 
 

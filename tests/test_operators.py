@@ -1897,3 +1897,68 @@ def test_containment_prefix_plan_equals_count_plan(spark):
             for r in dedup.containment_pairs_prefix(
                 arrs, threshold=0.6).collect()}
     assert pref == brute and len(brute) > 0
+
+
+def test_n_blocks_rule_bounds_per_task_memory():
+    """The all-pairs GEMM block-count rule (r11): blocks ∝ N with an
+    8-block floor. A FIXED n_blocks=8 put a (500k/8)² float64 score
+    matrix (~31 GB) in ONE task at the sf10 tier — the gate run was
+    OOM-killed, the same silent-quadratic class as the r10 IVF fixed
+    stride. The rule caps the matrix at ~_BLOCK_ROWS_TARGET² × 8 B
+    (~300 MB) at any corpus size."""
+    import math
+
+    from pravega_flink_ai_flow_spark.ops.similarity import (
+        _BLOCK_ROWS_TARGET, _n_blocks_rule)
+    # floor holds for every driver-gate tier (sf0.001 .. sf1 corpus
+    # sizes), so existing declared plans and their hashes are untouched
+    for n in (1, 50, 500, 5_000, 49_152):
+        assert _n_blocks_rule(n) == 8
+    # above the floor: per-block rows never exceed the target
+    for n in (49_153, 100_000, 500_000, 5_000_000):
+        b = _n_blocks_rule(n)
+        assert math.ceil(n / b) <= _BLOCK_ROWS_TARGET
+    # the measured OOM case: 500 k docs get 82 bounded blocks, and the
+    # score-matrix budget is ~300 MB, not 31 GB
+    assert _n_blocks_rule(500_000) == 82
+    assert (_BLOCK_ROWS_TARGET ** 2) * 8 < 400 * 2**20
+
+
+def test_allpairs_output_is_blocking_independent(spark):
+    """allpairs_topk_blocked re-scores selected pairs with the
+    shape-independent _pair_dots pass, so the OUTPUT must be
+    bit-identical under any block count — the property that makes the
+    auto n_blocks rule a pure memory fix, never an answer change.
+    cosine_near_dup_pairs_blocked is threshold-gated on in-GEMM scores;
+    away from the threshold boundary its pair set is likewise
+    blocking-independent."""
+    import numpy as np
+
+    from pravega_flink_ai_flow_spark.ops import similarity
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)])
+            for i in range(97)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def topk(nb):
+        out = similarity.allpairs_topk_blocked(
+            df, id_col="vec_id", vec_col="embedding", k=4,
+            n_blocks=nb, round_dp=6)
+        return sorted(tuple(r) for r in out.collect())
+
+    base = topk(8)
+    assert topk(3) == base and topk(11) == base
+    # auto (floor 8 at this size) == the explicit historical layout
+    assert topk(None) == base
+
+    def pairs(nb):
+        out = similarity.cosine_near_dup_pairs_blocked(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.5,
+            n_blocks=nb)
+        return sorted((r.id_a, r.id_b, round(r.cosine, 9))
+                      for r in out.collect())
+
+    pbase = pairs(8)
+    assert len(pbase) > 0
+    assert pairs(3) == pbase and pairs(None) == pbase
