@@ -64,9 +64,14 @@ def normalize_layout(sf_dir: str) -> str:
     try:
         import pyarrow.parquet as pq
 
-        out_dir = os.path.join(REPO, ".bench_layout",
-                               "v2-" + os.path.basename(sf_dir.rstrip("/")))
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(REPO, ".bench_layout", "v2-" + base)
         os.makedirs(out_dir, exist_ok=True)
+        # reclaim the superseded v1 (un-prefixed) layout — ~1.5 GB of
+        # rewritten tiers nothing reads anymore (r11 review)
+        import shutil
+        shutil.rmtree(os.path.join(REPO, ".bench_layout", base),
+                      ignore_errors=True)
         for fn in sorted(os.listdir(sf_dir)):
             if not fn.endswith(".parquet"):
                 continue

@@ -846,7 +846,7 @@ _DF_HEAD_DISPATCH = 0.05
 # through sf10.
 _SCALE_DISPATCH_DOCS = 200_000
 
-_N_DOCS_CACHE: dict[tuple[str, int], int] = {}
+_N_DOCS_CACHE: dict[tuple, int] = {}
 
 
 class ScaleDispatchWarning(UserWarning):
@@ -860,10 +860,14 @@ class ScaleDispatchWarning(UserWarning):
 def corpus_doc_count(arrs: DataFrame) -> int:
     """Memoized doc count of a corpus frame — the n_docs half of the
     scale-dispatch signal. One column-pruned count per (session,
-    corpus plan); at 100 TB this is a table statistic computed at
-    ingest, like :func:`shingle_df_head_ratio`."""
+    corpus plan, input data); at 100 TB this is a table statistic
+    computed at ingest, like :func:`shingle_df_head_ratio`. The key
+    includes the input-file fingerprint (the _HOT_SHINGLE_CACHE
+    principle: this memo stores a collected RESULT, and a path
+    rewritten in place keeps its semanticHash — a stale count would
+    silently flip the scale-dispatch route, r11 review)."""
     key = (arrs.sparkSession.sparkContext.applicationId,
-           arrs.semanticHash())
+           arrs.semanticHash(), _input_fingerprint(arrs))
     if key not in _N_DOCS_CACHE:
         _N_DOCS_CACHE[key] = arrs.count()
     return _N_DOCS_CACHE[key]

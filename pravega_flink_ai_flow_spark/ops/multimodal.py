@@ -249,6 +249,10 @@ def decode_png(content: bytes):
 # global palette; decoder returns palette-mapped RGB.
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
+# constant 256-entry grayscale global palette (index i → RGB (i,i,i)) —
+# module-level because encode_gif runs once per ROW inside mapInPandas
+# (the CLAUDE.md per-call lookup-table rule)
+_GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 # GIF row-interlace pass grid: (first_row, row_step)
 _GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 _GIF_MAX_CODE = 4096        # 12-bit LZW dictionary cap (GIF spec)
@@ -375,7 +379,7 @@ def encode_gif(pixels, *, interlace: bool = False) -> bytes:
     if arr.ndim != 2:
         raise ValueError("encode_gif takes a 2-D index array")
     h, w = arr.shape
-    palette = bytes(v for i in range(256) for v in (i, i, i))
+    palette = _GIF_GRAY_PALETTE
     if interlace:
         rows = np.concatenate([arr[y0::dy] for y0, dy in _GIF_PASSES])
         raster = rows.tobytes()
@@ -413,6 +417,24 @@ def decode_gif(content: bytes):
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(content, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    # bytes indexing raises IndexError and short struct slices raise
+    # struct.error on payloads cut off mid block-chain; the codec's
+    # corrupt-input contract is ValueError (quarantine wrappers around
+    # the decode seam catch that family — r11 review), so normalize.
+    try:
+        return _decode_gif_blocks(content, pos, w, h, gct)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF ({e})") from e
+
+
+def _decode_gif_blocks(content: bytes, pos: int, w: int, h: int, gct):
+    """Walk the GIF block chain from ``pos`` and decode the first
+    image block — the body of :func:`decode_gif`, split out so its
+    truncation guard stays one obvious wrapper."""
+    import struct
+
+    import numpy as np
+
     while pos < len(content):
         block = content[pos]
         pos += 1
