@@ -645,7 +645,9 @@ def containment_pairs(arrs: DataFrame, *, threshold: float,
     regardless of vocabulary size). The production ladder on skewed
     corpora is therefore: this plan / the prefix plan per the
     dispatcher at the first decade, then LSH banding past it —
-    measured the second-decade survivor at 16×/decade vs 23-47× for
+    measured the second-decade survivor at 14-16×/decade vs the exact
+    plans' ≥ 2.8-3.3× absolute walls (r11 re-measure: the r10 23-47×
+    exponent was partly session memory pressure) for
     every exact plan (:func:`cap_shingle_df` rides along there for
     pair QUALITY; measured wall-neutral). Input: (id, shingles
     array). Output: (id_a < id_b, cont_a_in_b, cont_b_in_a)."""
@@ -764,19 +766,31 @@ def containment_pairs_lsh(arrs: DataFrame, *, threshold: float,
     """Max-containment ≥ ``threshold`` pairs with LSH-BANDED candidate
     generation + exact verify — the corpus-scale rung of the
     containment ladder (BENCH_zipf huge tiers, 500 k Zipf docs: every
-    exact candidate generator 23-47×/decade because df ∝ n for every
-    shingle, LSH banding 16×/decade at 23.7 s vs 161-177 s).
+    exact candidate generator carries df ∝ n candidate work and costs
+    ≥ 2.8-3.3× the LSH wall absolute — r11 re-measure 76.2/72.8 s exact
+    vs 22.9 s LSH banding; the escalated rung itself 43.5 s).
 
     Semantics: PRECISION is exact (the verify recomputes true
     containment in-row and re-applies the threshold), RECALL is the
     LSH candidate step's — and MinHash banding targets JACCARD, so an
     asymmetric pair (short doc swallowed by a long one: max-
     containment high, Jaccard = |A|/|B| low) is under-sampled relative
-    to a symmetric near-dup. The measured recall floor vs the exact
-    plan lives in BENCH_zipf.json (``containment_lsh_recall``); the
-    auto dispatcher routes here only above
+    to a symmetric near-dup. MEASURED floor (r11, BENCH_zipf.json
+    ``containment_lsh_recall``): **0.83 at 500 k Zipf docs / 0.80 at
+    50 k** vs the exact plan — materially below the escalated jaccard
+    route's 0.99, exactly the structural miss predicted above (the
+    lost pairs are the low-Jaccard subset-containment ones). Widening
+    bands (r=2) would recover them only by admitting ~8 % of ALL
+    near-zero pairs as candidates — quadratic blowup on a 500 k
+    corpus. The literature fix is size-partitioned containment LSH
+    (LSH Ensemble, Zhu et al., VLDB 2016): partition the corpus by
+    set size and tune banding per partition against the containment-
+    to-jaccard bound |A|·t / (|A| + |B| − |A|·t); that is the honest
+    upgrade path for this rung, documented rather than half-shipped.
+    The auto dispatcher routes here only above
     :data:`_SCALE_DISPATCH_DOCS` on a Zipf-headed corpus, with a
-    :class:`ScaleDispatchWarning` naming the trade."""
+    :class:`ScaleDispatchWarning` naming the trade, and
+    ``scale_escalation='exact'`` pins the lossless plan."""
     sig = minhash_signatures_arrow(arrs, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     return _containment_verify(cand, arrs, threshold)
@@ -830,7 +844,8 @@ _DF_HEAD_DISPATCH = 0.05
 # The CORPUS-SCALE tier of the dispatch (r10 verdict #1): the df-head
 # signal alone is scale-blind — it measures ~0.19 at 50 k AND 500 k
 # Zipf docs while the exact plans go from winning (prefix 3.8 s at
-# 50 k) to intrinsically quadratic (161-177 s at 500 k, 23-47× per
+# 50 k) to intrinsically quadratic (62-77 s at 500 k on the r11 24 g
+# re-measure — 161-177 s in r10's tighter-memory session — ≥ 2.8× per
 # decade under bounded AND Heaps vocabularies — df ∝ n for every
 # shingle) and LSH banding becomes the only survivor (23.7 s,
 # 16×/decade; BENCH_zipf huge tiers). Above this doc count on a
@@ -900,20 +915,22 @@ def _escalate(op: str, n_docs: int, scale_escalation: str) -> bool:
     if scale_escalation == "exact":
         warnings.warn(
             f"{op}: exact candidate generation pinned on a Zipf-headed "
-            f"corpus of {n_docs:,} docs — measured 23-47x per decade "
-            f"past {_SCALE_DISPATCH_DOCS:,} docs (BENCH_zipf huge "
-            f"tiers: exact 161-177s vs LSH 23.7s at 500k)",
+            f"corpus of {n_docs:,} docs — at 500k such docs every exact "
+            f"plan measured >= 2.8-3.3x the LSH wall and carries df-"
+            f"proportional-to-n candidate work (BENCH_zipf huge tiers)",
             ScaleDispatchWarning, stacklevel=3)
         return False
     warnings.warn(
         f"{op}: corpus-scale escalation to banded-LSH + exact-verify at "
-        f"{n_docs:,} Zipf-headed docs (>= {_SCALE_DISPATCH_DOCS:,}): "
-        f"every exact candidate plan measured 23-47x per decade here "
-        f"while LSH holds 16x (BENCH_zipf huge tiers, 500k docs: "
-        f"161-177s vs 23.7s). Precision stays exact (verify step); "
-        f"candidate RECALL becomes LSH's — floor measured in "
-        f"BENCH_zipf.json. Pass scale_escalation='exact' to pin the "
-        f"lossless plan.", ScaleDispatchWarning, stacklevel=3)
+        f"{n_docs:,} Zipf-headed docs (>= {_SCALE_DISPATCH_DOCS:,}): at "
+        f"the measured 500k tier every exact candidate plan costs >= "
+        f"2.8-3.3x the LSH wall and its df ~ n candidate work keeps "
+        f"growing super-linearly (BENCH_zipf huge tiers). Precision "
+        f"stays exact (verify step); candidate RECALL becomes LSH's — "
+        f"floors measured in BENCH_zipf.json (jaccard 0.99; containment "
+        f"0.80-0.83, see containment_pairs_lsh's docstring). Pass "
+        f"scale_escalation='exact' to pin the lossless plan.",
+        ScaleDispatchWarning, stacklevel=3)
     return True
 
 
@@ -968,7 +985,7 @@ def jaccard_candidates_between_auto(arrs_new: DataFrame,
     the two sides (:func:`lsh_candidate_pairs_between` over
     :func:`minhash_signatures_arrow`), with a
     :class:`ScaleDispatchWarning` — the measured 16×/decade survivor
-    where every exact generator runs 23-47×/decade (BENCH_zipf huge
+    where every exact generator costs ≥ 2.8-3.3× the LSH wall (BENCH_zipf huge
     tiers). The escalated candidates are NOT lossless (callers verify
     for precision; recall floor in BENCH_zipf.json);
     ``scale_escalation='exact'`` pins the lossless df-order plan.

@@ -1689,7 +1689,7 @@ def test_dedup_plan_dispatch_by_df_head(spark):
 def test_scale_dispatch_decision_table():
     """The r11 corpus-scale tier as a pure table (BENCH_zipf): the
     df-head signal alone measured ~0.19 at BOTH 50 k and 500 k Zipf
-    docs while exact plans went from winning to 23-47×/decade — so the
+    docs while exact plans went from winning to ≥ 2.8-3.3× the LSH wall — so the
     route must depend on (df_head, n_docs) together."""
     # flat corpora never escalate, at any size (exact plans measured
     # sub-linear through sf10)
