@@ -38,6 +38,7 @@ QUERIES = [
     "l5_image_decode", "l5_jpeg_decode", "l5_progressive_decode",
     "l5_interlaced_decode", "l5_mixed_codec_decode", "l5_audio_decode",
     "l5_image_resize", "l5_audio_features", "l5_image_phash",
+    "l5_gif_decode",   # r11: the GIF codec query ships the same rule
 ]
 
 
