@@ -509,3 +509,74 @@ def test_filtered_topk_distinct_vector_tie_regression(spark):
                for r in similarity.filtered_topk_blocked(
                    [(q, v, kk) for q, v, kk in data], corpus, k=3).collect()}
         assert got == want
+
+
+def test_gif_lzw_against_naive_reference_decoder():
+    """Fuzz the production LZW decoder against a second, independently
+    structured implementation: a deliberately naive bit-by-bit decoder
+    written straight from the GIF89a spec prose (string table of
+    byte-strings, per-bit reads, no packing tricks). The hand vector
+    pins one known bitstream; this pins the VARIABLE-WIDTH schedule and
+    dictionary evolution across thousands of codes, including the
+    12-bit cap + clear-reset region — a complementary-bug pair between
+    the production encoder and decoder would have to fool a third,
+    differently-shaped implementation too."""
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.multimodal import (
+        _GIF_MAX_CODE, _lzw_decode, _lzw_encode)
+
+    def naive_decode(data: bytes, mcs: int) -> bytes:
+        bits = [(byte >> i) & 1 for byte in data for i in range(8)]
+        pos = 0
+
+        def read(width):
+            nonlocal pos
+            v = 0
+            for i in range(width):
+                v |= bits[pos + i] << i
+            pos += width
+            return v
+
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        base = {i: bytes([i]) for i in range(1 << mcs)}
+        out = bytearray()
+        while True:
+            table = dict(base)
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            while True:
+                code = read(width)
+                if code == clear:
+                    break               # re-init (outer loop)
+                if code == eoi:
+                    return bytes(out)
+                if prev is None:
+                    entry = table[code]
+                else:
+                    entry = (table[code] if code in table
+                             else prev + prev[:1])
+                out += entry
+                if prev is not None and next_code < _GIF_MAX_CODE:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+
+    rng = np.random.default_rng(23)
+    for mcs in (2, 4, 8):
+        for trial in range(6):
+            n = int(rng.integers(1, 9000))
+            if trial % 3 == 0:
+                idx = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+            elif trial % 3 == 1:   # runs: LZW's best case, long chains
+                idx = np.repeat(rng.integers(0, 1 << mcs, max(1, n // 20)),
+                                20)[:n].astype(np.uint8)
+            else:                  # cycling pattern: grows deep chains
+                idx = (np.arange(n) % (1 << mcs)).astype(np.uint8)
+            payload = _lzw_encode(bytes(idx), mcs)
+            want = bytes(idx)
+            assert naive_decode(payload, mcs) == want, (mcs, trial, "naive")
+            assert bytes(_lzw_decode(payload, mcs, len(want))) == want, \
+                (mcs, trial, "prod")
