@@ -1962,3 +1962,26 @@ def test_allpairs_output_is_blocking_independent(spark):
     pbase = pairs(8)
     assert len(pbase) > 0
     assert pairs(3) == pbase and pairs(None) == pbase
+
+
+def test_normalize_text_one_pass_equals_two_pass(spark):
+    """r11: normalize_text collapsed its strip + whitespace-collapse
+    regexes into ONE pass ([^a-z0-9]+ -> ' '); pin equivalence to the
+    original two-pass form on adversarial strings (mixed runs of
+    punctuation and spaces, unicode, leading/trailing junk, empties)."""
+    from pyspark.sql import functions as F
+
+    from pravega_flink_ai_flow_spark.ops import text as T
+
+    rows = [(0, "Hello,   World!!"), (1, "a  b"), (2, "a . b"),
+            (3, "--x--"), (4, ""), (5, "   "), (6, "...!?."),
+            (7, "Ünïcødé\tmix\n2024"), (8, "a-b_c.d e"),
+            (9, "UPPER lower 123"), (10, "x" * 500 + "!" * 500)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    two_pass = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("s")), r"[^a-z0-9 ]", " "),
+        r" +", " "))
+    got = df.select("i", T.normalize_text(F.col("s")).alias("a"),
+                    two_pass.alias("b")).collect()
+    for r in got:
+        assert r.a == r.b, (r.i, r.a, r.b)
