@@ -181,15 +181,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) the full 21-query r6-stale pad pool named above (s12-s19,
 #       m5/m6/m7, p9, t16-t21, u4/u6/u7) — after this window NOTHING
 #       in the corpus is older than r7;
-#   (c) padded to exactly 50 with the 19 name-ordered-first r7-stale
-#       greens (a6-a9+a16, the f_* scalar families, j10/j11). THREE
-#       late (a) additions took the last pad slots as plans changed
-#       mid-round: l3_allpairs_topk + l3_cosine_near_dup (auto
-#       n_blocks rule; t16, the third consumer, was already in (b))
-#       and l4_text_normalize (one-pass regex re-plan, measured
-#       50.9 s → 1.8 s at sf10). The 28 r7 leftovers (j1/j2/j3, j12,
-#       j15, the j4-j9 block, l1/l2/l3 core, m2/m3, o1-o3, p1-p3,
-#       l4_pmi_collocations) are the ROUND 12 pad pool.
+#   (c) padded to exactly 50 with the 17 name-ordered-first r7-stale
+#       greens (a6-a9+a16, the f_* scalar families). FIVE late (a)
+#       additions took the last pad slots as plans changed mid-round:
+#       l3_allpairs_topk + l3_cosine_near_dup (auto n_blocks rule;
+#       t16, the third consumer, was already in (b)),
+#       l4_text_normalize (one-pass regex re-plan, measured 50.9 s →
+#       1.8 s at sf10), and l4_quality_features + l4_quality_filter
+#       (the shared punct_ratio got the same run-pattern fix). The 30
+#       r7 leftovers (the whole j-block incl. j10/j11, l1/l2/l3 core,
+#       m2/m3, o1-o3, p1-p3, l4_pmi_collocations) are the ROUND 12
+#       pad pool.
 _PROMOTED = frozenset({
     # (a) plan/implementation changed in round 11 (+ the new query,
     # entering the gate at birth)
@@ -205,16 +207,17 @@ _PROMOTED = frozenset({
     "t17_per_key_trend", "t18_gap_detection", "t19_anomaly_zscore",
     "t20_ewma_smooth", "t21_session_paths", "u4_except",
     "u6_merge_upsert", "u7_scd2_history",
-    # (c) last driver record r7 (name-ordered first 19 — see the
-    #     header comment; the other 28 r7 greens are the round-12 pad
+    # (c) last driver record r7 (name-ordered first 17 — see the
+    #     header comment; the other 30 r7 greens are the round-12 pad
     #     pool)
     "a16_equidepth_histogram", "a6_positional_aggs", "a7_stats",
     "a8_having", "a9_pivot", "f_array", "f_bitwise", "f_cast",
     "f_conditional", "f_datetime", "f_explode_wordcount", "f_json",
     "f_map", "f_math", "f_pandas_udf_normalize", "f_string",
-    "f_vector_dot", "j10_interval_join_batch", "j11_salted_skew_join",
+    "f_vector_dot",
     # (a, late) plan-changed mid-round — see the header comment
     "l3_allpairs_topk", "l3_cosine_near_dup", "l4_text_normalize",
+    "l4_quality_features", "l4_quality_filter",
 })
 
 

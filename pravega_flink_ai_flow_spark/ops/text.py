@@ -44,7 +44,12 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]]", ""))
+    # run pattern, not per-char: with an EMPTY replacement, deleting
+    # maximal non-punct RUNS leaves the identical punct-only string,
+    # and regexp_replace wall is dominated by replacement-cycle count
+    # (the normalize_text 28× lesson, r11); the oracle keeps the
+    # per-char form — same output either way
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]]+", ""))
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 
