@@ -295,8 +295,13 @@ def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               f"'{db_dir}'")
     # table names carry the scale-factor tag: one pytest session runs
     # several sf_dirs, and a cached table from another SF would
-    # silently answer for the wrong dataset
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # silently answer for the wrong dataset. Sanitize EVERY
+    # non-identifier char, not just "." — the bench layout dirs carry
+    # a hyphenated version prefix (v2-sf1) that broke the unquoted
+    # table name (r11).
+    import re
+    tag = re.sub(r"[^A-Za-z0-9_]", "_",
+                 os.path.basename(sf_dir.rstrip("/")))
     ob_name, lb_name = f"orders_b_{tag}", f"lineitem_b_{tag}"
     for name, df, key in ((ob_name,
                            orders.select("o_orderkey", "o_totalprice"),
