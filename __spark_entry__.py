@@ -167,7 +167,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r10 (recomputed from the artifacts): 50 @ r10, 42 @ r9, 47 @ r8,
 # 47 @ r7, 21 @ r6 — nothing older, 0 never-recorded.
 #
-# ROUND 11 (this round): no r10 reds to re-prove, so `_PROMOTED` =
+# ROUND 11: no r10 reds to re-prove, so `_PROMOTED` =
 #   (a) the queries whose DECLARED PLAN or shared implementation
 #       changed this round, so their prior greens no longer cover the
 #       shipped code: l2_containment_pairs + l2_incremental_dedup +
@@ -192,32 +192,53 @@ def entry(spark: SparkSession) -> DataFrame:
 #       r7 leftovers (the whole j-block incl. j10/j11, l1/l2/l3 core,
 #       m2/m3, o1-o3, p1-p3, l4_pmi_collocations) are the ROUND 12
 #       pad pool.
+# ROUND 11 recorded its window clean: 50/50 green (48 hash + 2 rows-
+# only-by-design), 0 red (CORRECTNESS_r11). Staleness census after r11:
+# 50 @ r11, 45 @ r10, 37 @ r9, 46 @ r8, 30 @ r7 — nothing older,
+# 0 never-recorded.
+#
+# ROUND 12 (this round): no r11 reds to re-prove, so `_PROMOTED` =
+#   (a) the 4 NEW pinned-artifact scoring twins (entering the gate at
+#       birth per the runbook): m4b/m5b/m6b (frozen ridge/softmax/PCA
+#       weights — the r11 verdict's #1 ask: hash-checkable twins for
+#       the rows-only iterative trainers) and l3b_ivf_pinned_topk
+#       (frozen k-means IVF quantizer probe); plus l3_cosine_near_dup,
+#       whose DECLARED OUTPUT changed this round (r11 advice #1: the
+#       blocked near-dup scorer now decides and emits from the
+#       shape-independent _pair_dots re-score, so emitted cosines moved
+#       in the last ulp and the r11 green no longer covers shipped
+#       code);
+#   (b) the full 30-query r7-stale pool named above (j-block incl.
+#       j10/j11, l1/l2/l3 core, m2/m3, o1-o3, p1-p3,
+#       l4_pmi_collocations) — after this window NOTHING in the corpus
+#       is older than r8. Exactly ONE is rows-only by design
+#       (l2_simhash_pairs: xxhash64 signature has no SQL equivalent),
+#       so the window records ≥49 hash-green + ≤1 no_oracle;
+#   (c) padded to exactly 50 with the 15 name-ordered-first r8-stale
+#       greens. The 31 r8 leftovers (tpch_q14-q22 block, u-block,
+#       w-block, t3/t4/t7 …) are the ROUND 13 pad pool.
 _PROMOTED = frozenset({
-    # (a) plan/implementation changed in round 11 (+ the new query,
-    # entering the gate at birth)
-    "l2_containment_pairs", "l2_incremental_dedup",
-    "l2_ngram_jaccard_pairs", "l6_sequence_packing",
-    "l6_pretrain_pipeline", "l5_mixed_codec_decode", "l5_gif_decode",
-    # (b) last driver record r6 — the whole leftover pool
-    "m5_softmax_predict", "m6_pca_project", "m7_naive_bayes_predict",
-    "p9_hash_sample_per_group", "s12_jsonl_roundtrip",
-    "s13_partitioned_pruned_scan", "s14_bucketed_colocated_join",
-    "s15_table_profile", "s16_zorder_key", "s17_schema_evolution",
-    "s18_permissive_csv", "s19_compaction", "t16_user_similarity_topk",
-    "t17_per_key_trend", "t18_gap_detection", "t19_anomaly_zscore",
-    "t20_ewma_smooth", "t21_session_paths", "u4_except",
-    "u6_merge_upsert", "u7_scd2_history",
-    # (c) last driver record r7 (name-ordered first 17 — see the
-    #     header comment; the other 30 r7 greens are the round-12 pad
-    #     pool)
-    "a16_equidepth_histogram", "a6_positional_aggs", "a7_stats",
-    "a8_having", "a9_pivot", "f_array", "f_bitwise", "f_cast",
-    "f_conditional", "f_datetime", "f_explode_wordcount", "f_json",
-    "f_map", "f_math", "f_pandas_udf_normalize", "f_string",
-    "f_vector_dot",
-    # (a, late) plan-changed mid-round — see the header comment
-    "l3_allpairs_topk", "l3_cosine_near_dup", "l4_text_normalize",
-    "l4_quality_features", "l4_quality_filter",
+    # (a) new pinned-artifact twins + the re-scored near-dup plan
+    "m4b_ridge_score_pinned", "m5b_softmax_score_pinned",
+    "m6b_pca_project_pinned", "l3b_ivf_pinned_topk",
+    "l3_cosine_near_dup",
+    # (b) last driver record r7 — the whole leftover pool
+    "j10_interval_join_batch", "j11_salted_skew_join",
+    "j12_null_safe_join", "j15_recursive_hierarchy", "j1_inner_join",
+    "j2_broadcast_dim_join", "j3_large_large_join", "j4_full_outer_join",
+    "j4_outer_join", "j5_semi_join", "j6_anti_join", "j7_cross_join",
+    "j8_band_join", "j9_asof_join", "l1_exact_dedup",
+    "l2_dedup_clusters", "l2_dedup_keep", "l2_edit_distance_pairs",
+    "l2_minhash_lsh_pairs", "l2_simhash_pairs", "l3_brute_force_topk",
+    "l4_pmi_collocations", "m2_knn_predict", "m3_model_accuracy",
+    "o1_multi_key_sort", "o2_top_n", "o3_topk_per_group",
+    "p1_expression_select", "p2_identity_stage", "p3_column_split",
+    # (c) last driver record r8 (name-ordered first 15)
+    "l3_filtered_topk", "l4_bm25_search", "l4_feature_hashing",
+    "l6_dup_span_removal", "l6_duplicate_spans", "l6_train_test_split",
+    "m8_confusion_matrix", "p4_filter_predicates", "p5_case_when",
+    "t3_tumbling_window", "t4_sliding_window", "t7_dedup_by_key",
+    "tpch_q10", "tpch_q11", "tpch_q13",
 })
 
 

@@ -57,8 +57,12 @@ def normalize_layout(sf_dir: str) -> str:
     16-wide at every tier — that floor was the whole 8-9× "super-
     linear-ish" tail of BENCH_sf10 (tpch_q5, j9_asof_join: stages
     stalled at exactly 16 running tasks). 8 MB matches BENCH_CONF's
-    ``maxPartitionBytes`` so one group ≈ one split; small tables keep a
-    16-group floor (the measured sf0.1 layout). Rewrite cost ~2 s,
+    ``maxPartitionBytes`` so one group ≈ one split; the 16384-row MINIMUM
+    group size keeps tiny tables from shattering into hundreds of
+    groups — so tables under ~262 k rows get FEWER than 16 groups
+    (100 k rows → ~6; fine, they were never scan-bound. The r11 advice
+    corrected this sentence: the expression never enforced the
+    "16-group floor" it used to claim). Rewrite cost ~2 s,
     cached across runs by source mtime; the version prefix invalidates
     layouts written by the old rule."""
     try:

@@ -114,7 +114,12 @@ def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB path where exact distinct
-    would shuffle every key. rsd=0.01 keeps error ≈1%."""
+    would shuffle every key. rsd=0.01 keeps error ≈1%.
+
+    No oracle CAN exist: Spark's HLL++ and DuckDB's approx_distinct
+    use different sketch layouts and hash functions, so their
+    estimates legitimately differ — rows-only by design; pytest
+    bounds the estimate against the exact distinct count."""
     (li,) = tables(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
@@ -422,7 +427,10 @@ def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the Greenwald-Khanna sketch
     (percentile_approx) — the mergeable-summary path that replaces exact
     percentile's full sort at 100 TB; accuracy bound set by the third
-    argument (10000 → ~0.01% rank error)."""
+    argument (10000 → ~0.01% rank error). No oracle CAN exist: DuckDB's
+    approx_quantile is a t-digest — a different sketch with different
+    (legitimate) answers — rows-only by design; pytest bounds the
+    rank error against the exact percentile."""
     (li,) = tables(spark, sf_dir, "lineitem")
     q = (li.groupBy("l_returnflag")
          .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
@@ -454,7 +462,10 @@ def a14_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw data again — exactly how a 1000-shard pipeline maintains
     per-shard and corpus-wide cardinalities from one pass. Uses Spark's
     Apache DataSketches HLL functions (hll_sketch_agg / hll_union_agg /
-    hll_sketch_estimate)."""
+    hll_sketch_estimate). No oracle CAN exist: the DataSketches binary
+    sketch format and its estimator are Spark-side artifacts with no
+    DuckDB equivalent — rows-only by design; pytest checks the
+    merged estimate against exact counts."""
     (events,) = tables(spark, sf_dir, "events")
     sketches = (events.groupBy("event_type")
                 .agg(F.hll_sketch_agg("user_id").alias("__sk")))

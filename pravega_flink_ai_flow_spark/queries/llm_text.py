@@ -924,7 +924,15 @@ def l6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality labels — the pipeline SHAPE (featurize → train → score →
     filter) is the deliverable, and it is what runs unchanged at
     100 TB: featurization and scoring are map-only, training moves only
-    (dim+1)×2 gradient doubles per partition per epoch."""
+    (dim+1)×2 gradient doubles per partition per epoch.
+
+    Rows-only by necessity TWICE over: GD training is iterative, and
+    the xxhash64 bucket featurizer has no DuckDB equivalent — so
+    even a pinned-weights scoring twin has no SQL oracle (the hash
+    function, not the model, is the blocker; m5b_softmax_score_pinned
+    hash-checks the identical pinned-softmax-scoring arithmetic on
+    SQL-expressible features). pytest asserts the featurizer is
+    deterministic and the pipeline learns well above chance."""
     from ..ml.softmax import fit_softmax_distributed
     from ..ops.text import hashed_bow_features
 
@@ -1108,7 +1116,14 @@ def l4_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bounded dict (guarded collect, explicit head-truncation past
     the ceiling — ops/bpe.py) and broadcast into one Arrow encode pass.
     Output fingerprints each doc's piece stream (sha256) so the
-    tokenization itself is regression-hashable without array columns."""
+    tokenization itself is regression-hashable without array columns.
+
+    Rows-only by necessity at BOTH halves: merge learning is an
+    inherently sequential greedy loop, and even APPLYING a pinned
+    merge table is per-word iterative pair rewriting — neither is
+    expressible in non-recursive SQL, so no pinned-artifact twin can
+    exist either (unlike m4/m5/m6, whose scoring is linear algebra).
+    pytest pins the learned merges and the encoded pieces exactly."""
     from ..ops import bpe
 
     (docs,) = tables(spark, sf_dir, "documents")

@@ -219,7 +219,9 @@ def m4_ridge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's collect-and-fit sklearn path this holds at 100 TB:
     zero shuffles, statistics reduce like any partial aggregate.
     Predictions for the held-out split come from the coefficient vector
-    embedded as a plan literal."""
+    embedded as a plan literal. Rows-only by necessity (the Gram solve
+    is not SQL-expressible); the SCORING half is hash-checked by the
+    frozen-weights twin m4b_ridge_score_pinned."""
     from ..ml.linear import fit_ridge_distributed
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -256,7 +258,10 @@ def m5_softmax_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Prediction for the held-out split stays JVM-side: the fitted
     weights embed as plan literals, per-class logits are ``zip_with``
-    dot products, argmax via ``array_position(·, array_max(·))``."""
+    dot products, argmax via ``array_position(·, array_max(·))``.
+    Rows-only by necessity (iterative GD is not SQL-expressible); the
+    SCORING half is hash-checked by the frozen-weights twin
+    m5b_softmax_score_pinned."""
     from ..ml.softmax import fit_softmax_distributed
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -301,7 +306,10 @@ def m6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles or collects), driver-side eigh of the 64×64 covariance,
     then a closure-broadcast GEMM projection onto the top-2 components
     — the standard embedding-column preprocessing step (visualization,
-    whitening, IVF coarse quantizer input) at its 100 TB shape."""
+    whitening, IVF coarse quantizer input) at its 100 TB shape.
+    Rows-only by necessity (eigh of the covariance is not
+    SQL-expressible); the PROJECTION half is hash-checked by the
+    frozen-components twin m6b_pca_project_pinned."""
     from ..ml.pca import fit_pca_distributed, pca_project
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -487,6 +495,170 @@ def m8_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(diag, F.col("n") / F.col("n_actual"))
                      .alias("recall_contrib"))
             .orderBy("true_label", "pred_label"))
+
+
+# ---------------------------------------------------------------------------
+# Pinned-weights scoring twins (VERDICT r11 #1). The m4/m5/m6 TRAINERS are
+# rows-only by necessity (closed-form solve / iterative GD / eigh are not
+# SQL-expressible), which the driver gate records as `err: no_oracle` —
+# indistinguishable from broken in the hard signal. These twins split the
+# concern the way m7_naive_bayes does: training stays pytest-equal to
+# numpy, while SCORING with a frozen weight artifact (ml/pinned.py, the
+# registry-DEPLOYED model role — reference proc:168-198 promotes a frozen
+# model into serving the same way) is a pure declarative plan that DuckDB
+# can hash-check. Both engines parse the identical 6-decimal weight
+# literals to identical doubles, and both fold dot products as sequential
+# left folds (probed: [1e16,1,-1e16]·[1,1,1] = 0.0 in BOTH Spark
+# F.aggregate and DuckDB list_dot_product); emitted scores are rounded to
+# 6 dp because a dot product is an order-dependent accumulation
+# (CLAUDE.md rounding rule).
+# ---------------------------------------------------------------------------
+
+def _pinned_dot(vec_col, weights) -> "F.Column":
+    """Sequential-left-fold dot(CAST(vec AS double[]), literal weights) —
+    the exact arithmetic chain of DuckDB's list_dot_product."""
+    coef = F.array(*[F.lit(float(c)) for c in weights])
+    return F.aggregate(
+        F.zip_with(vec_col, coef, lambda v, c: v.cast("double") * c),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pinned():
+    from ..ml import pinned
+    return pinned
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _m4b_oracle() -> str:
+    p = _pinned()
+    return f"""
+    SELECT vec_id, label AS true_label,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  {_sql_list(p.RIDGE_COEF)})
+                 + {p.RIDGE_INTERCEPT!r}, 6) AS pred_score
+    FROM embeddings WHERE vec_id < {_SPLIT} ORDER BY vec_id
+    """
+
+
+@declared(
+    "m4b_ridge_score_pinned",
+    oracle=_m4b_oracle(),
+    survey_ids=("M2", "M4", "F6"),
+)
+def m4b_ridge_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge SCORING with the frozen deployed coefficients
+    (ml/pinned.py): one zip_with fold per row over the test split —
+    hash-checkable twin of the rows-only m4 trainer. The 100 TB shape is
+    the same as m4's scoring half: weights ride the plan as literals,
+    zero shuffles, the scan streams once."""
+    p = _pinned()
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    pred = _pinned_dot(F.col("embedding"), p.RIDGE_COEF) \
+        + F.lit(float(p.RIDGE_INTERCEPT))
+    return (emb.filter(F.col("vec_id") < _SPLIT)
+            .select("vec_id", F.col("label").alias("true_label"),
+                    F.round(pred, 6).alias("pred_score"))
+            .orderBy("vec_id"))
+
+
+def _m5b_oracle() -> str:
+    p = _pinned()
+    logits = ", ".join(
+        f"ROUND(list_dot_product(v, {_sql_list(p.SOFTMAX_W[c])})"
+        f" + {p.SOFTMAX_B[c]!r}, 6)"
+        for c in range(len(p.SOFTMAX_W)))
+    return f"""
+    WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < {_SPLIT}),
+    l AS (SELECT vec_id, label, [{logits}] AS logits FROM t)
+    SELECT vec_id, label AS true_label,
+           CAST(list_position(logits, list_aggregate(logits, 'max')) - 1
+                AS INTEGER) AS pred_label
+    FROM l ORDER BY vec_id
+    """
+
+
+@declared(
+    "m5b_softmax_score_pinned",
+    oracle=_m5b_oracle(),
+    survey_ids=("M2", "M4", "F6"),
+)
+def m5b_softmax_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Softmax SCORING with the frozen deployed weight matrix: per-class
+    logits as zip_with folds, argmax via first-occurrence-of-max over the
+    6-dp-rounded logit array (ties break to the lowest class index in
+    BOTH engines: array_position and list_position are first-match) —
+    hash-checkable twin of the rows-only m5 trainer."""
+    p = _pinned()
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    logits = F.array(*[
+        F.round(_pinned_dot(F.col("embedding"), p.SOFTMAX_W[c])
+                + F.lit(float(p.SOFTMAX_B[c])), 6)
+        for c in range(len(p.SOFTMAX_W))])
+    pred = (F.array_position(logits, F.array_max(logits)) - 1).cast("int")
+    return (emb.filter(F.col("vec_id") < _SPLIT)
+            .select("vec_id", F.col("label").alias("true_label"),
+                    pred.alias("pred_label"))
+            .orderBy("vec_id"))
+
+
+def _m6b_oracle() -> str:
+    p = _pinned()
+    cols = ", ".join(
+        f"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_sql_list(p.PCA_COMPONENTS[i])}) - {p.PCA_PROJ_OFFSET[i]!r}, 6)"
+        f" AS pc{i + 1}"
+        for i in range(len(p.PCA_COMPONENTS)))
+    return f"SELECT vec_id, {cols} FROM embeddings ORDER BY vec_id"
+
+
+@declared(
+    "m6b_pca_project_pinned",
+    oracle=_m6b_oracle(),
+    survey_ids=("M1", "F6", "L3"),
+)
+def m6b_pca_project_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection with the frozen component matrix — hash-checkable
+    twin of the rows-only m6 fit+project. Mean-centering folds into a
+    constant ((x-m)@c = x@c - m@c, offsets precomputed FROM the rounded
+    literals in the generator), so both engines evaluate the same
+    literal chain. The projection runs over the FULL corpus, so unlike
+    the 100-row m4b/m5b test-split scorers the per-row×per-dim work
+    goes through one numpy GEMM per Arrow batch (CLAUDE.md mapInArrow
+    rule), not an interpreted zip_with fold; the GEMM's blocked
+    accumulation can differ from the oracle's sequential fold in the
+    last ulp, which the shared 6-dp round absorbs."""
+    import numpy as np
+    import pyarrow as pa
+
+    p = _pinned()
+    comp = np.asarray(p.PCA_COMPONENTS, dtype=np.float64)
+    off = np.asarray(p.PCA_PROJ_OFFSET, dtype=np.float64)
+    k = len(comp)
+    names = [f"pc{i + 1}" for i in range(k)]
+    out_schema = "vec_id long, " + ", ".join(f"{c} double" for c in names)
+
+    def project(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1).astype(np.float64, copy=False)
+            P = np.round(X @ comp.T - off, 6)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64())]
+                + [pa.array(P[:, i], pa.float64()) for i in range(k)],
+                names=["vec_id", *names])
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return (emb.select("vec_id", "embedding")
+            .mapInArrow(project, out_schema)
+            .orderBy("vec_id"))
 
 
 @declared(

@@ -1929,9 +1929,10 @@ def test_allpairs_output_is_blocking_independent(spark):
     shape-independent _pair_dots pass, so the OUTPUT must be
     bit-identical under any block count — the property that makes the
     auto n_blocks rule a pure memory fix, never an answer change.
-    cosine_near_dup_pairs_blocked is threshold-gated on in-GEMM scores;
-    away from the threshold boundary its pair set is likewise
-    blocking-independent."""
+    cosine_near_dup_pairs_blocked gates AND emits from the same
+    _pair_dots re-score since the r11-advice fix, so its output —
+    emitted cosines included, unrounded — is held to the same
+    bit-equality bar."""
     import numpy as np
 
     from pravega_flink_ai_flow_spark.ops import similarity
@@ -1956,8 +1957,9 @@ def test_allpairs_output_is_blocking_independent(spark):
         out = similarity.cosine_near_dup_pairs_blocked(
             df, id_col="vec_id", vec_col="embedding", threshold=0.5,
             n_blocks=nb)
-        return sorted((r.id_a, r.id_b, round(r.cosine, 9))
-                      for r in out.collect())
+        # UNROUNDED cosines: the _pair_dots re-score must make even the
+        # emitted doubles bit-identical across block shapes
+        return sorted(tuple(r) for r in out.collect())
 
     pbase = pairs(8)
     assert len(pbase) > 0

@@ -27,24 +27,33 @@ TARGET = "l2_incremental_dedup"
 
 
 def _storage_stats(spark) -> dict:
-    sc = spark.sparkContext
-    jsc = sc._jsc.sc()
-    rdds = jsc.getPersistentRDDs()
-    n_cached = rdds.size()
-    # executor memory status: used storage across block managers
-    mem = jsc.getExecutorMemoryStatus()
-    it = mem.iterator()
-    total_remaining = 0
-    total_max = 0
-    while it.hasNext():
-        kv = it.next()
-        total_max += kv._2()._1()
-        total_remaining += kv._2()._2()
-    return {
-        "cached_rdds": n_cached,
-        "storage_used_mb": round((total_max - total_remaining) / 2**20, 1),
-        "storage_max_mb": round(total_max / 2**20, 1),
-    }
+    """Best-effort storage snapshot. Reaches through py4j internals
+    (getExecutorMemoryStatus, Tuple2 accessors) that are NOT public
+    PySpark API and can vanish on a Spark upgrade — degrade to {}
+    rather than abort a profiling run after its expensive prefix sweep
+    (r11 advice)."""
+    try:
+        sc = spark.sparkContext
+        jsc = sc._jsc.sc()
+        rdds = jsc.getPersistentRDDs()
+        n_cached = rdds.size()
+        # executor memory status: used storage across block managers
+        mem = jsc.getExecutorMemoryStatus()
+        it = mem.iterator()
+        total_remaining = 0
+        total_max = 0
+        while it.hasNext():
+            kv = it.next()
+            total_max += kv._2()._1()
+            total_remaining += kv._2()._2()
+        return {
+            "cached_rdds": n_cached,
+            "storage_used_mb": round((total_max - total_remaining) / 2**20,
+                                     1),
+            "storage_max_mb": round(total_max / 2**20, 1),
+        }
+    except Exception:
+        return {}
 
 
 def _time_query(fn, spark, sf_dir, runs=3) -> list[float]:
