@@ -235,17 +235,31 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     crash mid-append re-writes only the rows its previous attempt did
     not land — including the crash-between-the-two-appends case, where
     the store filter drops the already-written signatures while the
-    bands filter still writes the missing bucket rows. The guard costs
-    one id-column scan of each target per batch (columnar, co-located
-    under the s14 ``id`` / ``band_sig`` bucketing at scale); a
-    transactional table format (Delta/Iceberg MERGE) is the production
-    swap-in that makes it free. ``out_table`` output remains
-    at-least-once — dedupe downstream by id if it feeds a corpus.
+    bands filter still writes the missing bucket rows. The anti-join
+    scans run ONLY on retry (r11 verdict #3 — they were ~1-2 s of the
+    measured 3-6 s per-batch FIXED cost): a ``_commits/batch-<id>``
+    attempt marker is written before the first append, so a batch whose
+    marker is absent is provably a first attempt whose rows cannot be
+    in either target, and both filters are skipped. A marker present
+    (crash after marker, before/inside the appends) → the full
+    anti-join path. The marker rides inside ``store_dir`` (underscore
+    -prefixed → invisible to parquet readers) so it lives and dies with
+    the store; a store WITHOUT a commits dir (built by other tooling)
+    is treated as unknown provenance and always takes the filter path.
+    The retry-path scans stay columnar and co-located under the s14
+    ``id`` / ``band_sig`` bucketing at scale; a transactional table
+    format (Delta/Iceberg MERGE) is the production swap-in that makes
+    all of this free. ``out_table`` output remains at-least-once —
+    dedupe downstream by id if it feeds a corpus. Cross-RUN id reuse
+    (same id, different text, fresh checkpoint into an existing store)
+    is out of scope exactly as before: the guard targets checkpoint
+    retry, not store-level id uniqueness.
     """
     import os
     from ..ops import dedup
 
     bands_dir = store_dir.rstrip("/") + "_bands"
+    commits_dir = os.path.join(store_dir, "_commits")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -253,6 +267,12 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         sigs = dedup.minhash_signatures_from_arrays(arrs, num_hashes)
         new = (arrs.join(sigs, "id")
                .select("id", "shingles", "sig").persist())
+        # band the batch ONCE (r11 verdict #3): the within-batch
+        # self-join, the store probe and the bands append all feed from
+        # this persisted table — the old shape re-banded the batch for
+        # each of the three consumers, pure per-batch fixed cost
+        batch_bands = dedup.lsh_band_table(
+            new.select("id", "sig"), num_hashes, bands).persist()
 
         def _has_parquet(d: str) -> bool:
             return os.path.isdir(d) and any(
@@ -260,8 +280,7 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
 
         store_exists = _has_parquet(store_dir)
         # within-batch candidates: batch-sized self-join (id_a < id_b)
-        cands = (dedup.lsh_candidate_pairs(new.select("id", "sig"),
-                                           num_hashes, bands)
+        cands = (dedup.lsh_candidate_pairs_from_bands(batch_bands)
                  .select("id_a", "id_b", F.lit(False).alias("__ob")))
         sh_old = None
         if store_exists:
@@ -279,9 +298,8 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                     spark.read.parquet(store_dir).select("id", "sig"),
                     num_hashes, bands, out_id="id_corpus") \
                     .write.mode("append").parquet(bands_dir)
-            probe = dedup.lsh_probe_banded(
-                new.select("id", "sig"), spark.read.parquet(bands_dir),
-                num_hashes, bands)
+            probe = dedup.lsh_probe_from_bands(
+                batch_bands, spark.read.parquet(bands_dir), id_col="id")
             cands = cands.unionByName(
                 probe.select(F.col("id_new").alias("id_a"),
                              F.col("id_corpus").alias("id_b"),
@@ -319,9 +337,29 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         # retry would permanently skip the missing bands — silent
         # candidate-recall loss, worse than the duplicate rows the
         # old at-least-once behavior allowed.
+        #
+        # Retry detection (r11 verdict #3): a first attempt — no
+        # attempt marker for this batch_id, and the store either
+        # doesn't exist yet or carries our commits dir — cannot have
+        # rows in either target, so both filters short-circuit and the
+        # two target scans disappear from the common path.
+        marker = os.path.join(commits_dir, f"batch-{batch_id}")
+        foreign = os.path.join(commits_dir, "FOREIGN")
+        if store_exists and not os.path.isdir(commits_dir):
+            # store built by other tooling: record that STICKILY so
+            # every later batch keeps the filter path too, not just
+            # this one
+            os.makedirs(commits_dir, exist_ok=True)
+            with open(foreign, "w"):
+                pass
+        is_retry = os.path.exists(marker) or os.path.exists(foreign)
+        os.makedirs(commits_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass   # marker lands BEFORE any append
+
         def _not_yet_in(df: DataFrame, target: str,
                         keys: list[str]) -> DataFrame:
-            if not _has_parquet(target):
+            if not is_retry or not _has_parquet(target):
                 return df
             return df.join(spark.read.parquet(target).select(*keys),
                            keys, "left_anti")
@@ -329,9 +367,10 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         _not_yet_in(survivors, store_dir, ["id"]) \
             .select("id", "shingles", "sig") \
             .write.mode("append").parquet(store_dir)
-        band_rows = dedup.lsh_band_table(survivors.select("id", "sig"),
-                                         num_hashes, bands,
-                                         out_id="id_corpus")
+        band_rows = (batch_bands
+                     .join(survivors.select("id"), "id", "left_semi")
+                     .select(F.col("id").alias("id_corpus"),
+                             "band_id", "band_sig"))
         _not_yet_in(band_rows, bands_dir, ["id_corpus", "band_id"]) \
             .write.mode("append").parquet(bands_dir)
         if out_table is not None:
@@ -339,6 +378,7 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                 survivors.select(F.col("id").alias(id_col)), id_col, "left_semi")
             kept.write.mode("append").saveAsTable(out_table)
         survivors.unpersist()
+        batch_bands.unpersist()
         new.unpersist()
 
     return (stream_df.writeStream

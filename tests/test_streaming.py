@@ -452,6 +452,10 @@ def test_streaming_near_dedup_heals_mid_append_crash(spark, tmp_workdir):
     sigs = dedup.minhash_signatures_from_arrays(arrs, 64)
     (arrs.join(sigs, "id").select("id", "shingles", "sig")
      .write.mode("append").parquet(store))
+    # a real crashed attempt writes its _commits marker BEFORE any
+    # append (r12: first attempts skip the anti-join scans entirely, so
+    # the marker is what routes the retry onto the filter path)
+    open(os.path.join(store, "_commits", "batch-1"), "w").close()
     assert {r.id_corpus for r in spark.read.parquet(store + "_bands")
             .select("id_corpus").distinct().collect()} == {1}
 
@@ -501,6 +505,7 @@ def test_streaming_near_dedup_heals_torn_partial_bands(spark, tmp_workdir):
     sigs = dedup.minhash_signatures_from_arrays(arrs, 64)
     (arrs.join(sigs, "id").select("id", "shingles", "sig")
      .write.mode("append").parquet(store))
+    open(os.path.join(store, "_commits", "batch-1"), "w").close()
     partial = dedup.lsh_band_table(sigs, 64, 16, out_id="id_corpus") \
         .filter(F.col("band_id") < 8)
     partial.write.mode("append").parquet(store + "_bands")
@@ -522,6 +527,55 @@ def test_streaming_near_dedup_heals_torn_partial_bands(spark, tmp_workdir):
     assert (bands.count()
             == bands.dropDuplicates(["id_corpus", "band_id"]).count())
     assert spark.read.parquet(store).count() == 2       # store row not duped
+
+
+def test_streaming_near_dedup_foreign_store_stays_filtered(spark,
+                                                           tmp_workdir):
+    """r12: first attempts skip the idempotency anti-joins via the
+    _commits attempt marker — but a store built by OTHER tooling has no
+    commits dir, so its id inventory is unknown. The FOREIGN sentinel
+    must make the filter path sticky for every batch of the run: an id
+    already in the foreign store is never re-appended (even with
+    different text), and genuinely new ids still land exactly once."""
+    from pravega_flink_ai_flow_spark.ops import dedup
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    # foreign store: id 2 with text A, full band set, NO _commits dir
+    d_a = "the quick brown fox jumps over the lazy dog in the morning"
+    ext = spark.createDataFrame([(2, d_a)], doc_schema)
+    arrs = dedup.shingle_arrays(ext, "doc_id", "text")
+    sigs = dedup.minhash_signatures_from_arrays(arrs, 64)
+    (arrs.join(sigs, "id").select("id", "shingles", "sig")
+     .write.mode("append").parquet(store))
+    dedup.lsh_band_table(sigs, 64, 16, out_id="id_corpus") \
+        .write.mode("append").parquet(store + "_bands")
+
+    # batch 0: id 2 again with UNRELATED text (no near-dup suppression)
+    d_b = "completely unrelated text about query engines and shuffles"
+    stream.append(spark.createDataFrame([(2, d_b)], doc_schema))
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+    assert os.path.exists(os.path.join(store, "_commits", "FOREIGN"))
+    assert spark.read.parquet(store).filter(F.col("id") == 2).count() == 1
+
+    # batch 1: a new id lands exactly once despite the sticky filter
+    d_c = "third document mentioning streaming joins and watermarks now"
+    stream.append(spark.createDataFrame([(3, d_c)], doc_schema))
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+    rows = spark.read.parquet(store)
+    assert rows.count() == 2
+    assert {r.id for r in rows.select("id").collect()} == {2, 3}
 
 
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):

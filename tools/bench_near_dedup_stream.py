@@ -30,13 +30,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Sustained floor for the 10-micro-batch drain: measured ~154 rows/s
-# quiet (500-doc batches; the ~3 s/batch is FIXED micro-batch cost —
-# plan + ~10 jobs + two idempotency scans + two parquet appends — not
-# per-row work: the big-batch arm below and the flat last-vs-first
-# batch duration prove it). The floor catches an order-of-magnitude
-# regression, not run-to-run noise.
-FLOOR_ROWS_PER_SEC = 60
+# Sustained floor for the 10-micro-batch drain: measured ~205 rows/s
+# quiet after the r12 fixed-cost compression (500-doc batches; the
+# ~2.4 s/batch is FIXED micro-batch cost — plan + ~8 jobs + one
+# banding pass + two parquet appends; the idempotency scans now run
+# only on checkpoint retry — not per-row work: the big-batch arm below
+# and the flat last-vs-first batch duration prove it). The floor
+# catches an order-of-magnitude regression, not run-to-run noise.
+FLOOR_ROWS_PER_SEC = 120
 N_BATCHES = 10
 N_BATCHES_BIG = 2   # second arm: same rows, 2500-doc batches —
                     # rows/s scales with batch size when cost is
