@@ -491,6 +491,96 @@ def l5_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "l5_quarantine_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               doc_id % 7 <> 3 AS ok,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'gif' END AS codec,
+               CAST((n_chars % 3 + 1) * 8 AS INTEGER)      AS w,
+               CAST(((doc_id // 2) % 2 + 1) * 8 AS INTEGER) AS h
+        FROM documents
+    )
+    SELECT m.doc_id, m.ok, m.codec,
+           CASE WHEN m.ok THEN m.w END AS width,
+           CASE WHEN m.ok THEN m.h END AS height,
+           CASE WHEN m.ok THEN
+               (SELECT CAST(SUM(((m.doc_id * 41 + (x.r // 8) * 13
+                                  + (y.r // 8) * 29) % 256)
+                                * (y.r * m.w + x.r)) AS BIGINT)
+                FROM unnest(generate_series(0, m.w - 1)) x(r),
+                     unnest(generate_series(0, m.h - 1)) y(r))
+           END AS px_checksum
+    FROM m ORDER BY m.doc_id
+    """,
+    survey_ids=("L5", "S1", "F6"),
+)
+def l5_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s18 PERMISSIVE-quarantine pattern on the BINARY seam,
+    gate-proven (r11 verdict #5): every doc's payload is encoded like
+    l5_mixed_codec_decode (PNG/JPEG/GIF by doc_id % 3), but docs with
+    ``doc_id % 7 == 3`` are TRUNCATED to their first 25 bytes — a cut
+    inside the header/table region that every codec must reject. The
+    batch runs through ``ops.multimodal.decode_image_safe`` (the
+    quarantining wrapper fuzz-tested with 170+ mutated payloads in
+    tests/test_multimodal_fuzz.py): malformed rows come back as
+    dead letters (``ok=false``, NULL stats) instead of task failures,
+    decodable rows carry their exact pixel stats — both halves
+    hash-checked against the generating formula, so a quarantine leak
+    in EITHER direction (a bad row decoding, a good row dying) flips
+    the gate."""
+    from ..ops.jpeg import encode_jpeg
+    from ..ops.multimodal import decode_image_safe, encode_gif, encode_png
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "codec": [], "width": [],
+                   "height": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                bw = n_chars % 3 + 1
+                bh = (doc_id // 2) % 2 + 1
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = ((doc_id * 41 + bx * 13 + by * 29)
+                          % 256).astype(np.uint8)
+                px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                route = doc_id % 3
+                if route == 0:
+                    payload, codec = encode_png(px), "png"
+                elif route == 1:
+                    payload, codec = encode_jpeg(px, 100), "jpeg"
+                else:
+                    payload, codec = encode_gif(px), "gif"
+                if doc_id % 7 == 3:
+                    payload = payload[:25]
+                w, h, _c, arr, err = decode_image_safe(payload)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(err is None)
+                out["codec"].append(codec)
+                if err is None:
+                    flat = arr[:, :, 0].reshape(-1).astype(np.int64)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_checksum"].append(
+                        int((flat * np.arange(flat.size)).sum()))
+                else:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["px_checksum"].append(None)
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, ok boolean, codec string, width int, "
+             "height int, px_checksum long")
+        .orderBy("doc_id"))
+
+
+@declared(
     "l5_audio_decode",
     oracle="""
     WITH m AS (
