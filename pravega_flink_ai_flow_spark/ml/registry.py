@@ -508,6 +508,14 @@ class DocumentModelRegistry(ModelRegistry):
     def __init__(self, store: DocumentStore):
         super().__init__(path=None)
         self._store = store
+        # version allocation is a read-modify-write across TWO store ops
+        # (find max, then insert) — the store's own lock serializes each
+        # op but not the pair, so without this lock two in-process
+        # threads could both read max=N and both insert N+1 (caught by
+        # tests/test_registry_concurrency.py, r11 verdict #6). Cross-
+        # process allocation stays the store's documented contract
+        # (Mongo: counter document; file store: single-process writers).
+        self._alloc_lock = threading.Lock()
 
     def register_model(self, model_name: str, model_desc: str = "") -> ModelMeta:
         if not self._store.find("models", {"name": model_name}):
@@ -520,13 +528,14 @@ class DocumentModelRegistry(ModelRegistry):
 
     def register_model_version(self, model_name: str, model_path: str) -> ModelVersion:
         self.register_model(model_name)
-        existing = self._store.find("model_versions",
-                                    {"model_name": model_name})
-        version = max((d["version"] for d in existing), default=0) + 1
-        self._store.insert_one("model_versions", {
-            "model_name": model_name, "version": version,
-            "model_path": model_path,
-            "current_stage": ModelVersionStage.GENERATED})
+        with self._alloc_lock:
+            existing = self._store.find("model_versions",
+                                        {"model_name": model_name})
+            version = max((d["version"] for d in existing), default=0) + 1
+            self._store.insert_one("model_versions", {
+                "model_name": model_name, "version": version,
+                "model_path": model_path,
+                "current_stage": ModelVersionStage.GENERATED})
         mv = ModelVersion(model_name, version, model_path)
         self._emit(ModelEvent.MODEL_GENERATED, mv)
         return mv
