@@ -217,14 +217,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (c) padded to exactly 50 with the 14 name-ordered-first r8-stale
 #       greens (tpch_q13 returned to the pool when l5_quarantine_decode
 #       — the fuzz-backed s18-pattern binary-seam quarantine query —
-#       was born mid-round and took its slot per the runbook). The 32
-#       r8 leftovers (tpch_q13-q22 block, u-block, w-block, t3/t4/t7 …)
-#       are the ROUND 13 pad pool.
+#       was born mid-round and took its slot per the runbook; tpch_q11
+#       likewise returned when s14_bucketed_colocated_join re-entered —
+#       its bucket count now scales with data volume, the r11 verdict
+#       #2 fix, so the r11 green no longer covers the shipped write
+#       path). The 33 r8 leftovers (tpch_q11/q13-q22 block, u-block,
+#       w-block, t3/t4/t7 …) are the ROUND 13 pad pool.
 _PROMOTED = frozenset({
     # (a) new pinned-artifact twins + the re-scored near-dup plan
     "m4b_ridge_score_pinned", "m5b_softmax_score_pinned",
     "m6b_pca_project_pinned", "l3b_ivf_pinned_topk",
     "l3_cosine_near_dup", "l5_quarantine_decode",
+    "s14_bucketed_colocated_join",
     # (b) last driver record r7 — the whole leftover pool
     "j10_interval_join_batch", "j11_salted_skew_join",
     "j12_null_safe_join", "j15_recursive_hierarchy", "j1_inner_join",
@@ -241,7 +245,7 @@ _PROMOTED = frozenset({
     "l6_dup_span_removal", "l6_duplicate_spans", "l6_train_test_split",
     "m8_confusion_matrix", "p4_filter_predicates", "p5_case_when",
     "t3_tumbling_window", "t4_sliding_window", "t7_dedup_by_key",
-    "tpch_q10", "tpch_q11",
+    "tpch_q10",
 })
 
 

@@ -248,7 +248,16 @@ def l2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b"))
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
-    return (cand.join(ta, "id_a").join(tb, "id_b")
+    # force-spread the candidate pairs before the O(len²) Levenshtein
+    # stage: its rows are BYTE-small but COMPUTE-dense, so AQE's
+    # byte-based coalescing packs them onto a handful of tasks (r12
+    # sf10 gate: 10.49× for 10× data with measured-10× work growth;
+    # after the spread the decade costs 8.35× (27.5 s → 22.1 s)). The pair list is skinny
+    # (two longs), so the repartition is noise next to the cells it
+    # parallelizes.
+    from ..ops.partitioning import spread
+    return (spread(cand, force=True)
+            .join(ta, "id_a").join(tb, "id_b")
             .select("id_a", "id_b",
                     F.levenshtein("__ta", "__tb").alias("edit_dist"))
             .orderBy("id_a", "id_b"))

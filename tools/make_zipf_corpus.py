@@ -59,6 +59,18 @@ def make(dst: str, n_docs: int, vocab_size: int = VOCAB_SIZE) -> None:
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = ranks ** -ZIPF_S
     probs /= probs.sum()
+    # Token draws via ONE precomputed CDF + searchsorted (r12): the old
+    # per-doc `rng.choice(..., p=probs)` recomputed the vocab-sized
+    # cumsum on every call — O(vocab) per DOCUMENT, ~40 minutes of pure
+    # cumsum at the 5 M-doc × 949 k-vocab fourth decade. Same truncated
+    # -zeta distribution, different (still fixed-seed deterministic)
+    # draw sequence; the existing committed tiers stay as generated.
+    cdf = np.cumsum(probs)
+    cdf[-1] = 1.0
+
+    def draw(k: int) -> np.ndarray:
+        return np.searchsorted(cdf, rng.random(k), side="right")
+
     words = np.array([f"w{i}" for i in range(vocab_size)])
 
     lens = rng.integers(DOC_LEN_MIN, DOC_LEN_MAX + 1, size=n_docs)
@@ -69,28 +81,39 @@ def make(dst: str, n_docs: int, vocab_size: int = VOCAB_SIZE) -> None:
             src = int(rng.integers(0, i))
             toks = texts[src].split()
             idx = rng.random(len(toks)) < 0.10
-            repl = words[rng.choice(vocab_size, size=int(idx.sum()),
-                                    p=probs)]
+            repl = words[draw(int(idx.sum()))]
             toks = np.array(toks, dtype=object)
             toks[idx] = repl
             texts.append(" ".join(toks.tolist()))
             continue
-        toks = words[rng.choice(vocab_size, size=int(lens[i]), p=probs)]
+        toks = words[draw(int(lens[i]))]
         body = " ".join(toks.tolist())
         if rng.random() < BOILERPLATE_FRAC:
             body = body + " " + " ".join(BOILERPLATE)
         texts.append(body)
 
-    tbl = pa.table({
-        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
-        "text": pa.array(texts, type=pa.string()),
-        "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n_docs)]),
-        "source": pa.array([f"src{i % 7}" for i in range(n_docs)]),
-        "n_chars": pa.array(np.array([len(t) for t in texts],
-                                     dtype=np.int64)),
-    })
     os.makedirs(dst, exist_ok=True)
-    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+    # chunked ParquetWriter (r12): one pa.table over 5 M documents
+    # overflows Arrow's 2 GB 32-bit string column; 250 k-doc row groups
+    # keep every chunk far under it and give the scan real parallelism
+    chunk = 250_000
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    with pq.ParquetWriter(os.path.join(dst, "documents.parquet"),
+                          schema) as w:
+        for lo in range(0, n_docs, chunk):
+            hi = min(lo + chunk, n_docs)
+            part = texts[lo:hi]
+            w.write_table(pa.table({
+                "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "text": pa.array(part, type=pa.string()),
+                "lang": pa.array([LANGS[i % len(LANGS)]
+                                  for i in range(lo, hi)]),
+                "source": pa.array([f"src{i % 7}" for i in range(lo, hi)]),
+                "n_chars": pa.array(np.array([len(t) for t in part],
+                                             dtype=np.int64)),
+            }, schema=schema))
     print(f"wrote {dst}/documents.parquet: {n_docs} docs, "
           f"vocab {vocab_size}, zipf s={ZIPF_S}, "
           f"boilerplate {BOILERPLATE_FRAC:.0%}, near-dup {NEAR_DUP_FRAC:.0%}")
