@@ -50,14 +50,12 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 11 window: two rows-only-by-design pads — the iterative
-    # trainers m5 (softmax, float-accumulating SGD) and m6 (PCA —
-    # sign/rotation-indeterminate eigenvectors), both pytest-equal to
-    # numpy; they enter from the r6-stale pad pool (r10 verdict watch
-    # #4 asked to spend fewer window slots on rows-only queries — 2
-    # this round vs 5 in r10, and both are genuinely r6-stale). Any
-    # commit that touches _PROMOTED must update this set in the SAME
-    # commit and re-run the suite — r7 shipped red by skipping that
-    # (VERDICT r7 wrong #1).
-    assert rows_only == {
-        "m5_softmax_predict", "m6_pca_project"}, sorted(rows_only)
+    # round 12 window: ONE rows-only-by-design entry — l2_simhash_pairs
+    # (xxhash64 signature has no SQL equivalent; it rides in from the
+    # r7-stale pool, not by choice). m5/m6 now have hash-checkable
+    # pinned-weights scoring twins in the window instead (m5b/m6b —
+    # r11 verdict #1), so no iterative trainer spends a slot on the
+    # weak check this round. Any commit that touches _PROMOTED must
+    # update this set in the SAME commit and re-run the suite — r7
+    # shipped red by skipping that (VERDICT r7 wrong #1).
+    assert rows_only == {"l2_simhash_pairs"}, sorted(rows_only)
