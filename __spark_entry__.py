@@ -214,7 +214,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #       is older than r8. Exactly ONE is rows-only by design
 #       (l2_simhash_pairs: xxhash64 signature has no SQL equivalent),
 #       so the window records ≥49 hash-green + ≤1 no_oracle;
-#   (c) padded to exactly 50 with the 14 name-ordered-first r8-stale
+#   (c) padded to exactly 50 with the 13 name-ordered-first r8-stale
 #       greens (tpch_q13 returned to the pool when l5_quarantine_decode
 #       — the fuzz-backed s18-pattern binary-seam quarantine query —
 #       was born mid-round and took its slot per the runbook; tpch_q11
@@ -240,7 +240,7 @@ _PROMOTED = frozenset({
     "l4_pmi_collocations", "m2_knn_predict", "m3_model_accuracy",
     "o1_multi_key_sort", "o2_top_n", "o3_topk_per_group",
     "p1_expression_select", "p2_identity_stage", "p3_column_split",
-    # (c) last driver record r8 (name-ordered first 15)
+    # (c) last driver record r8 (name-ordered first 13)
     "l3_filtered_topk", "l4_bm25_search", "l4_feature_hashing",
     "l6_dup_span_removal", "l6_duplicate_spans", "l6_train_test_split",
     "m8_confusion_matrix", "p4_filter_predicates", "p5_case_when",

@@ -518,9 +518,13 @@ class DocumentModelRegistry(ModelRegistry):
         self._alloc_lock = threading.Lock()
 
     def register_model(self, model_name: str, model_desc: str = "") -> ModelMeta:
-        if not self._store.find("models", {"name": model_name}):
-            self._store.insert_one("models", {"name": model_name,
-                                              "model_desc": model_desc})
+        # same read-modify-write shape as version allocation: without
+        # the lock two threads both see no "models" doc and both insert
+        # one (r12 review) — find+insert must be one atomic step
+        with self._alloc_lock:
+            if not self._store.find("models", {"name": model_name}):
+                self._store.insert_one("models", {"name": model_name,
+                                                  "model_desc": model_desc})
         doc = self._store.find("models", {"name": model_name})[0]
         meta = ModelMeta(doc["name"], doc.get("model_desc", ""))
         meta.versions = self.versions(model_name)

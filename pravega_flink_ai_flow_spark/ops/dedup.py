@@ -273,17 +273,25 @@ def lsh_probe_banded(sig_new: DataFrame, corpus_banded: DataFrame,
 
 def lsh_probe_from_bands(new_banded: DataFrame,
                          corpus_banded: DataFrame,
-                         id_col: str = "id_new") -> DataFrame:
+                         id_col: str = "id_new",
+                         exclude_self: bool = True) -> DataFrame:
     """The probe join of :func:`lsh_probe_banded` over an ALREADY-BANDED
     new side ``(id_col, band_id, band_sig)`` — same single-banding-pass
-    rationale as :func:`lsh_candidate_pairs_from_bands`."""
+    rationale as :func:`lsh_candidate_pairs_from_bands`.
+
+    ``exclude_self=False`` KEEPS id_new == id_corpus matches: for a
+    non-retry streaming batch a self-match means the same id's content
+    is already banded in the store (at-least-once redelivery), and the
+    caller wants it surfaced as a duplicate rather than silently
+    re-verified against everything else (streaming_near_dedup's
+    first-attempt path, r12 review #2). Retries must exclude self —
+    their own landed rows would otherwise suppress the whole batch."""
     new_banded = new_banded.withColumnRenamed(id_col, "id_new") \
         if id_col != "id_new" else new_banded
-    return (new_banded
-            .join(corpus_banded, ["band_id", "band_sig"])
-            .filter(F.col("id_new") != F.col("id_corpus"))
-            .select("id_new", "id_corpus")
-            .distinct())
+    probed = new_banded.join(corpus_banded, ["band_id", "band_sig"])
+    if exclude_self:
+        probed = probed.filter(F.col("id_new") != F.col("id_corpus"))
+    return probed.select("id_new", "id_corpus").distinct()
 
 
 def lsh_candidate_pairs_between(sig_new: DataFrame, sig_corpus: DataFrame,

@@ -553,8 +553,23 @@ def _declared_pixels(content: bytes):
 
     try:
         if content[:8] == _PNG_SIG:
-            w, h = struct.unpack(">II", content[16:24])
-            return w * h
+            # walk the chunk chain to the IHDR instead of assuming it is
+            # first (r12 review #1: a non-IHDR first chunk would both
+            # bypass the guard — huge dims in a later IHDR — and
+            # false-quarantine lenient-but-decodable payloads). The walk
+            # is bounded; a chain the walk can't resolve is one the
+            # decoder's identical arithmetic can't reach an IHDR in
+            # either, so returning None is safe.
+            pos = 8
+            for _ in range(4096):
+                if pos + 16 > len(content):
+                    return None
+                length = int.from_bytes(content[pos:pos + 4], "big")
+                if content[pos + 4:pos + 8] == b"IHDR":
+                    w, h = struct.unpack(">II", content[pos + 8:pos + 16])
+                    return w * h
+                pos += 12 + length
+            return None
         if content[:6] in _GIF_SIGS:
             w, h = struct.unpack("<HH", content[6:10])
             return w * h
@@ -628,6 +643,15 @@ def decode_images_quarantined(df: DataFrame, *, id_col: str = "media_id",
                    "height": [], "channels": [], "px_checksum": [],
                    "err": []}
             for mid, content in zip(pdf[id_col], pdf[content_col]):
+                # a NULL id must dead-letter like any other bad row, not
+                # TypeError the task (r12 review #4)
+                if mid is None or (isinstance(mid, float) and mid != mid):
+                    for k in ("id", "codec", "width", "height", "channels",
+                              "px_checksum"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+                    out["err"].append("ValueError: null id")
+                    continue
                 w, h, c, arr, err = decode_image_safe(content, max_pixels)
                 out["id"].append(int(mid))
                 out["ok"].append(err is None)

@@ -630,7 +630,10 @@ def m6b_pca_project_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes through one numpy GEMM per Arrow batch (CLAUDE.md mapInArrow
     rule), not an interpreted zip_with fold; the GEMM's blocked
     accumulation can differ from the oracle's sequential fold in the
-    last ulp, which the shared 6-dp round absorbs."""
+    last ulp, which the shared 6-dp round absorbs. The round itself is
+    HALF-AWAY-FROM-ZERO (floor(|v|·1e6 + 0.5), not np.round's
+    half-even) — probed identical to DuckDB's ROUND on exact binary
+    ties like 1/128 (r12 review #5)."""
     import numpy as np
     import pyarrow as pa
 
@@ -649,7 +652,8 @@ def m6b_pca_project_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
             X = flat.reshape(n, -1).astype(np.float64, copy=False)
-            P = np.round(X @ comp.T - off, 6)
+            raw = X @ comp.T - off
+            P = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64())]
                 + [pa.array(P[:, i], pa.float64()) for i in range(k)],

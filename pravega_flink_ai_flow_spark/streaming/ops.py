@@ -250,10 +250,18 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     ``id`` / ``band_sig`` bucketing at scale; a transactional table
     format (Delta/Iceberg MERGE) is the production swap-in that makes
     all of this free. ``out_table`` output remains at-least-once —
-    dedupe downstream by id if it feeds a corpus. Cross-RUN id reuse
-    (same id, different text, fresh checkpoint into an existing store)
-    is out of scope exactly as before: the guard targets checkpoint
-    retry, not store-level id uniqueness.
+    dedupe downstream by id if it feeds a corpus.
+
+    Cross-BATCH redelivery of the same document (at-least-once
+    upstream): suppressed. On first attempts the store probe KEEPS
+    id_new == id_corpus matches, so an id already banded in the store
+    resolves as a duplicate of its own stored copy and never
+    re-appends — the store stays one row per delivered id, at no extra
+    scan (the probe reads the bands table anyway; r12 review #2). Id
+    reuse with DIFFERENT content is out of scope: near-dedup is not an
+    id-keyed upsert (use u6_merge_upsert semantics for that), and such
+    a row may either append alongside the old one or — when its bands
+    collide with the stored copy — be suppressed.
     """
     import os
     from ..ops import dedup
@@ -279,6 +287,28 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                 f.endswith(".parquet") for f in os.listdir(d))
 
         store_exists = _has_parquet(store_dir)
+
+        # Retry detection (r11 verdict #3): a first attempt — no
+        # attempt marker for this batch_id, and the store either
+        # doesn't exist yet or carries our commits dir — cannot have
+        # rows in either target, so the idempotency filters
+        # short-circuit and their target scans disappear from the
+        # common path. Decided BEFORE the probe because the probe's
+        # self-match handling depends on it (below).
+        marker = os.path.join(commits_dir, f"batch-{batch_id}")
+        foreign = os.path.join(commits_dir, "FOREIGN")
+        if store_exists and not os.path.isdir(commits_dir):
+            # store built by other tooling: record that STICKILY so
+            # every later batch keeps the filter path too, not just
+            # this one
+            os.makedirs(commits_dir, exist_ok=True)
+            with open(foreign, "w"):
+                pass
+        is_retry = os.path.exists(marker) or os.path.exists(foreign)
+        os.makedirs(commits_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass   # marker lands BEFORE any append
+
         # within-batch candidates: batch-sized self-join (id_a < id_b)
         cands = (dedup.lsh_candidate_pairs_from_bands(batch_bands)
                  .select("id_a", "id_b", F.lit(False).alias("__ob")))
@@ -298,8 +328,18 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                     spark.read.parquet(store_dir).select("id", "sig"),
                     num_hashes, bands, out_id="id_corpus") \
                     .write.mode("append").parquet(bands_dir)
+            # exclude_self only on RETRY (the previous attempt's landed
+            # rows must not suppress the whole batch); on a first
+            # attempt a self-match means this id is already banded in
+            # the store — at-least-once redelivery — and must surface
+            # as a duplicate so the store keeps one row per id (r12
+            # review #2: the marker fast path had silently dropped the
+            # old unconditional store-id anti-join's uniqueness
+            # guarantee; this restores it from data the probe already
+            # reads, costing no extra scan)
             probe = dedup.lsh_probe_from_bands(
-                batch_bands, spark.read.parquet(bands_dir), id_col="id")
+                batch_bands, spark.read.parquet(bands_dir), id_col="id",
+                exclude_self=is_retry)
             cands = cands.unionByName(
                 probe.select(F.col("id_new").alias("id_a"),
                              F.col("id_corpus").alias("id_b"),
@@ -338,25 +378,6 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         # candidate-recall loss, worse than the duplicate rows the
         # old at-least-once behavior allowed.
         #
-        # Retry detection (r11 verdict #3): a first attempt — no
-        # attempt marker for this batch_id, and the store either
-        # doesn't exist yet or carries our commits dir — cannot have
-        # rows in either target, so both filters short-circuit and the
-        # two target scans disappear from the common path.
-        marker = os.path.join(commits_dir, f"batch-{batch_id}")
-        foreign = os.path.join(commits_dir, "FOREIGN")
-        if store_exists and not os.path.isdir(commits_dir):
-            # store built by other tooling: record that STICKILY so
-            # every later batch keeps the filter path too, not just
-            # this one
-            os.makedirs(commits_dir, exist_ok=True)
-            with open(foreign, "w"):
-                pass
-        is_retry = os.path.exists(marker) or os.path.exists(foreign)
-        os.makedirs(commits_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass   # marker lands BEFORE any append
-
         def _not_yet_in(df: DataFrame, target: str,
                         keys: list[str]) -> DataFrame:
             if not is_retry or not _has_parquet(target):

@@ -114,6 +114,10 @@ def test_docstore_concurrent_threads_allocate_unique_versions(tmp_path):
     allocated = sorted(v for r in results for v in r)
     n = 4 * N_PER_PROC
     assert allocated == list(range(1, n + 1)), allocated
+    # the models COLLECTION races the same way versions did (find
+    # then insert under separate store locks) — exactly one doc
+    # must exist (r12 review #3)
+    assert len(reg._store.find("models", {"name": "m"})) == 1
     versions = reg.versions("m")
     assert len(versions) == n
     assert all(v.current_stage == ModelVersionStage.VALIDATED

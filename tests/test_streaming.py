@@ -578,6 +578,45 @@ def test_streaming_near_dedup_foreign_store_stays_filtered(spark,
     assert {r.id for r in rows.select("id").collect()} == {2, 3}
 
 
+def test_streaming_near_dedup_suppresses_cross_batch_redelivery(
+        spark, tmp_workdir):
+    """At-least-once upstream redelivery (same id + same text arriving
+    again in a LATER batch of the same run) must keep the store at one
+    row per id: the first-attempt probe keeps self-matches, so the
+    re-arrival resolves as a duplicate of its own stored copy (r12
+    review #2 — the marker fast path must not cost the old
+    unconditional anti-join's uniqueness guarantee)."""
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    d1 = "the quick brown fox jumps over the lazy dog in the morning"
+    d2 = "completely unrelated text about query engines and shuffles"
+    stream.append(spark.createDataFrame([(1, d1), (2, d2)], doc_schema))
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+
+    # batch 1: doc 1 redelivered verbatim + one genuinely new doc
+    d3 = "third document mentioning streaming joins and watermarks now"
+    stream.append(spark.createDataFrame([(1, d1), (3, d3)], doc_schema))
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"), threshold=0.5)
+    q.awaitTermination()
+
+    rows = spark.read.parquet(store)
+    assert rows.count() == 3                       # one row per id
+    assert {r.id for r in rows.select("id").collect()} == {1, 2, 3}
+    bands = spark.read.parquet(store + "_bands")
+    assert (bands.count()
+            == bands.dropDuplicates(["id_corpus", "band_id"]).count())
+
+
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
     """Continuous-aggregate pattern: partial aggregates appended per
     drain, merged at read — must equal a full batch recompute."""
