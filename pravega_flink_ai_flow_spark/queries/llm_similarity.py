@@ -364,12 +364,10 @@ def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-candidate shortlist. Recall@5 measured 0.94-1.00 on testdata.
 
     Rows-only by necessity: the codebooks come from an ITERATIVE
-    distributed Lloyd loop no SQL engine can replicate, and unlike the
-    IVF case the frozen-index scoring path (ADC: per-subspace argmin
-    encode + table-lookup sums) is itself a 16-way joined argmin
-    cascade — the deployed-index scoring concern is instead
-    hash-checked by the pinned twin l3b_ivf_pinned_topk, and recall
-    here is pytest-bounded vs brute force."""
+    distributed Lloyd loop no SQL engine can replicate. The SCORING
+    half (encode + ADC against a deployed codebook) IS hash-checked by
+    the frozen-codebook twin l3c_pq_pinned_adc; recall here is
+    pytest-bounded vs brute force."""
     from ..ops import pq
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -519,6 +517,156 @@ def l3b_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K, nprobe=8, exclude_self=True, dim=64,
         centroid_rows=cent_rows)
     return out.orderBy("q_id", "rank")
+
+
+def _pq_pinned_oracle() -> str:
+    """ADC probe against the frozen ml/pinned.py PQ codebooks, fully in
+    SQL (r11 verdict #1, the PQ half): corpus encode = per-subspace
+    argmin over the 16 literal centroids (the shared algebra
+    ``-2·dot(v_s, c) + ||c||²`` with ||c||² precomputed in python and
+    embedded as the SAME literal in both engines, so the argmin
+    compares identical float chains); query-side ADC terms add the
+    query self-dot; the 8-term per-pair sum is ROUND(·, 6) because SQL
+    SUM order is unspecified (the repo's order-dependent-accumulation
+    rule)."""
+    from ..ml import pinned
+
+    rows = []
+    for s, book in enumerate(pinned.PQ_CODEBOOKS):
+        for k, cv in enumerate(book):
+            kk = 0.0
+            for x in cv:
+                kk += float(x) * float(x)
+            lit = ", ".join(repr(float(x)) for x in cv)
+            rows.append(f"({s}, {k}, CAST([{lit}] AS DOUBLE[]), {kk!r})")
+    values = ", ".join(rows)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (SELECT * FROM (VALUES {values}) t(s, k, cv, kk)),
+    enc AS (
+        SELECT vec_id AS c_id, s, k AS code FROM (
+            SELECT e.vec_id, cb.s, cb.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id, cb.s
+                       ORDER BY -2.0 * list_dot_product(
+                                    e.v[cb.s * 8 + 1 : cb.s * 8 + 8], cb.cv)
+                                + cb.kk, cb.k) AS rn
+            FROM e CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qterm AS (
+        SELECT q.vec_id AS q_id, cb.s, cb.k,
+               list_dot_product(q.v[cb.s * 8 + 1 : cb.s * 8 + 8],
+                                q.v[cb.s * 8 + 1 : cb.s * 8 + 8])
+               - 2.0 * list_dot_product(q.v[cb.s * 8 + 1 : cb.s * 8 + 8],
+                                        cb.cv)
+               + cb.kk AS term
+        FROM e q CROSS JOIN cb WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+        SELECT qterm.q_id, enc.c_id, ROUND(SUM(qterm.term), 6) AS adc_dist
+        FROM enc JOIN qterm ON qterm.s = enc.s AND qterm.k = enc.code
+        WHERE qterm.q_id != enc.c_id
+        GROUP BY qterm.q_id, enc.c_id
+    )
+    SELECT q_id, c_id, adc_dist, rank FROM (
+        SELECT q_id, c_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, c_id) AS rank
+        FROM adc
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """
+
+
+@declared(
+    "l3c_pq_pinned_adc",
+    oracle=_pq_pinned_oracle(),
+    survey_ids=("L3", "M4", "F6"),
+)
+def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance probe against the FROZEN deployed
+    codebooks (ml/pinned.py, Lloyd-trained at fit time, 8 subspaces ×
+    16 codes × 8 dims, 6-decimal literals) — the hash-checkable scoring
+    twin of the rows-only l3_pq_topk: codebook TRAINING is an iterative
+    Lloyd loop no SQL engine can run, but encoding + ADC lookup against
+    a deployed codebook is pure arithmetic both engines evaluate from
+    the same literals (serving a frozen PQ index is exactly how a
+    production ANN deployment works). Per Arrow batch: one GEMM per
+    subspace encodes the corpus codes (the argmin compares the same
+    ``-2·dot + ||c||²`` chain as the oracle's sequential form; ties
+    break to the lowest code in both engines), the query-side distance
+    table rides the closure, scores are table lookups, and each batch
+    emits only its per-query top-k for the global window merge — the
+    plan shape a 100 TB PQ store needs (codes are 8 bytes/vector; the
+    float corpus never shuffles). The 8-term ADC sum is rounded
+    half-away-from-zero to 6 dp on both sides (order-dependent
+    accumulation; np.round's half-even would diverge from DuckDB's
+    ROUND on binary ties)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ml import pinned
+    from pyspark.sql import Window
+
+    books = np.asarray(pinned.PQ_CODEBOOKS, dtype=np.float64)  # (8,16,8)
+    m, ks, dsub = books.shape
+    KK = np.einsum("skd,skd->sk", books, books)
+    q_rows = _query_rows(spark, sf_dir)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    # D[qi, s, k]: the query-side ADC term table (qq_s - 2 q_s·c + kk)
+    D = np.empty((len(q_ids), m, ks))
+    for s in range(m):
+        Qs = Q[:, s * dsub:(s + 1) * dsub]
+        D[:, s, :] = (np.einsum("qd,qd->q", Qs, Qs)[:, None]
+                      - 2.0 * (Qs @ books[s].T) + KK[s])
+
+    k_top = _TOP_K
+
+    def probe(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1).astype(np.float64, copy=False)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                codes[:, s] = np.argmin(
+                    -2.0 * (Xs @ books[s].T) + KK[s], axis=1)
+            # scores[qi, c] = sum_s D[qi, s, codes[c, s]]
+            scores = np.zeros((len(q_ids), n))
+            for s in range(m):
+                scores += D[:, s, codes[:, s]]
+            scores = np.copysign(
+                np.floor(np.abs(scores) * 1e6 + 0.5), scores) / 1e6
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                row = scores[qi]
+                mask = ids != q_ids[qi]
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                order = cand[np.lexsort((ids[cand], row[cand]))][:k_top]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_c.extend(ids[order].tolist())
+                out_d.extend(row[order].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, pa.int64()), pa.array(out_c, pa.int64()),
+                 pa.array(out_d, pa.float64())],
+                names=["q_id", "c_id", "adc_dist"])
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cands = (emb.select("vec_id", "embedding")
+             .mapInArrow(probe, "q_id long, c_id long, adc_dist double"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOP_K)
+            .select("q_id", "c_id", "adc_dist", "rank")
+            .orderBy("q_id", "rank"))
 
 
 @declared(
