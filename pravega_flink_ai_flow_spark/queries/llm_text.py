@@ -927,12 +927,12 @@ def l6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dim+1)×2 gradient doubles per partition per epoch.
 
     Rows-only by necessity TWICE over: GD training is iterative, and
-    the xxhash64 bucket featurizer has no DuckDB equivalent — so
-    even a pinned-weights scoring twin has no SQL oracle (the hash
-    function, not the model, is the blocker; m5b_softmax_score_pinned
-    hash-checks the identical pinned-softmax-scoring arithmetic on
-    SQL-expressible features). pytest asserts the featurizer is
-    deterministic and the pipeline learns well above chance."""
+    the xxhash64 bucket featurizer has no DuckDB equivalent. The
+    SCORING half IS hash-checked by the frozen-weights twin
+    l6b_quality_score_pinned, which swaps in the engine-shared md5
+    bucketing so featurize-and-score is exact cross-engine arithmetic.
+    pytest asserts the featurizer here is deterministic and the
+    pipeline learns well above chance."""
     from ..ml.softmax import fit_softmax_distributed
     from ..ops.text import hashed_bow_features
 
@@ -1135,6 +1135,98 @@ def l4_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FH_DIM = 64    # feature-hashing buckets (HashingTF-style)
+
+
+def _l6b_oracle() -> str:
+    """Pinned quality-classifier SCORING in SQL (r11 verdict #1, the
+    l6 half): the md5-bucket featurization is the hash-green
+    l4_feature_hashing arithmetic, the decision weights/bias/threshold
+    are the frozen ml/pinned.py artifact, and the per-doc score is one
+    SUM(tf*w) + bias rounded to 6 dp (SQL SUM order is unspecified —
+    the order-dependent-accumulation rule)."""
+    from ..ml import pinned
+
+    w_rows = ", ".join(f"({b}, {float(w)!r})"
+                       for b, w in enumerate(pinned.QC_WEIGHTS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t != '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                   % {_FH_DIM} AS bucket,
+               COUNT(*) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    w AS (SELECT * FROM (VALUES {w_rows}) t(bucket, w)),
+    sc AS (
+        SELECT d.doc_id, d.n_chars,
+               ROUND(COALESCE(SUM(tf.tf * w.w), 0.0)
+                     + {float(pinned.QC_BIAS)!r}, 6) AS quality_score
+        FROM documents d
+        LEFT JOIN tf ON tf.doc_id = d.doc_id
+        LEFT JOIN w ON w.bucket = tf.bucket
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CASE WHEN n_chars >= {float(pinned.QC_THRESHOLD)!r}
+                THEN 1 ELSE 0 END AS true_label,
+           CASE WHEN quality_score > 0 THEN 1 ELSE 0 END AS pred_label,
+           quality_score
+    FROM sc ORDER BY doc_id
+    """
+
+
+@declared(
+    "l6b_quality_score_pinned",
+    oracle=_l6b_oracle(),
+    survey_ids=("L4", "M4", "F1"),
+)
+def l6b_quality_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier SCORING with the frozen deployed artifact
+    (ml/pinned.py: 64 md5-bucket weights + bias + the pinned length
+    threshold that defines the label's operating point) — the
+    hash-checkable twin of the rows-only l6_quality_classifier. That
+    query trains per corpus on an xxhash64 featurization with no SQL
+    equivalent; this twin swaps in the engine-shared md5 bucketing
+    (the hash-green l4_feature_hashing arithmetic) so BOTH the
+    featurization and the linear scoring are exact cross-engine
+    arithmetic. Plan: explode → one (doc, bucket) aggregate with
+    map-side combine; the weight lookup is element_at on a 64-literal
+    array (JVM row expression, no join); one per-doc sum finishes —
+    featurize-and-score at 100 TB is two map-side-combined aggregates
+    and zero joins on the corpus stream."""
+    from ..ml import pinned
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    bucket = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+              .cast("bigint") % _FH_DIM)
+    warr = F.array(*[F.lit(float(w)) for w in pinned.QC_WEIGHTS])
+    tf = (docs.select("doc_id", F.explode(toks).alias("term"))
+          .select("doc_id", bucket.alias("bucket"))
+          .groupBy("doc_id", "bucket").agg(F.count("*").alias("tf")))
+    scores = (tf.withColumn(
+                  "__c", F.col("tf") * F.element_at(warr,
+                                                    F.col("bucket")
+                                                    .cast("int") + 1))
+              .groupBy("doc_id").agg(F.sum("__c").alias("__s")))
+    score = F.round(F.coalesce(F.col("__s"), F.lit(0.0))
+                    + F.lit(float(pinned.QC_BIAS)), 6)
+    return (docs.select("doc_id", "n_chars")
+            .join(scores, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("n_chars")
+                       >= F.lit(float(pinned.QC_THRESHOLD)), 1)
+                 .otherwise(0).alias("true_label"),
+                F.when(score > 0, 1).otherwise(0).alias("pred_label"),
+                score.alias("quality_score"))
+            .orderBy("doc_id"))
 
 
 @declared(
