@@ -530,13 +530,13 @@ def _pq_pinned_oracle() -> str:
     SUM order is unspecified (the repo's order-dependent-accumulation
     rule)."""
     from ..ml import pinned
+    from ..ops.numeric import sequential_sq_norm
 
+    d = len(pinned.PQ_CODEBOOKS[0][0])   # subspace width from the artifact
     rows = []
     for s, book in enumerate(pinned.PQ_CODEBOOKS):
         for k, cv in enumerate(book):
-            kk = 0.0
-            for x in cv:
-                kk += float(x) * float(x)
+            kk = sequential_sq_norm(cv)
             lit = ", ".join(repr(float(x)) for x in cv)
             rows.append(f"({s}, {k}, CAST([{lit}] AS DOUBLE[]), {kk!r})")
     values = ", ".join(rows)
@@ -549,16 +549,17 @@ def _pq_pinned_oracle() -> str:
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id, cb.s
                        ORDER BY -2.0 * list_dot_product(
-                                    e.v[cb.s * 8 + 1 : cb.s * 8 + 8], cb.cv)
+                                    e.v[cb.s * {d} + 1 : cb.s * {d} + {d}],
+                                    cb.cv)
                                 + cb.kk, cb.k) AS rn
             FROM e CROSS JOIN cb
         ) WHERE rn = 1
     ),
     qterm AS (
         SELECT q.vec_id AS q_id, cb.s, cb.k,
-               list_dot_product(q.v[cb.s * 8 + 1 : cb.s * 8 + 8],
-                                q.v[cb.s * 8 + 1 : cb.s * 8 + 8])
-               - 2.0 * list_dot_product(q.v[cb.s * 8 + 1 : cb.s * 8 + 8],
+               list_dot_product(q.v[cb.s * {d} + 1 : cb.s * {d} + {d}],
+                                q.v[cb.s * {d} + 1 : cb.s * {d} + {d}])
+               - 2.0 * list_dot_product(q.v[cb.s * {d} + 1 : cb.s * {d} + {d}],
                                         cb.cv)
                + cb.kk AS term
         FROM e q CROSS JOIN cb WHERE q.vec_id < {_N_QUERIES}
@@ -593,9 +594,11 @@ def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deployed codebook is pure arithmetic both engines evaluate from
     the same literals (serving a frozen PQ index is exactly how a
     production ANN deployment works). Per Arrow batch: one GEMM per
-    subspace encodes the corpus codes (the argmin compares the same
-    ``-2·dot + ||c||²`` chain as the oracle's sequential form; ties
-    break to the lowest code in both engines), the query-side distance
+    subspace encodes the corpus codes (the ``||c||²`` term is the
+    SAME sequential-fold float as the oracle's literal, the ``-2·dot``
+    half is GEMM-vs-sequential — the accepted ulp class every green
+    GEMM twin carries — and ties break to the lowest code in both
+    engines), the query-side distance
     table rides the closure, scores are table lookups, and each batch
     emits only its per-query top-k for the global window merge — the
     plan shape a 100 TB PQ store needs (codes are 8 bytes/vector; the
@@ -609,9 +612,15 @@ def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml import pinned
     from pyspark.sql import Window
 
+    from ..ops.numeric import round_half_away, sequential_sq_norm
+
     books = np.asarray(pinned.PQ_CODEBOOKS, dtype=np.float64)  # (8,16,8)
     m, ks, dsub = books.shape
-    KK = np.einsum("skd,skd->sk", books, books)
+    # the SAME sequential fold that emitted the oracle's kk literals —
+    # an einsum here would differ in the last ulp and desynchronize the
+    # two engines' UNROUNDED argmin keys (r12 review #1)
+    KK = np.array([[sequential_sq_norm(cv) for cv in book]
+                   for book in pinned.PQ_CODEBOOKS])
     q_rows = _query_rows(spark, sf_dir)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
@@ -641,8 +650,7 @@ def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             scores = np.zeros((len(q_ids), n))
             for s in range(m):
                 scores += D[:, s, codes[:, s]]
-            scores = np.copysign(
-                np.floor(np.abs(scores) * 1e6 + 0.5), scores) / 1e6
+            scores = round_half_away(scores, 6)
             out_q, out_c, out_d = [], [], []
             for qi in range(len(q_ids)):
                 row = scores[qi]

@@ -1137,6 +1137,17 @@ def l4_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FH_DIM = 64    # feature-hashing buckets (HashingTF-style)
 
 
+def _md5_bucket(term_col) -> "F.Column":
+    """md5(term) → bucket in [0, _FH_DIM): THE featurizer expression —
+    shared by l4_feature_hashing, l6b_quality_score_pinned AND the
+    pinned-weights trainer (tools/make_pinned_models.py imports it), so
+    the weights can never silently drift onto different buckets than
+    they were trained on (r12 review #3; the hash gate would not catch
+    that — the oracle mirrors the query, not the trainer)."""
+    return (F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10)
+            .cast("bigint") % _FH_DIM)
+
+
 def _l6b_oracle() -> str:
     """Pinned quality-classifier SCORING in SQL (r11 verdict #1, the
     l6 half): the md5-bucket featurization is the hash-green
@@ -1197,18 +1208,18 @@ def l6b_quality_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurization and the linear scoring are exact cross-engine
     arithmetic. Plan: explode → one (doc, bucket) aggregate with
     map-side combine; the weight lookup is element_at on a 64-literal
-    array (JVM row expression, no join); one per-doc sum finishes —
-    featurize-and-score at 100 TB is two map-side-combined aggregates
-    and zero joins on the corpus stream."""
+    array (JVM row expression, no join); one per-doc sum finishes, and
+    a doc_id-keyed left join attaches the scores back to documents so
+    token-less docs still emit (score = bias) — featurize-and-score at
+    100 TB is two map-side-combined aggregates plus that one
+    co-partitionable id join."""
     from ..ml import pinned
 
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
-    bucket = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-              .cast("bigint") % _FH_DIM)
     warr = F.array(*[F.lit(float(w)) for w in pinned.QC_WEIGHTS])
     tf = (docs.select("doc_id", F.explode(toks).alias("term"))
-          .select("doc_id", bucket.alias("bucket"))
+          .select("doc_id", _md5_bucket(F.col("term")).alias("bucket"))
           .groupBy("doc_id", "bucket").agg(F.count("*").alias("tf")))
     scores = (tf.withColumn(
                   "__c", F.col("tf") * F.element_at(warr,
@@ -1264,10 +1275,8 @@ def l4_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     method and identical on both engines."""
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
-    bucket = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-              .cast("bigint") % _FH_DIM)
     return (docs.select("doc_id", F.explode(toks).alias("term"))
-            .select("doc_id", bucket.alias("bucket"))
+            .select("doc_id", _md5_bucket(F.col("term")).alias("bucket"))
             .groupBy("doc_id", "bucket")
             .agg(F.count("*").alias("tf"))
             .orderBy("doc_id", "bucket"))

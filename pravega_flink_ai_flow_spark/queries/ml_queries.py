@@ -652,8 +652,8 @@ def m6b_pca_project_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
             X = flat.reshape(n, -1).astype(np.float64, copy=False)
-            raw = X @ comp.T - off
-            P = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+            from ..ops.numeric import round_half_away
+            P = round_half_away(X @ comp.T - off, 6)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64())]
                 + [pa.array(P[:, i], pa.float64()) for i in range(k)],

@@ -165,6 +165,25 @@ def test_m6_pca_projection_is_arrow_map_only(spark):
     assert n <= 1, f"PCA projection plans {n} exchanges"
 
 
+def test_pinned_twins_stay_arrow_and_join_free_on_the_corpus(spark):
+    """The r12 pinned-artifact scoring twins must keep their 100 TB plan
+    shapes: l3c's PQ encode+ADC and l3b's IVF assignment run as
+    MapInArrow GEMM passes (never row-at-a-time Python), m6b's
+    projection is one Arrow pass with only the presentation sort's
+    exchange, and none of them may plan a CartesianProduct."""
+    import re
+
+    for name in ("l3c_pq_pinned_adc", "l3b_ivf_pinned_topk",
+                 "m6b_pca_project_pinned"):
+        plan = _plan(spark, name)
+        assert "MapInArrow" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(spark, "m6b_pca_project_pinned")
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= 1, f"m6b plans {n} exchanges"
+
+
 def test_p9_sampling_plans_window_group_limit(spark):
     """Deterministic per-group sampling must plan WindowGroupLimit —
     each partition keeps ≤ k rows per group before the shuffle, so the
