@@ -341,7 +341,25 @@ def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not spark.catalog.tableExists(f"s14_bucketed.{name}"):
             # a fresh session's catalog forgets managed tables, but the
             # previous session's files survive in .scratch — clear them
-            # or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
+            # or saveAsTable refuses (LOCATION_ALREADY_EXISTS). Also
+            # reclaim SIBLING tables of the same (table, tag) written
+            # under a superseded bucket-count rule — without this every
+            # sizing change strands another copy of the fact tables
+            prefix = name.rsplit("_", 1)[0] + "_"
+            try:
+                for d in os.listdir(db_dir):
+                    if d.startswith(prefix) and d != name:
+                        # drop the catalog entry FIRST: a same-session
+                        # sibling (possible only when the sizing rule is
+                        # monkeypatched, e.g. tools/explain_s14_l2edit)
+                        # must not keep a dangling table over a deleted
+                        # location
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS s14_bucketed.{d}")
+                        shutil.rmtree(os.path.join(db_dir, d),
+                                      ignore_errors=True)
+            except OSError:
+                pass
             shutil.rmtree(os.path.join(db_dir, name), ignore_errors=True)
             (df.write.bucketBy(n_buckets, key).sortBy(key)
              .mode("overwrite").format("parquet")
