@@ -1,0 +1,56 @@
+"""ops/numeric.py holds the pinned twins' cross-engine float
+invariants; these tests check them against a LIVE DuckDB, not against
+our own reading of its semantics (the r12 review found np.round's
+half-even silently diverging from DuckDB ROUND — this suite is that
+probe made permanent)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from pravega_flink_ai_flow_spark.ops.numeric import (
+    round_half_away,
+    sequential_sq_norm,
+)
+
+
+def test_round_half_away_matches_duckdb_round_on_binary_ties():
+    """Exact binary ties (the j/2^k grid) are where half-even and
+    half-away disagree; every value must round exactly like DuckDB."""
+    con = duckdb.connect()
+    vals = [0.0078125, -0.0078125, 0.1234565, -0.1234565, 1.0000005,
+            2.5e-7, 123.4567885, -123.4567885, 0.0, 1e-12, -1e-12]
+    # plus a deterministic spread of arbitrary doubles
+    rng = np.random.default_rng(3)
+    vals += [float(v) for v in rng.normal(scale=50, size=200)]
+    ours = round_half_away(np.array(vals), 6)
+    for v, o in zip(vals, ours):
+        d = con.execute("SELECT ROUND(CAST(? AS DOUBLE), 6)",
+                        [v]).fetchone()[0]
+        assert float(o) == float(d), (v, float(o), float(d))
+
+
+def test_round_half_away_differs_from_np_round_where_it_must():
+    """The helper exists because np.round is half-even: pin one tie
+    where they disagree so a 'simplification' back to np.round fails."""
+    v = 0.0078125    # exactly representable; 7th decimal is a tie
+    assert float(round_half_away(np.array([v]), 6)[0]) == 0.007813
+    assert float(np.round(v, 6)) == 0.007812
+
+
+def test_sequential_sq_norm_matches_duckdb_dot_fold():
+    """The ||c||^2 literal chain must equal DuckDB's own sequential
+    list_dot_product fold bit-for-bit — including an order-sensitive
+    construction where any other summation order gives a different
+    double."""
+    con = duckdb.connect()
+    rng = np.random.default_rng(4)
+    cases = [list(map(float, rng.normal(size=8))) for _ in range(50)]
+    cases.append([1e8, 1.0, -1e8, 1.0, 1e8, 1.0, -1e8, 1.0])
+    for cv in cases:
+        kk = sequential_sq_norm(cv)
+        d = con.execute(
+            "SELECT list_dot_product(CAST(? AS DOUBLE[]), "
+            "CAST(? AS DOUBLE[]))", [cv, cv]).fetchone()[0]
+        assert kk == d, (cv, kk, d)
