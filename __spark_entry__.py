@@ -214,7 +214,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #       is older than r8. Exactly ONE is rows-only by design
 #       (l2_simhash_pairs: xxhash64 signature has no SQL equivalent),
 #       so the window records ≥49 hash-green + ≤1 no_oracle;
-#   (c) padded to exactly 50 with the 11 name-ordered-first r8-stale
+#   (c) padded to exactly 50 with the 10 name-ordered-first r8-stale
 #       greens (tpch_q13 returned to the pool when l5_quarantine_decode
 #       — the fuzz-backed s18-pattern binary-seam quarantine query —
 #       was born mid-round and took its slot per the runbook; tpch_q11
@@ -225,15 +225,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #       -codebook ADC twin for the rows-only PQ trainer — was born, and
 #       t7_dedup_by_key when l6b_quality_score_pinned — the md5-bucket
 #       pinned-weights twin for the rows-only quality classifier —
-#       was). The 35 r8 leftovers (tpch_q10-q22 block, u-block,
-#       w-block, t3/t4/t7 …) are the ROUND 13 pad pool.
+#       was, and t4_sliding_window when m10_calibration_bins — the
+#       declared calibration report over the pinned classifier — was).
+#       The 36 r8 leftovers (tpch_q10-q22 block, u-block, w-block,
+#       t4/t7 …) are the ROUND 13 pad pool.
 _PROMOTED = frozenset({
     # (a) new pinned-artifact twins + the re-scored near-dup plan
     "m4b_ridge_score_pinned", "m5b_softmax_score_pinned",
     "m6b_pca_project_pinned", "l3b_ivf_pinned_topk",
     "l3_cosine_near_dup", "l5_quarantine_decode",
     "s14_bucketed_colocated_join", "l3c_pq_pinned_adc",
-    "l6b_quality_score_pinned",
+    "l6b_quality_score_pinned", "m10_calibration_bins",
     # (b) last driver record r7 — the whole leftover pool
     "j10_interval_join_batch", "j11_salted_skew_join",
     "j12_null_safe_join", "j15_recursive_hierarchy", "j1_inner_join",
@@ -245,11 +247,11 @@ _PROMOTED = frozenset({
     "l4_pmi_collocations", "m2_knn_predict", "m3_model_accuracy",
     "o1_multi_key_sort", "o2_top_n", "o3_topk_per_group",
     "p1_expression_select", "p2_identity_stage", "p3_column_split",
-    # (c) last driver record r8 (name-ordered first 11)
+    # (c) last driver record r8 (name-ordered first 10)
     "l3_filtered_topk", "l4_bm25_search", "l4_feature_hashing",
     "l6_dup_span_removal", "l6_duplicate_spans", "l6_train_test_split",
     "m8_confusion_matrix", "p4_filter_predicates", "p5_case_when",
-    "t3_tumbling_window", "t4_sliding_window",
+    "t3_tumbling_window",
 })
 
 

@@ -1240,6 +1240,50 @@ def l6b_quality_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _m10_oracle() -> str:
+    """Calibration report over the pinned classifier's scores: the l6b
+    oracle as a CTE, bucketed into 10 fixed-width score bins. The bin
+    key derives from the 6-dp-ROUNDED score (already cross-engine
+    identical), and pos_rate is a single exact-int division (never
+    rounded — the CLAUDE.md pure-ratio rule)."""
+    return f"""
+    WITH base AS ({_l6b_oracle()})
+    SELECT CAST(least(9, greatest(0, floor(quality_score / 50.0) + 5))
+                AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(true_label) AS BIGINT) AS n_pos,
+           CAST(SUM(true_label) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM base
+    GROUP BY 1 ORDER BY bin
+    """
+
+
+@declared(
+    "m10_calibration_bins",
+    oracle=_m10_oracle(),
+    survey_ids=("M3", "A1"),
+)
+def m10_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-validation calibration report for the DEPLOYED (pinned)
+    quality classifier — the reliability table a registry promotion
+    gate reads next to accuracy (m3) and the confusion matrix (m8):
+    scores bucketed into 10 fixed-width bins (width 50, clamped), each
+    bin's count, positive count and exact positive rate. A calibrated
+    classifier's pos_rate should rise monotonically with the score bin;
+    the report is fully declarative on top of l6b's scored frame, so
+    one more map-side-combined aggregate is the whole plan."""
+    base = l6b_quality_score_pinned(spark, sf_dir)
+    bin_col = (F.least(F.lit(9), F.greatest(
+        F.lit(0), F.floor(F.col("quality_score") / 50.0) + 5))
+        .cast("int"))
+    return (base.groupBy(bin_col.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("true_label").alias("n_pos"),
+                 (F.sum("true_label").cast("double") / F.count("*"))
+                 .alias("pos_rate"))
+            .orderBy("bin"))
+
+
 @declared(
     "l4_feature_hashing",
     oracle=f"""
