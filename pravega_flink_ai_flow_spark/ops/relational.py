@@ -23,7 +23,9 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
 
 def salted_join(left: DataFrame, right: DataFrame, *,
                 left_on: str, right_on: str, how: str = "inner",
-                salt: int = 8, salt_source: str | None = None) -> DataFrame:
+                salt: int = 8, salt_source: str | None = None,
+                hot_threshold: int | None = None,
+                max_hot_keys: int = 1024) -> DataFrame:
     """Equi-join with explicit key salting for skewed keys: the left
     (large, skewed) side gets a deterministic salt in [0, salt) derived
     from ``salt_source`` (any well-distributed left column; defaults to
@@ -37,6 +39,26 @@ def salted_join(left: DataFrame, right: DataFrame, *,
     adaptively; the explicit form is for engines/paths where AQE can't
     see the skew (e.g. streaming state, pre-partitioned writes).
 
+    ``hot_threshold`` (r13 — the measured fix for the r12 sf10 tail):
+    blanket salting replicates the ENTIRE dim side ``salt``× whether or
+    not a key is hot, and that replication was 7.2× of the whole join's
+    sf10 wall on uniform keys (9.88 s salted vs 1.38 s plain —
+    tools/explain_r13_tails.py; events.user_id max/avg = 99/67, zero
+    hot keys). With ``hot_threshold`` set, one map-combined count
+    aggregate finds the left keys with more rows than the threshold and
+    ONLY those keys get the salt treatment — each right row explodes to
+    ``salt`` copies when hot, 1 copy otherwise, and left rows salt to 0
+    unless hot. Uniform data degenerates to the plain join (empty hot
+    set short-circuits before touching the plan); a genuinely hot key
+    still fans across ``salt`` reducers (pytest-pinned on synthetic
+    skew). The detection aggregate runs once at plan-construction time
+    (driver collect guarded by ``max_hot_keys``: more hot keys than
+    that → fall back to blanket salting, the distributed path, rather
+    than grow the literal set) — the dispatch-signal pattern the dedup
+    family already uses. At 100 TB the threshold is what you want
+    anyway: a key is only worth salting when its row count would
+    straggle one reducer.
+
     Only inner/left shapes are valid: an unmatched right row would
     surface ``salt`` times under right/full outer."""
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
@@ -46,6 +68,31 @@ def salted_join(left: DataFrame, right: DataFrame, *,
                          "right rows once per salt")
     src = (F.xxhash64(*[F.col(c) for c in left.columns])
            if salt_source is None else F.xxhash64(F.col(salt_source)))
+    if hot_threshold is not None:
+        hot_rows = (left.groupBy(left_on).count()
+                    .filter(F.col("count") > hot_threshold)
+                    .limit(max_hot_keys + 1).collect())
+        if len(hot_rows) <= max_hot_keys:
+            hot = [r[0] for r in hot_rows]
+            if not hot:
+                return left.join(right, left[left_on] == right[right_on],
+                                 how)
+            l = left.withColumn(
+                "__salt",
+                F.when(F.col(left_on).isin(hot),
+                       F.pmod(src, F.lit(salt))).otherwise(F.lit(0))
+                .cast("int"))
+            r = right.withColumn(
+                "__salt",
+                F.explode(F.when(
+                    F.col(right_on).isin(hot),
+                    F.array(*[F.lit(i) for i in range(salt)]))
+                    .otherwise(F.array(F.lit(0)))))
+            out = l.join(r, (l[left_on] == r[right_on])
+                         & (l["__salt"] == r["__salt"]), how)
+            return out.drop("__salt")
+        # more hot keys than the literal-set budget: blanket salting is
+        # the honest distributed fallback (falls through)
     l = left.withColumn("__salt", F.pmod(src, F.lit(salt)).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

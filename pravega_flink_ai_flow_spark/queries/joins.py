@@ -407,16 +407,25 @@ def j10_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("J1",),
 )
 def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicitly salted equi-join (the skew pattern): the fact side's hot
-    keys are split across 8 salts, the dimension side replicated 8×, the
-    join runs on (key, salt) — row-identical to the plain join the oracle
-    computes, but no single reducer owns a hot key. See
+    """Explicitly salted equi-join (the skew pattern): fact rows of a HOT
+    key are split across 8 salts and the dimension rows of that key
+    replicated 8×, so no single reducer owns a hot key — row-identical
+    to the plain join the oracle computes. Re-planned r13 to
+    MEASURED-hot-only salting (tools/explain_r13_tails.py: blanket
+    salting — every dim row replicated 8× regardless of heat — was
+    7.2× of the join's sf10 wall, 9.88 s vs 1.38 s plain, on keys whose
+    max/avg is 99/67, i.e. zero actual skew; the r12 gate tail's whole
+    8.15× ratio was that constant). The 1000-row threshold is ~15× the
+    SF-invariant 67-row key average — a key crosses it only when it
+    would genuinely straggle a reducer; the salted arm stays
+    pytest-pinned on synthetic skew (test_plan_contracts). See
     ``ops.relational.salted_join``."""
     from ..ops.relational import salted_join
     events, customer = tables(spark, sf_dir, "events", "customer")
     joined = salted_join(events, customer,
                          left_on="user_id", right_on="c_custkey",
-                         salt=8, salt_source="event_id")
+                         salt=8, salt_source="event_id",
+                         hot_threshold=1000)
     return (joined.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum("c_acctbal").cast("double").alias("sum_acctbal"))

@@ -461,6 +461,44 @@ def test_salted_join_equals_plain_join(spark):
               .select("row_id", "name").collect()}
     assert salted == plain and len(plain) == 200
 
+    # hot-only salting (r13): key 0 carries ~80% of rows → crosses a
+    # threshold of 50; keys 1-4 don't. Result must stay identical, the
+    # hot key's left rows must spread across >1 salt (skew actually
+    # split), and every COLD dim row must appear exactly once
+    # (replication confined to the hot key).
+    hot = relational.salted_join(l, r, left_on="k", right_on="rk",
+                                 salt=8, salt_source="row_id",
+                                 hot_threshold=50)
+    assert {(x.row_id, x.name)
+            for x in hot.select("row_id", "name").collect()} == plain
+    lh = l.withColumn(
+        "__salt",
+        F.when(F.col("k").isin([0]),
+               F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)))
+        .otherwise(F.lit(0)).cast("int"))
+    n_salts_hot_key = (lh.filter("k = 0").select("__salt")
+                       .distinct().count())
+    assert n_salts_hot_key > 1
+
+    # uniform keys degenerate to the PLAIN join: no explode (dim
+    # replication) anywhere in the plan
+    lu = spark.createDataFrame([(i, i % 5) for i in range(200)],
+                               "row_id long, k long")
+    uni = relational.salted_join(lu, r, left_on="k", right_on="rk",
+                                 salt=8, salt_source="row_id",
+                                 hot_threshold=50)
+    plan = uni._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan and "__salt" not in plan
+    assert uni.count() == 200
+
+    # more hot keys than the literal budget → blanket-salting fallback,
+    # still row-identical
+    fb = relational.salted_join(l, r, left_on="k", right_on="rk",
+                                salt=8, salt_source="row_id",
+                                hot_threshold=1, max_hot_keys=2)
+    assert {(x.row_id, x.name)
+            for x in fb.select("row_id", "name").collect()} == plain
+
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_workdir):
     """Bucketing both sides on the join key co-locates them at write time:
