@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, asdict, field
 from typing import Callable, Optional
 
@@ -410,18 +411,61 @@ class DocumentStore:
         count (0 or 1)."""
         raise NotImplementedError
 
+    @contextmanager
+    def transaction(self):
+        """Critical section spanning MULTIPLE store ops (the registry's
+        find-max-then-insert allocation). Default: no extra isolation —
+        a store whose single ops are only atomic individually must
+        override this to make the pair safe across its writer population
+        (file store: flock lockfile; MongoDB: the counter-document
+        pattern makes the RMW a single server-side op instead)."""
+        yield
+
 
 class FileDocumentStore(DocumentStore):
     """Document store over one JSON file per collection. Mutations
-    rewrite the collection file under an in-process lock — the JSON
+    rewrite the collection file under the store lock — the JSON
     registry's durability model with MongoDB's data model, which is
     exactly enough to exercise every registry code path the pymongo
-    adapter runs in production."""
+    adapter runs in production.
+
+    Cross-PROCESS safety (r12 verdict #5): every op — and every
+    multi-op :meth:`transaction` — holds an exclusive ``flock`` on the
+    store's lockfile, so concurrent writer processes serialize exactly
+    like the SQLite backend's ``BEGIN IMMEDIATE`` (proven by the
+    3-process suite in tests/test_registry_concurrency.py). The
+    in-process RLock layers on top because flock is per-process on
+    Linux (two THREADS sharing the process would both pass it)."""
 
     def __init__(self, root: str):
         self._root = root
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
+        self._tx_depth = 0
+        self._tx_fd: int | None = None
         os.makedirs(root, exist_ok=True)
+        self._lockfile = os.path.join(root, ".store.lock")
+
+    @contextmanager
+    def transaction(self):
+        """Exclusive store-wide critical section, re-entrant (single
+        ops call this too, so a registry-level transaction nests
+        them)."""
+        import fcntl
+
+        with self._lock:   # RLock: re-entry by the owning thread is free
+            if self._tx_depth == 0:
+                self._tx_fd = os.open(self._lockfile,
+                                      os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(self._tx_fd, fcntl.LOCK_EX)
+            self._tx_depth += 1
+            try:
+                yield
+            finally:
+                self._tx_depth -= 1
+                if self._tx_depth == 0:
+                    fcntl.flock(self._tx_fd, fcntl.LOCK_UN)
+                    os.close(self._tx_fd)
+                    self._tx_fd = None
 
     def _path(self, collection: str) -> str:
         return os.path.join(self._root, f"{collection}.json")
@@ -436,30 +480,29 @@ class FileDocumentStore(DocumentStore):
     def _save(self, collection: str, docs: list[dict]) -> None:
         # temp-file + os.replace: a crash mid-write must never leave a
         # half-written (corrupt) collection behind — readers see either
-        # the old file or the new one (r6 ADVICE). The threading.Lock
-        # serializes writers WITHIN this process only; cross-process
-        # visibility is read-level (each op reloads the file) —
-        # concurrent cross-process WRITERS are out of scope and
-        # last-replace-wins, the documented limitation.
+        # the old file or the new one (r6 ADVICE).
         p = self._path(collection)
         tmp = f"{p}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(docs, f, indent=2)
         os.replace(tmp, p)
+        # (cross-process writers serialize on the flock in transaction();
+        # temp-file + replace still matters for CRASH atomicity — a
+        # reader never sees a half-written collection)
 
     def insert_one(self, collection: str, doc: dict) -> None:
-        with self._lock:
+        with self.transaction():
             docs = self._load(collection)
             docs.append(dict(doc))
             self._save(collection, docs)
 
     def find(self, collection: str, query: dict) -> list[dict]:
-        with self._lock:
+        with self.transaction():
             return [d for d in self._load(collection)
                     if all(d.get(k) == v for k, v in query.items())]
 
     def update_one(self, collection: str, query: dict, update: dict) -> int:
-        with self._lock:
+        with self.transaction():
             docs = self._load(collection)
             for d in docs:
                 if all(d.get(k) == v for k, v in query.items()):
@@ -500,28 +543,30 @@ class DocumentModelRegistry(ModelRegistry):
     """Registry over any :class:`DocumentStore` — collections ``models``
     and ``model_versions`` hold one document per model / version, the
     document-database twin of the SQLite backend's two tables. Version
-    allocation is max+1 over the store's view, serialized by the store's
-    own write lock (file store: in-process lock; MongoDB: server-side
-    per-document atomicity — a production deployment would use a counter
-    document with ``find_one_and_update`` for cross-process allocation)."""
+    allocation is max+1 over the store's view, made atomic by the
+    store's :meth:`DocumentStore.transaction` (file store: flock
+    lockfile → cross-PROCESS safe like the SQLite backend, r12 verdict
+    #5; MongoDB: the adapter's transaction is a no-op and a production
+    deployment uses a counter document with ``find_one_and_update``,
+    which makes the RMW a single server-side op)."""
 
     def __init__(self, store: DocumentStore):
         super().__init__(path=None)
         self._store = store
         # version allocation is a read-modify-write across TWO store ops
-        # (find max, then insert) — the store's own lock serializes each
-        # op but not the pair, so without this lock two in-process
-        # threads could both read max=N and both insert N+1 (caught by
-        # tests/test_registry_concurrency.py, r11 verdict #6). Cross-
-        # process allocation stays the store's documented contract
-        # (Mongo: counter document; file store: single-process writers).
+        # (find max, then insert) — the store serializes each op but not
+        # the pair, so without this two in-process threads could both
+        # read max=N and both insert N+1 (caught by
+        # tests/test_registry_concurrency.py, r11 verdict #6). The
+        # in-process lock stays alongside store.transaction() for
+        # stores whose transaction is a no-op (Mongo adapter).
         self._alloc_lock = threading.Lock()
 
     def register_model(self, model_name: str, model_desc: str = "") -> ModelMeta:
         # same read-modify-write shape as version allocation: without
         # the lock two threads both see no "models" doc and both insert
         # one (r12 review) — find+insert must be one atomic step
-        with self._alloc_lock:
+        with self._alloc_lock, self._store.transaction():
             if not self._store.find("models", {"name": model_name}):
                 self._store.insert_one("models", {"name": model_name,
                                                   "model_desc": model_desc})
@@ -532,7 +577,7 @@ class DocumentModelRegistry(ModelRegistry):
 
     def register_model_version(self, model_name: str, model_path: str) -> ModelVersion:
         self.register_model(model_name)
-        with self._alloc_lock:
+        with self._alloc_lock, self._store.transaction():
             existing = self._store.find("model_versions",
                                         {"model_name": model_name})
             version = max((d["version"] for d in existing), default=0) + 1
