@@ -262,6 +262,20 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     id-keyed upsert (use u6_merge_upsert semantics for that), and such
     a row may either append alongside the old one or — when its bands
     collide with the stored copy — be suppressed.
+
+    Store-reuse precondition (r12 advice #4): the probe-based
+    suppression sees a stored id only through its BAND rows, so a store
+    dir must stay paired with its original checkpoint (or be adopted
+    whole, commits dir included — the FOREIGN marker then keeps every
+    batch on the unconditional anti-join path). The unsupported shape
+    is a store whose commits dir survives but whose bands append was
+    lost and never retried (an abandoned checkpoint's half-commit, then
+    a FRESH checkpoint pointed at the same store): that id has no band
+    rows, the fresh checkpoint's batches are first attempts, and a
+    redelivery of it would re-append. The missing-bands-TABLE case is
+    backfilled below; per-id backfill would cost an O(store) id-diff
+    scan per batch — exactly the per-batch corpus rescan this sink
+    exists to avoid — so the pairing rule is the contract.
     """
     import os
     from ..ops import dedup
@@ -306,8 +320,34 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                 pass
         is_retry = os.path.exists(marker) or os.path.exists(foreign)
         os.makedirs(commits_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass   # marker lands BEFORE any append
+        # marker lands DURABLY before any append (r12 advice #2): without
+        # the fsyncs an OS crash can lose the marker while the append's
+        # data files survive, so the replay would look like a first
+        # attempt, skip the anti-join filters, and duplicate store rows —
+        # the exact hole the marker exists to close. (In-process
+        # foreachBatch retries never hit this; it is the power-loss path.)
+        fd = os.open(marker, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(commits_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        # prune markers of batches the checkpoint has already committed
+        # (foreachBatch only reaches batch B after B-1 committed, so any
+        # batch-i marker with i < B can never be consulted again) —
+        # bounds _commits growth at O(1) files instead of one per batch
+        # forever (r12 advice #2)
+        for f in os.listdir(commits_dir):
+            if f.startswith("batch-"):
+                try:
+                    if int(f.split("-", 1)[1]) < batch_id:
+                        os.unlink(os.path.join(commits_dir, f))
+                except (ValueError, OSError):
+                    pass
 
         # within-batch candidates: batch-sized self-join (id_a < id_b)
         cands = (dedup.lsh_candidate_pairs_from_bands(batch_bands)

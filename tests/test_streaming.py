@@ -353,6 +353,12 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
     kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert kept == {1, 3, 6}
 
+    # r12 advice #2: markers of committed batches are pruned (batch B
+    # processing proves B-1 committed), so _commits holds O(1) files
+    # after three drains instead of one per batch forever
+    commits = os.listdir(os.path.join(store, "_commits"))
+    assert [f for f in commits if f.startswith("batch-")] == ["batch-2"]
+
     # RETRY shape (the lsh_probe_banded equal-id exclusion): replay the
     # whole input against the already-populated store — the situation a
     # foreachBatch retry hits after its first attempt appended to the
@@ -360,6 +366,14 @@ def test_streaming_near_dedup_across_batches(spark, tmp_workdir):
     # coexists with its own stored copy (same id); without the
     # id_new != id_corpus filter each would match ITSELF at Jaccard 1.0
     # and the retried batch's downstream write would lose all keepers.
+    # The crash left the attempt MARKER behind (it lands fsynced before
+    # any append) — pre-writing it here is the honest simulation of the
+    # replayed batch id; before the r13 marker pruning this test leaned
+    # on the previous checkpoint's batch-0 marker surviving by accident.
+    # (Without the marker, the replay is indistinguishable from
+    # cross-batch redelivery and is suppressed instead — r12 semantics.)
+    with open(os.path.join(store, "_commits", "batch-0"), "w"):
+        pass
     q = st.streaming_near_dedup(
         stream.read_stream(spark), store_dir=store,
         checkpoint=os.path.join(tmp_workdir, "ck_retry"),
