@@ -345,10 +345,16 @@ def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # reclaim SIBLING tables of the same (table, tag) written
             # under a superseded bucket-count rule — without this every
             # sizing change strands another copy of the fact tables
-            prefix = name.rsplit("_", 1)[0] + "_"
+            # sibling = same (table, tag) base + a NUMERIC bucket-count
+            # suffix ONLY (r12 advice #3: a bare startswith also matched
+            # another sf_dir whose sanitized tag extends this one with an
+            # underscore segment — 'sf1' vs 'sf1_v2' — and silently
+            # discarded that dataset's bucketed write)
+            base = name.rsplit("_", 1)[0]
+            sib = re.compile(re.escape(base) + r"_\d+$")
             try:
                 for d in os.listdir(db_dir):
-                    if d.startswith(prefix) and d != name:
+                    if sib.fullmatch(d) and d != name:
                         # drop the catalog entry FIRST: a same-session
                         # sibling (possible only when the sizing rule is
                         # monkeypatched, e.g. tools/explain_s14_l2edit)

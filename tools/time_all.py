@@ -43,9 +43,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record, keep timing others
             failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # structural end-of-round guard (r12 verdict #7: m10 was born one
+    # commit after the final TIMINGS run, so the artifact covered
+    # 215/216): the artifact must cover the ENTIRE registry it was run
+    # against, or say loudly that it doesn't
+    missing = sorted(set(registry) - set(timings) - set(failures))
+    assert not missing, (
+        f"TIMINGS is stale vs the registry: {len(missing)} declared "
+        f"queries never ran: {missing}")
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(timings),
+        "registry_size": len(registry),
         "total_steady_sec": round(sum(timings.values()), 3),
         "failures": failures,
         "queries": timings,
