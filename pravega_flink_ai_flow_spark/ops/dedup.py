@@ -113,17 +113,25 @@ def minhash_signatures_from_arrays(arrs: DataFrame,
     whole-stage-codegen source whose first-run janino compile costs
     seconds; the array form is a few hundred bytes of code regardless of
     ``num_hashes`` (the coefficient arrays constant-fold to literals)."""
+    return arrs.select("id", minhash_sig_expr(num_hashes).alias("sig"))
+
+
+def minhash_sig_expr(num_hashes: int = 64) -> F.Column:
+    """The in-row MinHash signature EXPRESSION over a ``shingles``
+    column — factored out (r13) so callers that keep other columns can
+    project it instead of joining the ``(id, sig)`` frame back to its
+    own lineage (streaming_near_dedup paid a per-batch self-join for
+    exactly that)."""
     a_lit = F.array(*[F.lit(a) for a in _A[:num_hashes]])
     b_lit = F.array(*[F.lit(b) for b in _B[:num_hashes]])
     hashes = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     # let-bind the hash array: referencing it directly inside the per-
     # permutation lambda would re-inline (re-hash) it per permutation
-    sig = F.get(F.transform(F.array(hashes), lambda hs: F.transform(
+    return F.get(F.transform(F.array(hashes), lambda hs: F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(
             hs, lambda h: F.pmod(F.get(a_lit, i) * h + F.get(b_lit, i),
                                  F.lit(_P)))))), 0)
-    return arrs.select("id", sig.alias("sig"))
 
 
 def minhash_signatures_arrow(arrs: DataFrame,

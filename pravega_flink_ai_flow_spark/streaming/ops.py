@@ -202,7 +202,8 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                          checkpoint: str, id_col: str = "doc_id",
                          text_col: str = "text", out_table: str = None,
                          num_hashes: int = 64, bands: int = 16,
-                         threshold: float = 0.7):
+                         threshold: float = 0.7,
+                         small_batch_rows: int = 100_000):
     """Streaming near-duplicate suppression (T7 × L2): per micro-batch,
     MinHash-sign the new documents, find candidates within the batch AND
     against the accumulated store, drop docs whose near-dup (verified
@@ -228,6 +229,18 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     doc paired with a stored doc always loses regardless of id (arrival
     order wins). Runs with ``availableNow`` for the bounded-drain
     semantics the reference uses (processor.py:108).
+
+    Batches at or under ``small_batch_rows`` take a SHUFFLE-FREE plan
+    (r13): the signature is a projected column (no sig-join), the
+    within-batch pairs come from a broadcast self-join of the banded
+    batch, the store probe/verify/anti-join all broadcast the
+    batch-derived side, and the candidate/dup-id distincts are dropped
+    (duplicate rows on the broadcast side of the final anti-join cannot
+    change it). Every per-batch action is then a single stage over
+    cached inputs. Larger batches keep the aggregate shapes — a forced
+    broadcast of a multi-million-row batch would OOM its build side,
+    and at that size per-row work dominates the per-batch constant
+    anyway (BENCH_stream.json big-batch arm).
 
     Store/bands appends are made IDEMPOTENT under checkpoint retry
     (r9 advice #4): each append anti-joins the batch's new ids against
@@ -286,9 +299,31 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         arrs = dedup.shingle_arrays(dedup.spread(batch_df), id_col, text_col)
-        sigs = dedup.minhash_signatures_from_arrays(arrs, num_hashes)
-        new = (arrs.join(sigs, "id")
-               .select("id", "shingles", "sig").persist())
+        # signature as a PROJECTED column (r13): the old shape joined
+        # the (id, sig) frame back to its own lineage — a per-batch
+        # self-join shuffle for a value computable in-row
+        new = arrs.select(
+            "id", "shingles",
+            dedup.minhash_sig_expr(num_hashes).alias("sig")).persist()
+        # one count materializes the expensive shingle+minhash pass into
+        # the cache AND sizes the batch for the plan choice below
+        n_new = new.count()
+        if n_new == 0:
+            new.unpersist()
+            return
+        # Small batches take a SHUFFLE-FREE plan (r13 — the r12 verdict
+        # asked for the per-batch fixed cost back under its bar): every
+        # join below broadcasts the batch-derived side, the within-batch
+        # pairs come from a broadcast self-join instead of the
+        # groupBy+explode aggregation, and the candidate/dup-id distincts
+        # are dropped (duplicates are harmless on the broadcast side of
+        # the final anti-join). Each per-batch action is then one stage
+        # over cached inputs — no AQE shuffle-stage materialization jobs.
+        # Big batches keep the aggregate shapes: a forced broadcast of a
+        # multi-million-row batch would OOM the build side, and there the
+        # per-batch cost is per-row-dominated anyway (measured flat,
+        # BENCH_stream.json big-batch arm).
+        hinted = n_new <= small_batch_rows
         # band the batch ONCE (r11 verdict #3): the within-batch
         # self-join, the store probe and the bands append all feed from
         # this persisted table — the old shape re-banded the batch for
@@ -350,8 +385,19 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                     pass
 
         # within-batch candidates: batch-sized self-join (id_a < id_b)
-        cands = (dedup.lsh_candidate_pairs_from_bands(batch_bands)
-                 .select("id_a", "id_b", F.lit(False).alias("__ob")))
+        if hinted:
+            a, b = batch_bands.alias("__ba"), batch_bands.alias("__bb")
+            cands = (a.join(
+                F.broadcast(b),
+                (F.col("__ba.band_id") == F.col("__bb.band_id"))
+                & (F.col("__ba.band_sig") == F.col("__bb.band_sig")))
+                .filter(F.col("__ba.id") < F.col("__bb.id"))
+                .select(F.col("__ba.id").alias("id_a"),
+                        F.col("__bb.id").alias("id_b"),
+                        F.lit(False).alias("__ob")))
+        else:
+            cands = (dedup.lsh_candidate_pairs_from_bands(batch_bands)
+                     .select("id_a", "id_b", F.lit(False).alias("__ob")))
         sh_old = None
         if store_exists:
             # batch × store candidates: probe the pre-banded table —
@@ -377,9 +423,21 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
             # old unconditional store-id anti-join's uniqueness
             # guarantee; this restores it from data the probe already
             # reads, costing no extra scan)
-            probe = dedup.lsh_probe_from_bands(
-                batch_bands, spark.read.parquet(bands_dir), id_col="id",
-                exclude_self=is_retry)
+            if hinted:
+                # broadcast probe, distinct dropped (same rationale as
+                # the within-batch arm): the stored bands table streams
+                # map-side past the broadcast batch — no shuffle
+                probed = F.broadcast(batch_bands).join(
+                    spark.read.parquet(bands_dir), ["band_id", "band_sig"])
+                if is_retry:
+                    probed = probed.filter(
+                        F.col("id") != F.col("id_corpus"))
+                probe = probed.select(F.col("id").alias("id_new"),
+                                      "id_corpus")
+            else:
+                probe = dedup.lsh_probe_from_bands(
+                    batch_bands, spark.read.parquet(bands_dir), id_col="id",
+                    exclude_self=is_retry)
             cands = cands.unionByName(
                 probe.select(F.col("id_new").alias("id_a"),
                              F.col("id_corpus").alias("id_b"),
@@ -392,7 +450,9 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         sb = sh_b.select(F.col("id").alias("id_b"),
                          F.col("shingles").alias("__sb"))
         n_common = F.size(F.array_intersect("__sa", "__sb"))
-        verified = (cands.join(sa, "id_a").join(sb, "id_b")
+        pre = cands.join(sa, "id_a") if not hinted \
+            else F.broadcast(cands).join(sa, "id_a")
+        verified = ((F.broadcast(pre) if hinted else pre).join(sb, "id_b")
                     .withColumn("j", n_common /
                                 (F.size("__sa") + F.size("__sb") - n_common))
                     .filter(F.col("j") >= threshold))
@@ -401,9 +461,15 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         # new docs the larger id loses (cands guarantee id_a < id_b)
         dup_ids = (verified.select(
             F.when(F.col("__ob"), F.col("id_a"))
-             .otherwise(F.col("id_b")).alias("id"))
-            .distinct())
-        survivors = new.join(dup_ids, "id", "left_anti").persist()
+             .otherwise(F.col("id_b")).alias("id")))
+        if hinted:
+            # duplicates on the broadcast side of an anti-join are
+            # harmless — the distinct's shuffle isn't
+            survivors = new.join(F.broadcast(dup_ids), "id",
+                                 "left_anti").persist()
+        else:
+            survivors = new.join(dup_ids.distinct(), "id",
+                                 "left_anti").persist()
 
         # Idempotent appends (r9 advice #4): filter each append against
         # the rows ALREADY IN ITS TARGET, so checkpoint retries — even
@@ -428,15 +494,19 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         _not_yet_in(survivors, store_dir, ["id"]) \
             .select("id", "shingles", "sig") \
             .write.mode("append").parquet(store_dir)
+        surv_ids = survivors.select("id")
         band_rows = (batch_bands
-                     .join(survivors.select("id"), "id", "left_semi")
+                     .join(F.broadcast(surv_ids) if hinted else surv_ids,
+                           "id", "left_semi")
                      .select(F.col("id").alias("id_corpus"),
                              "band_id", "band_sig"))
         _not_yet_in(band_rows, bands_dir, ["id_corpus", "band_id"]) \
             .write.mode("append").parquet(bands_dir)
         if out_table is not None:
+            keep_ids = survivors.select(F.col("id").alias(id_col))
             kept = batch_df.join(
-                survivors.select(F.col("id").alias(id_col)), id_col, "left_semi")
+                F.broadcast(keep_ids) if hinted else keep_ids,
+                id_col, "left_semi")
             kept.write.mode("append").saveAsTable(out_table)
         survivors.unpersist()
         batch_bands.unpersist()

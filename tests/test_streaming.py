@@ -631,6 +631,38 @@ def test_streaming_near_dedup_suppresses_cross_batch_redelivery(
             == bands.dropDuplicates(["id_corpus", "band_id"]).count())
 
 
+def test_streaming_near_dedup_big_batch_arm_equals_hinted(spark,
+                                                          tmp_workdir):
+    """The two per-batch plans — the r13 shuffle-free broadcast plan for
+    small batches and the aggregate plan kept for big ones — must keep
+    the same docs. Forcing ``small_batch_rows=0`` routes every batch
+    down the big arm; the keeper set must match what the hinted arm
+    produced in test_streaming_near_dedup_across_batches."""
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    d1 = "the quick brown fox jumps over the lazy dog in the bright morning"
+    d3 = "completely unrelated text about query engines and shuffles here"
+    stream.append(spark.createDataFrame([(1, d1)], doc_schema))
+    stream.append(spark.createDataFrame(
+        [(2, d1.replace("morning", "evening")), (3, d3)], doc_schema))
+
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"),
+        threshold=0.5, small_batch_rows=0)
+    q.awaitTermination()
+    kept = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert kept == {1, 3}
+    banded = spark.read.parquet(store + "_bands")
+    assert {r.id_corpus for r in banded.select("id_corpus")
+            .distinct().collect()} == {1, 3}
+
+
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
     """Continuous-aggregate pattern: partial aggregates appended per
     drain, merged at read — must equal a full batch recompute."""
