@@ -47,6 +47,10 @@ def pravega_rpc(host: str, port: int, request: dict) -> dict:
             if not chunk:
                 break
             buf += chunk
+    if not buf:
+        raise ConnectionError(
+            "pravega server closed the connection without a response "
+            "(torn read)")
     resp = json.loads(buf.decode("utf-8"))
     if resp.get("error"):
         raise RuntimeError(f"pravega server error: {resp['error']}")
@@ -79,6 +83,10 @@ class PravegaEmulatorServer:
         self._lock = threading.Lock()
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
+        # chaos hook (tests): op name → number of connections to DROP
+        # mid-request (close without a response — the torn-TCP shape a
+        # real segment store failure produces client-side)
+        self._chaos_drops: dict[str, int] = {}
 
     # -- direct (in-process) API -------------------------------------------
 
@@ -181,6 +189,8 @@ class PravegaEmulatorServer:
             def handle(self) -> None:
                 try:
                     req = json.loads(self.rfile.readline().decode("utf-8"))
+                    if outer._consume_chaos(req.get("op")):
+                        return   # drop the connection, no response
                     resp = outer._dispatch(req)
                 except Exception as e:  # malformed request must not kill the server
                     resp = {"error": f"{type(e).__name__}: {e}"}
@@ -192,6 +202,9 @@ class PravegaEmulatorServer:
 
         self._server = Server((self._host, self._want_port), Handler)
         host, port = self._server.server_address[:2]
+        # pin the ephemeral port: a later start()/restart() rebinds the
+        # SAME address, so clients holding the controller uri reconnect
+        self._want_port = port
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         name="pravega-emulator", daemon=True)
         self._thread.start()
@@ -202,6 +215,31 @@ class PravegaEmulatorServer:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+
+    def restart(self) -> tuple[str, int]:
+        """Rebind on the SAME port with state kept — the crash/recovery
+        shape the chaos tests drive (a production Pravega keeps the log
+        durable across controller restarts; here durability is the
+        object's lifetime). Works on a stopped server too: start() pins
+        the bound port."""
+        self.stop()
+        return self.start()
+
+    # -- chaos hooks (tests) -------------------------------------------------
+
+    def inject_connection_drops(self, op: str, times: int) -> None:
+        """Drop the next ``times`` connections carrying ``op`` without a
+        response — the client sees a torn read mid-pull."""
+        with self._lock:
+            self._chaos_drops[op] = times
+
+    def _consume_chaos(self, op: str) -> bool:
+        with self._lock:
+            left = self._chaos_drops.get(op, 0)
+            if left > 0:
+                self._chaos_drops[op] = left - 1
+                return True
+            return False
 
     @property
     def controller_uri(self) -> str:

@@ -182,6 +182,132 @@ def test_capped_restart_no_duplicates(spark, server, tmp_workdir):
     assert got.select("event_id").distinct().count() == 300
 
 
+def test_stream_chaos_recovery_equals_uninterrupted(spark, server,
+                                                    tmp_workdir):
+    """Exactly-once under INJECTED failures (r12 verdict #6 — the claim
+    was pytest-proven only on clean restarts). Three failure points:
+
+    1. mid-pull TCP drop: the server closes an executor's ranged-read
+       connection without a response (torn read) — the micro-batch
+       fails, the query dies, and the checkpoint restart must replay
+       that exact range;
+    2. server death between micro-batches: the listener goes away
+       entirely (connection refused at the next offset probe), then
+       comes back on the SAME port with the log intact;
+    3. query killed mid-backlog: an admission-capped drain is stopped
+       after the first committed micro-batch, with records still
+       unread.
+
+    After all three recoveries the sink must equal the uninterrupted
+    drain of the same 900 records on a pristine server: same count,
+    every event_id exactly once."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    pravega_source.register(spark)
+    server.append("scope", "chaos", _events(0, 600))
+    ckpt = os.path.join(tmp_workdir, "ck_chaos")
+    sink = os.path.join(tmp_workdir, "sink_chaos")
+    # capture the address once: the property asserts a LIVE listener,
+    # and failure point 2 deliberately probes a dead one
+    uri = server.controller_uri
+
+    def drain(**extra):
+        sdf = (spark.readStream.format("pravega_socket")
+               .schema(SCHEMA)
+               .option("controller", uri)
+               .option("scope", "scope").option("stream", "chaos"))
+        for k, v in extra.items():
+            sdf = sdf.option(k, v)
+        q = (sdf.load().writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # failure point 1: torn read mid-pull (local[4] has no task
+    # retries, so the dropped connection fails the whole query)
+    server.inject_connection_drops("read", 1)
+    with pytest.raises(StreamingQueryException):
+        drain()
+    assert server._chaos_drops.get("read") == 0   # the drop DID fire
+    drain()                                       # recovery replay
+    assert spark.read.parquet(sink).count() == 600
+
+    # failure point 2: server dies between micro-batches, comes back on
+    # the same port with the log intact
+    server.append("scope", "chaos", _events(600, 750))
+    host, port = parse_controller_uri(server.controller_uri)
+    server.stop()
+    with pytest.raises(Exception):
+        pravega_rpc(host, port, {"op": "tail", "scope": "scope",
+                                 "stream": "chaos"})   # really down
+    with pytest.raises(StreamingQueryException):
+        drain()
+    server.restart()
+    assert parse_controller_uri(server.controller_uri)[1] == port
+    drain()
+    assert spark.read.parquet(sink).count() == 750
+
+    # failure point 3: kill the query mid-backlog (capped continuous
+    # trigger, stopped after the first committed rows), then finish
+    server.append("scope", "chaos", _events(750, 900))
+    sdf = (spark.readStream.format("pravega_socket")
+           .schema(SCHEMA)
+           .option("controller", server.controller_uri)
+           .option("scope", "scope").option("stream", "chaos")
+           .option("maxRecordsPerBatch", "50").load())
+    q = (sdf.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(processingTime="100 milliseconds").start())
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or [])):
+            break
+        time.sleep(0.2)
+    q.stop()           # mid-backlog kill
+    q.awaitTermination(60)
+    mid = spark.read.parquet(sink).count()
+    assert mid < 900   # genuinely killed with backlog remaining
+    # finish from the checkpoint. Python stream sources fall back to
+    # single-batch execution for availableNow (Spark's own WARN), so a
+    # restart over an UNCOMMITTED batch replays that batch's recorded
+    # range first and needs another drain for the rest — loss/dup-free
+    # either way, which is what this test pins
+    for _ in range(3):
+        drain()
+        if spark.read.parquet(sink).count() >= 900:
+            break
+
+    got = spark.read.parquet(sink)
+    assert got.count() == 900
+    ids = sorted(r.event_id for r in got.select("event_id").collect())
+    assert ids == list(range(900))   # drain-equal: no loss, no dup
+
+    # the uninterrupted control: a pristine server + fresh checkpoint
+    # over the same 900 records lands the identical set
+    ctrl = PravegaEmulatorServer()
+    ctrl.start()
+    try:
+        ctrl.append("scope", "chaos", _events(0, 900))
+        sink2 = os.path.join(tmp_workdir, "sink_ctrl")
+        sdf = (spark.readStream.format("pravega_socket")
+               .schema(SCHEMA)
+               .option("controller", ctrl.controller_uri)
+               .option("scope", "scope").option("stream", "chaos").load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", sink2)
+             .option("checkpointLocation",
+                     os.path.join(tmp_workdir, "ck_ctrl"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        ids2 = sorted(r.event_id for r in
+                      spark.read.parquet(sink2).select("event_id").collect())
+        assert ids2 == ids
+    finally:
+        ctrl.stop()
+
+
 def test_batch_write_and_timestamp_roundtrip(spark, server):
     pravega_source.register(spark)
     ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
