@@ -30,13 +30,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Sustained floor for the 10-micro-batch drain: measured ~205 rows/s
-# quiet after the r12 fixed-cost compression (500-doc batches; the
-# ~2.4 s/batch is FIXED micro-batch cost — plan + ~8 jobs + one
-# banding pass + two parquet appends; the idempotency scans now run
-# only on checkpoint retry — not per-row work: the big-batch arm below
-# and the flat last-vs-first batch duration prove it). The floor
-# catches an order-of-magnitude regression, not run-to-run noise.
+# Sustained floor for the 10-micro-batch drain: measured ~254 rows/s
+# quiet after the r13 fixed-cost compression (500-doc batches at
+# ~2.0 s/batch of FIXED micro-batch cost: one raw batch count, the
+# shuffle-free broadcast plan materializing into the store append, and
+# the bands append racing it in a parallel thread; the idempotency
+# scans run only on checkpoint retry — not per-row work: the big-batch
+# arm below and the flat last-vs-first batch duration prove it). The
+# floor catches an order-of-magnitude regression, not run-to-run noise.
 FLOOR_ROWS_PER_SEC = 120
 N_BATCHES = 10
 N_BATCHES_BIG = 2   # second arm: same rows, 2500-doc batches —
