@@ -45,6 +45,32 @@ _DEFAULTS = {
     "applicationSideScanSizeThreshold": str(64 * 1024 * 1024),
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
         str(256 * 1024 * 1024),
+    # ...and SIZE the bloom for the keys it will actually hold (r13,
+    # tools/shuffle_projection.py): parquet scans carry no CBO row-count
+    # stats, so Spark sizes every injected bloom from expectedNumItems
+    # (default 1M → 8M bits) no matter how big the creation side is —
+    # the sf10 tier's 10.45M-key creation sides got a 1M-item filter
+    # whose FPR collapses (the bloom pruned lineitem 6M→4.2M at sf1 but
+    # 60M→59.9M at sf10; that eroding prune was the whole measured
+    # >10x within-regime shuffle-record slope on q5/j3/q21 —
+    # SHUFFLE_PROJECTION.json). 4M items / 2^25 bits (4 MB) is the
+    # MEASURED box optimum of the grid {2^23 (default), 2^25, 2^26,
+    # 2^27} on sf10: q5 4.08→3.24 s with shuffle 448→223 MB, q21
+    # 8.64→8.28 s with 2410→1555 MB, j3 4.24→5.03 s (its date filter
+    # keeps ~70% of orders, so the prune ceiling is small and probe
+    # cost dominates — the one regression, outweighed). Bigger filters
+    # keep cutting BYTES but lose WALL here because a single box pays
+    # per-row probes into a cache-unfriendly bit array while its
+    # "network" is memcpy; on a real cluster the bytes cross actual
+    # network, so deployments at 100 TB should raise these caps with
+    # executor count (the projection tool records both byte slopes).
+    "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
+        str(4 * 1024 * 1024),
+    "spark.sql.optimizer.runtime.bloomFilter.numBits": str(1 << 25),
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems":
+        str(32 * 1024 * 1024),
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits":
+        str(1 << 28),
     # local runs read small parquet; keep partition count sane
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Quantify the cluster story for the shuffle-bound sf10 tail
+(r12 verdict next #4): tpch_q5 (6.69x at 10x data), j3_large_large_join
+and tpch_q21 were "a cluster absorbs the shuffle growth" by ARGUMENT.
+This tool makes it a measurement:
+
+  per query and tier (sf1, sf10): run once on the v2 layout and sum the
+  per-stage shuffle write/read bytes from the Spark status REST API
+  (only stages born after the warm run count).
+
+Fitting detail learned from the first run: the NATURAL plans change
+REGIME across the decade — at sf1 the q5/j3 fact joins broadcast
+(shuffle ~0.01 MB) and at sf10 they cross autoBroadcastJoinThreshold
+into sort-merge (hundreds of MB), so the naive bytes(sf10)/bytes(sf1)
+ratio (~4.5e4) is a plan transition, not shuffle growth. At 100 TB
+every such join is in the shuffle regime already, so the quantity that
+predicts the next decade is the WITHIN-REGIME slope: both tiers are
+re-measured with autoBroadcastJoinThreshold=-1 (forcing the
+shuffle-regime plan sf1 normally skips) and the slope
+s = forced(sf10)/forced(sf1) projects bytes(sf100) =
+natural(sf10) * s.
+
+The cluster claim is then arithmetic: if executor cores scale with the
+data (the whole point of a cluster), per-core shuffle volume moves by
+s/10 per decade — s <= 10 means the volume per core is flat or
+shrinking at any scale, and the fixed-32-core wall ratios in
+BENCH_sf10 are box artifacts, not plan defects. s > 10 would mean the
+plan genuinely super-linearizes shuffle and needs a re-plan.
+
+Writes SHUFFLE_PROJECTION.json; the table lands in PERFORMANCE.md.
+Run quiet: byte counts are deterministic but wall-clock neighbors can
+starve the UI store's event queue (dropped events undercount bytes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+QUERIES = ["tpch_q5", "j3_large_large_join", "tpch_q21", "j9_asof_join"]
+CORES_SMALL = 32          # the measurement box
+DECADE = 10.0
+
+
+def stage_bytes(url: str, app: str, after_stage: int) -> dict:
+    stages = json.load(urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app}/stages?status=complete"))
+    new = [s for s in stages if s["stageId"] > after_stage]
+    return {
+        "write": sum(s.get("shuffleWriteBytes", 0) for s in new),
+        "read": sum(s.get("shuffleReadBytes", 0) for s in new),
+        "records": sum(s.get("shuffleWriteRecords", 0) for s in new),
+        "max_stage": max([s["stageId"] for s in stages], default=after_stage),
+    }
+
+
+def max_stage(url: str, app: str) -> int:
+    stages = json.load(urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app}/stages"))
+    return max([s["stageId"] for s in stages], default=-1)
+
+
+def main() -> None:
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.sql.shuffle.partitions"] = "32"
+    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY",
+                                                 "32g")
+    conf["spark.ui.enabled"] = "true"   # the REST status store IS the tool
+    conf["spark.ui.retainedStages"] = "5000"
+    spark = get_spark("shuffle-projection", extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    registry = load_all()
+    tiers = {
+        "sf1": bench.normalize_layout(
+            os.path.join(REPO, "testdata_scale", "sf1")),
+        "sf10": bench.normalize_layout(
+            os.path.join(REPO, "testdata_scale", "sf10")),
+    }
+
+    def measure(fn, d: str) -> float:
+        # fresh DataFrame per run: re-running the SAME df object lets
+        # Spark reuse its materialized shuffle stages and the counted
+        # run reads ~0 bytes (observed: tpch_q5 sf1 "0.01 MB"). Two
+        # counted runs, max taken — stragglers in the UI event queue
+        # can drop a stage's metrics under load.
+        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+        best, recs = 0.0, 0
+        for _ in range(2):
+            before = max_stage(url, app)
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            got = stage_bytes(url, app, before)
+            if got["write"] / 2**20 > best:
+                best, recs = got["write"] / 2**20, got["records"]
+        return round(best, 2), recs
+
+    out: dict = {"queries": {}}
+    for name in QUERIES:
+        fn = registry[name].fn
+        row: dict = {}
+        for tier, d in tiers.items():
+            row[f"{tier}_natural_write_mb"], _ = measure(fn, d)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for tier, d in tiers.items():
+                (row[f"{tier}_forced_smj_write_mb"],
+                 row[f"{tier}_forced_smj_records"]) = measure(fn, d)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        row["records_slope_per_decade"] = round(
+            row["sf10_forced_smj_records"]
+            / max(row["sf1_forced_smj_records"], 1), 2)
+        s = (row["sf10_forced_smj_write_mb"]
+             / max(row["sf1_forced_smj_write_mb"], 1e-9))
+        row["within_regime_slope_per_decade"] = round(s, 2)
+        row["sf100_projected_write_mb"] = round(
+            row["sf10_natural_write_mb"] * s, 1)
+        # per-core volume when cores scale with data (32 -> 320 -> 3200)
+        row["per_core_mb_sf10_32c"] = round(
+            row["sf10_natural_write_mb"] / CORES_SMALL, 2)
+        row["per_core_mb_sf100_320c"] = round(
+            row["sf100_projected_write_mb"] / (CORES_SMALL * DECADE), 2)
+        row["per_core_factor_per_decade"] = round(s / DECADE, 3)
+        out["queries"][name] = row
+        print(name, json.dumps(row))
+
+    out["model"] = ("within-shuffle-regime slope fitted from the "
+                    "sf1->sf10 decade with autoBroadcastJoinThreshold "
+                    "disabled (the natural sf1 plans broadcast and "
+                    "would fit a plan TRANSITION, not growth); "
+                    "sf100 = natural sf10 bytes x slope; per-core "
+                    "columns assume executor cores scale with data "
+                    "(32 at sf10 -> 320 at sf100); factor s/10 <= 1 "
+                    "means per-core shuffle volume is flat or shrinks "
+                    "each decade — the quantified 'a cluster absorbs "
+                    "it' claim")
+    with open(os.path.join(REPO, "SHUFFLE_PROJECTION.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
