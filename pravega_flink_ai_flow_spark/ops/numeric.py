@@ -34,3 +34,26 @@ def sequential_sq_norm(vals) -> float:
     for x in vals:
         kk += float(x) * float(x)
     return kk
+
+
+def seq_dots(X, C):
+    """All-pairs dot products ``(n,d) x (m,d) -> (n,m)`` accumulated
+    as a PER-DIMENSION left fold — the exact float chain of DuckDB's
+    ``list_dot_product`` / Spark's ``F.aggregate`` sequential folds
+    (pinned against live DuckDB in tests/test_numeric_helpers.py).
+    BLAS GEMM reassociates the sum, so an argmin/argmax over GEMM keys
+    can flip at a near-tie the oracle resolves the other way (r12
+    advice #1); the slack-banded re-scores in ops/similarity and
+    queries/llm_similarity recompute flagged rows through THIS chain.
+    O(n·m·d) python-loop-over-d vectorized ops — used only on the rare
+    flagged rows, never the hot path."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for j in range(X.shape[1]):
+        # 0.0 + x0*c0 == x0*c0 exactly, so starting from zeros keeps
+        # the chain identical to the engines' first-element seed
+        acc += X[:, j:j + 1] * C[:, j][None, :]
+    return acc

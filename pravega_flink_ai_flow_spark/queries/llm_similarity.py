@@ -595,10 +595,12 @@ def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same literals (serving a frozen PQ index is exactly how a
     production ANN deployment works). Per Arrow batch: one GEMM per
     subspace encodes the corpus codes (the ``||c||²`` term is the
-    SAME sequential-fold float as the oracle's literal, the ``-2·dot``
-    half is GEMM-vs-sequential — the accepted ulp class every green
-    GEMM twin carries — and ties break to the lowest code in both
-    engines), the query-side distance
+    SAME sequential-fold float as the oracle's literal; the ``-2·dot``
+    half is GEMM on the fast path, and any row whose best-vs-runner-up
+    margin lands inside float noise is re-encoded through the oracle's
+    exact sequential-fold chain before the argmin — r12 advice #1, the
+    cosine_near_dup re-score pattern applied to code assignment; ties
+    break to the lowest code in both engines), the query-side distance
     table rides the closure, scores are table lookups, and each batch
     emits only its per-query top-k for the global window merge — the
     plan shape a 100 TB PQ store needs (codes are 8 bytes/vector; the
@@ -612,7 +614,7 @@ def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml import pinned
     from pyspark.sql import Window
 
-    from ..ops.numeric import round_half_away, sequential_sq_norm
+    from ..ops.numeric import round_half_away, seq_dots, sequential_sq_norm
 
     books = np.asarray(pinned.PQ_CODEBOOKS, dtype=np.float64)  # (8,16,8)
     m, ks, dsub = books.shape
@@ -644,8 +646,23 @@ def l3c_pq_pinned_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = np.empty((n, m), dtype=np.int64)
             for s in range(m):
                 Xs = X[:, s * dsub:(s + 1) * dsub]
-                codes[:, s] = np.argmin(
-                    -2.0 * (Xs @ books[s].T) + KK[s], axis=1)
+                dist = -2.0 * (Xs @ books[s].T) + KK[s]
+                codes[:, s] = np.argmin(dist, axis=1)
+                # Slack-banded exact re-argmin (r12 advice #1): the
+                # GEMM keys reassociate the oracle's sequential fold,
+                # so a near-tie between two codes could assign
+                # differently in SQL and move adc_dist by far more
+                # than the 6-dp round absorbs. Rows whose best-vs-
+                # runner-up margin is inside float noise re-encode
+                # through the fold chain (seq_dots == list_dot_product
+                # bit-for-bit); np.argmin's first-hit tie-break is the
+                # oracle's ORDER BY dist, k.
+                part = np.partition(dist, 1, axis=1)
+                risky = np.nonzero(part[:, 1] - part[:, 0] <= 1e-9)[0]
+                if risky.size:
+                    exact = (-2.0 * seq_dots(Xs[risky], books[s])
+                             + KK[s])
+                    codes[risky, s] = np.argmin(exact, axis=1)
             # scores[qi, c] = sum_s D[qi, s, codes[c, s]]
             scores = np.zeros((len(q_ids), n))
             for s in range(m):

@@ -866,6 +866,25 @@ def test_semdedup_properties(spark):
         assert any(m != r and cos(r, m) >= tau for m in by_cell[cell[r]]), r
 
 
+def test_nearest_refs_tie_resolves_to_lowest_ref_id(spark):
+    """The slack-band exact re-score (r12 advice #1): when a vector is
+    EXACTLY equidistant from two refs — the degenerate worst case of a
+    GEMM-vs-fold near-tie — the pick must be the lower ref id (the
+    oracle's ORDER BY sim DESC, cent_id ASC), via the sequential-fold
+    re-score path, not whatever the GEMM argsort happened to emit."""
+    from pravega_flink_ai_flow_spark.ops import similarity as sim
+
+    # two identical refs under different ids: every row ties exactly
+    refs = [(7, [1.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5, 0.25]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    out = sim.nearest_refs_arrow(df, id_col="vec_id", vec_col="embedding",
+                                 ref_rows=refs, k=1, out_col="cell")
+    cells = {r.cell for r in out.collect()}
+    assert cells == {3}
+
+
 def test_connected_components_empty_pairs(spark):
     """No near-dup pairs → empty components frame with the right
     schema (the driver union-find path must not choke on zero rows)."""
