@@ -50,12 +50,14 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 12 window: ONE rows-only-by-design entry — l2_simhash_pairs
-    # (xxhash64 signature has no SQL equivalent; it rides in from the
-    # r7-stale pool, not by choice). m5/m6 now have hash-checkable
-    # pinned-weights scoring twins in the window instead (m5b/m6b —
-    # r11 verdict #1), so no iterative trainer spends a slot on the
-    # weak check this round. Any commit that touches _PROMOTED must
-    # update this set in the SAME commit and re-run the suite — r7
-    # shipped red by skipping that (VERDICT r7 wrong #1).
-    assert rows_only == {"l2_simhash_pairs"}, sorted(rows_only)
+    # round 13 window: TWO rows-only-by-design entries —
+    # a14_hll_mergeable_sketch (sketch estimates, tolerance-pytest per
+    # the SURVEY A4 policy; rides in from the r9-stale pad) and
+    # l3_ivf_kmeans_topk (iterative Lloyd trainer, re-promoted because
+    # nearest_refs_arrow's slack re-score changed its shared
+    # implementation; its hash-checkable pinned twin l3b is in the SAME
+    # window). Any commit that touches _PROMOTED must update this set
+    # in the SAME commit and re-run the suite — r7 shipped red by
+    # skipping that (VERDICT r7 wrong #1).
+    assert rows_only == {"a14_hll_mergeable_sketch",
+                         "l3_ivf_kmeans_topk"}, sorted(rows_only)
