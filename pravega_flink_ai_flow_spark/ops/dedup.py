@@ -302,6 +302,84 @@ def lsh_probe_from_bands(new_banded: DataFrame,
     return probed.select("id_new", "id_corpus").distinct()
 
 
+def write_keyed_shingle_store(arrs: DataFrame, path: str, *,
+                              id_col: str = "id",
+                              n_parts: int = 4096) -> None:
+    """Persist a shingle table for O(matches)-ish point lookups: rows
+    land in ``pmod(xxhash64(id), n_parts)`` DIRECTORY partitions, so a
+    later lookup of k candidate ids scans only the partitions those ids
+    hash into — expected fraction 1-(1-1/P)^k ≈ k/P of the store
+    instead of all of it. This is the "id-bucketed store" the
+    incremental-probe verify step was flagged as an upper bound
+    WITHOUT (r12 verdict): the probe's LSH candidates touch ~0.76% of
+    the corpus per batch (measured at sf10: 3 035 distinct ids of
+    400 000), but a flat parquet store makes the verify join scan 100%
+    of the shingle column anyway.
+
+    The break-even rule IS the sizing rule: pruning pays only while
+    candidate count k ≪ P — at k ≈ P every partition is touched and
+    the layout only adds file-listing overhead. Size
+    ``n_parts ≈ corpus_docs / target_docs_per_partition`` and expect
+    wins when per-batch candidates stay under ~P/10. At 100 TB
+    (10⁹ docs, ~10⁵ candidate ids/batch) P = 10⁵ partitions of ~10⁴
+    docs reads ~63%·k/P… i.e. ~10% of the store — a 10× I/O cut the
+    flat layout structurally cannot give."""
+    # repartition ON the partition key first: otherwise every input
+    # task opens a writer per directory it touches (up to
+    # tasks × n_parts tiny files — measured pathological at 32 × 4096);
+    # hash-clustered, each directory gets exactly one file
+    (arrs.withColumn("__pb", F.pmod(F.xxhash64(F.col(id_col)),
+                                    F.lit(n_parts)))
+     .repartition(min(n_parts, 512), "__pb")
+     .write.mode("overwrite").partitionBy("__pb").parquet(path))
+
+
+def keyed_shingle_lookup(spark, store, cand_ids: DataFrame, *,
+                         id_col: str = "id", n_parts: int = 4096,
+                         max_ids: int = 100_000) -> DataFrame:
+    """Fetch the shingle rows of ``cand_ids`` from a
+    :func:`write_keyed_shingle_store` layout (same ``n_parts``) with
+    static partition pruning: the candidate ids are collected (driver
+    guard: ``max_ids``), their partition keys become a LITERAL ``IN``
+    on the partition column — pruned to directories at planning time,
+    visible as ``partition filters: [__pb IN (…)]`` in the scan node —
+    and a broadcast semi-join keeps exactly the candidate ids among
+    the survivors (id literals stay OUT of the plan: a 100 k-literal
+    ``isin`` costs more Catalyst analysis than it saves). Falls back
+    to the full-scan semi-join when the candidate set exceeds the
+    guard — at that size most partitions are touched anyway, so the
+    scan is near-optimal (the break-even note on
+    :func:`write_keyed_shingle_store`).
+
+    ``store``: the path, or — for a reader issuing MANY lookups — the
+    ``spark.read.parquet(path)`` DataFrame read ONCE and passed in:
+    building the DataFrame performs the O(n_parts) partition DISCOVERY
+    (4096 directory listings ≈ seconds on a local filesystem, measured
+    to swamp the pruning it enables), while pruning itself runs
+    against the relation's cached file index. A table format with
+    manifests (Iceberg/Delta) or a metastore entry makes the discovery
+    O(1) — that is what this parameter stands in for."""
+    first = cand_ids.columns[0]
+    distinct_ids = (cand_ids.select(F.col(first).alias(id_col))
+                    .distinct())
+    rows = distinct_ids.limit(max_ids + 1).collect()
+    store = (spark.read.parquet(store) if isinstance(store, str)
+             else store)
+    if len(rows) > max_ids:
+        return (store.join(distinct_ids, id_col, "left_semi")
+                .drop("__pb"))
+    if not rows:
+        return store.filter(F.lit(False)).drop("__pb")
+    ids_df = spark.createDataFrame(rows, f"{id_col} long")
+    # partition keys via the SAME jvm expression the writer used (one
+    # tiny driver-local job, no store scan)
+    pbs = sorted({r[0] for r in ids_df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts))).collect()})
+    return (store.filter(F.col("__pb").isin(pbs))
+            .join(F.broadcast(ids_df), id_col, "left_semi")
+            .drop("__pb"))
+
+
 def lsh_candidate_pairs_between(sig_new: DataFrame, sig_corpus: DataFrame,
                                 num_hashes: int = 64,
                                 bands: int = 16) -> DataFrame:

@@ -885,6 +885,41 @@ def test_nearest_refs_tie_resolves_to_lowest_ref_id(spark):
     assert cells == {3}
 
 
+def test_keyed_shingle_store_lookup_prunes_and_matches(spark, tmp_workdir):
+    """The id-keyed shingle store (r12 verdict: the incremental probe's
+    verify was an 'upper bound pending id-bucketed store'): the pruned
+    lookup must (1) return exactly the semi-join ground truth, (2)
+    actually PRUNE — its scan carries the partition-key IN filter —
+    (3) fall back to the full-scan semi-join over the guard, and (4)
+    return empty for an empty candidate set."""
+    import os
+
+    path = os.path.join(tmp_workdir, "keyed_store")
+    arrs = spark.createDataFrame(
+        [(i, [f"s{i}", f"s{i+1}", "common"]) for i in range(2000)],
+        "id long, shingles array<string>")
+    dedup.write_keyed_shingle_store(arrs, path, n_parts=64)
+
+    cand = spark.createDataFrame([(5,), (77,), (1999,)], "id_corpus long")
+    got = dedup.keyed_shingle_lookup(spark, path, cand, n_parts=64)
+    assert sorted(r.id for r in got.collect()) == [5, 77, 1999]
+    assert set(got.columns) == {"id", "shingles"}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__pb" in plan and "IN" in plan   # partition filter present
+
+    # guard exceeded -> full-scan semi-join, same answer
+    fb = dedup.keyed_shingle_lookup(spark, path, cand, n_parts=64,
+                                    max_ids=2)
+    assert sorted(r.id for r in fb.collect()) == [5, 77, 1999]
+    fb_plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "__pb IN" not in fb_plan
+
+    empty = dedup.keyed_shingle_lookup(
+        spark, path, spark.createDataFrame([], "id_corpus long"),
+        n_parts=64)
+    assert empty.count() == 0
+
+
 def test_connected_components_empty_pairs(spark):
     """No near-dup pairs → empty components frame with the right
     schema (the driver union-find path must not choke on zero rows)."""

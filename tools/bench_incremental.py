@@ -72,6 +72,8 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="bench_incr_")
     sh_path = os.path.join(work, "corpus_shingles")
     band_path = os.path.join(work, "corpus_bands")
+    keyed_path = os.path.join(work, "corpus_shingles_keyed")
+    N_PARTS = 4096   # ≈ corpus/100 docs per directory at this tier
 
     def verified(cands, arrs_n, arrs_c):
         """Exact-Jaccard ≥ 0.7 verify — the l2_incremental_dedup tail."""
@@ -103,6 +105,22 @@ def main() -> None:
     t0 = time.perf_counter()
     setup()
     setup_sec = round(time.perf_counter() - t0, 3)
+    # the id-KEYED store variant (r12 verdict: the probe verify was an
+    # upper bound "pending id-bucketed store" — this measures it).
+    # Timed SEPARATELY: the flat-probe arm's crossover must not be
+    # charged for an artifact only the keyed arm reads.
+    t0 = time.perf_counter()
+    dedup.write_keyed_shingle_store(spark.read.parquet(sh_path),
+                                    keyed_path, n_parts=N_PARTS)
+    keyed_setup_sec = round(time.perf_counter() - t0, 3)
+    # read ONCE: building this DataFrame performs the O(n_parts)
+    # partition discovery (measured ~9 s of the keyed verify when done
+    # per lookup); per-batch pruning then runs against its cached file
+    # index — the role a table-format manifest plays at 100 TB
+    t0 = time.perf_counter()
+    keyed_store = spark.read.parquet(keyed_path)
+    keyed_store.schema   # force relation resolution / file listing
+    keyed_discovery_sec = round(time.perf_counter() - t0, 3)
     stored_sh = spark.read.parquet(sh_path)
     stored_bands = spark.read.parquet(band_path)
 
@@ -145,18 +163,70 @@ def main() -> None:
             arrs_n.unpersist()
             return out
 
+        # KEYED-STORE probe: same banding + bucket-table probe, but the
+        # verify fetches candidate shingles through the partition-pruned
+        # keyed store instead of scanning the flat shingle parquet
+        def probe_keyed_run():
+            arrs_n = dedup.shingle_arrays(dedup.spread(batch),
+                                          "doc_id", "text", 3).persist()
+            sig_n = dedup.minhash_signatures_arrow(arrs_n, 64)
+            cands = dedup.lsh_probe_banded(sig_n, stored_bands,
+                                           64, 16).persist()
+            fetched = dedup.keyed_shingle_lookup(
+                spark, keyed_store, cands.select("id_corpus"),
+                n_parts=N_PARTS)
+            out = {(r.id_new, r.id_corpus)
+                   for r in verified(cands, arrs_n, fetched).collect()}
+            cands.unpersist()
+            arrs_n.unpersist()
+            return out
+
         ce, se, exact_pairs = timed_twice(exact_run)
         cp, sp, probe_pairs = timed_twice(probe_run)
+        ck, sk, keyed_pairs = timed_twice(probe_keyed_run)
         rec = (len(probe_pairs & exact_pairs) / len(exact_pairs)
                if exact_pairs else 1.0)
         recalls.append(round(rec, 4))
+        assert keyed_pairs == probe_pairs, (
+            "keyed-store verify changed the answer")
         exact_rows.append({"cold_sec": ce, "steady_sec": se,
                            "pairs": len(exact_pairs)})
         probe_rows.append({"cold_sec": cp, "steady_sec": sp,
-                           "pairs": len(probe_pairs)})
+                           "pairs": len(probe_pairs),
+                           "keyed_cold_sec": ck, "keyed_steady_sec": sk})
         print(f"batch {k}: exact {se:.2f}s ({len(exact_pairs)} pairs)  "
               f"probe {sp:.2f}s ({len(probe_pairs)} pairs)  "
-              f"recall {rec:.4f}", flush=True)
+              f"keyed {sk:.2f}s  recall {rec:.4f}", flush=True)
+
+    # the WIN side of the keyed store's break-even rule: a tiny batch
+    # whose candidate count is far under N_PARTS, verified both ways
+    tiny = docs.filter((F.col("doc_id") % 10 >= 8)
+                       & (F.col("doc_id") % 997 == 1))
+    arrs_t = dedup.shingle_arrays(dedup.spread(tiny),
+                                  "doc_id", "text", 3).persist()
+    sig_t = dedup.minhash_signatures_arrow(arrs_t, 64)
+    cands_t = dedup.lsh_probe_banded(sig_t, stored_bands, 64, 16).persist()
+    n_cand_ids = cands_t.select("id_corpus").distinct().count()
+
+    def tiny_flat():
+        return verified(cands_t, arrs_t, stored_sh).count()
+
+    def tiny_keyed():
+        fetched = dedup.keyed_shingle_lookup(
+            spark, keyed_store, cands_t.select("id_corpus"),
+            n_parts=N_PARTS)
+        return verified(cands_t, arrs_t, fetched).count()
+
+    _, tf_s, n1 = timed_twice(tiny_flat)
+    _, tk_s, n2 = timed_twice(tiny_keyed)
+    assert n1 == n2
+    tiny_entry = {"batch_docs": tiny.count(),
+                  "cand_distinct_ids": n_cand_ids,
+                  "flat_verify_steady_sec": tf_s,
+                  "keyed_verify_steady_sec": tk_s,
+                  "verified_pairs": n1}
+    arrs_t.unpersist()
+    cands_t.unpersist()
 
     exact_total = round(sum(r["steady_sec"] for r in exact_rows), 3)
     probe_total = round(setup_sec
@@ -179,10 +249,24 @@ def main() -> None:
         "probe_total_sec_incl_setup": probe_total,
         "recall_per_batch": recalls,
         "crossover_batches": crossover,
-        "note": ("probe verify joins the persisted shingle parquet — a "
-                 "local-disk scan per batch; with an id-bucketed store "
-                 "the lookup is O(matches), so probe times are an upper "
-                 "bound"),
+        "keyed_store_n_parts": N_PARTS,
+        "keyed_store_setup_sec": keyed_setup_sec,
+        "keyed_discovery_sec": keyed_discovery_sec,
+        "tiny_batch": tiny_entry,
+        "note": ("probe verify joins the persisted flat shingle parquet "
+                 "(full columnar scan per batch); the keyed_* fields "
+                 "measure the SAME probe verifying through the "
+                 "partition-pruned id-keyed store "
+                 "(write_keyed_shingle_store) — identical output "
+                 "asserted per batch. MEASURED VERDICT: at this tier's "
+                 "candidate density (~3k ids over 4096 directories → "
+                 "~half the partitions touched) the flat scan WINS — "
+                 "per-file open cost of ~2k pruned files exceeds one "
+                 "~30-file columnar scan — so the r12 'upper bound "
+                 "pending id-bucketed store' flag is now resolved the "
+                 "other way for this shape; tiny_batch measures the "
+                 "win side of the break-even rule (candidates << "
+                 "n_parts), which is where the keyed layout belongs"),
     }
     with open(os.path.join(REPO, "BENCH_incremental.json"), "w") as f:
         json.dump(out, f, indent=1)
