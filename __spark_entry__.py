@@ -252,12 +252,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #       fold chain). Three of the eight (tpch_q5, tpch_q21, j3 — in
 #       (a) already) additionally carry the r13 bloom-filter sizing
 #       conf, so the whole shuffle-bound tail re-proves in this window;
-#   (c) padded to exactly 50 with the 6 name-ordered-first r9-stale
+#   (c) padded to exactly 50 with the name-ordered-first r9-stale
 #       greens (a14_hll_mergeable_sketch, a15_filtered_agg,
-#       a5_grouping_id, f_regex, j13_asof_tolerance, l3_mmr_rerank —
-#       the 31 r9 leftovers are the ROUND 14 pad pool). Two of the 50
+#       a5_grouping_id, f_regex, j13_asof_tolerance). Two of the 50
 #       are rows-only by design (a14 sketch, l3_ivf_kmeans iterative
 #       trainer), so the window records ≥48 hash-green + ≤2 no_oracle.
+#       l3_mmr_rerank initially held the 6th pad slot and returned to
+#       the pool when j16_hot_salted_join — the NEW query that
+#       gate-proves the SALTED arm of the hot-key join on genuinely
+#       skewed keys (j11's uniform keys degenerate to the plain join,
+#       so that arm was pytest-only) — was born mid-round and took its
+#       slot per the runbook. The 32 r9 leftovers (incl. l3_mmr) are
+#       the ROUND 14 pad pool.
 _PROMOTED = frozenset({
     # (a) the full r8-stale pool
     "t4_sliding_window", "t7_dedup_by_key",
@@ -270,13 +276,15 @@ _PROMOTED = frozenset({
     "w1_row_number", "w2_rank_dense_ntile", "w3_lag_lead",
     "w4_running_sum", "w5_moving_avg", "w6_range_frame",
     "w7_first_last_value", "w8_percent_rank_cume_dist",
-    # (b) plan / shared-implementation changes this round
-    "j11_salted_skew_join", "l2_minhash_lsh_pairs", "l2_semdedup",
+    # (b) plan / shared-implementation changes this round + the NEW
+    # hot-salted-arm query (enters at birth per the runbook)
+    "j11_salted_skew_join", "j16_hot_salted_join",
+    "l2_minhash_lsh_pairs", "l2_semdedup",
     "l3_ivf_topk", "l3_ivf_kmeans_topk", "l3b_ivf_pinned_topk",
     "l3c_pq_pinned_adc", "l3_recall_eval",
     # (c) name-ordered-first r9-stale pad
     "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
-    "f_regex", "j13_asof_tolerance", "l3_mmr_rerank",
+    "f_regex", "j13_asof_tolerance",
 })
 
 

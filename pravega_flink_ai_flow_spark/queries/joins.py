@@ -572,3 +572,47 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.orderBy("custkey")
+
+
+@declared(
+    "j16_hot_salted_join",
+    oracle="""
+    SELECT c.c_custkey                       AS hot_key,
+           COUNT(*)                          AS n_events,
+           CAST(SUM(c.c_acctbal) AS DOUBLE)  AS sum_acctbal
+    FROM events e JOIN customer c ON LEAST(e.user_id, 5) = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    survey_ids=("J1",),
+)
+def j16_hot_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED arm of the hot-key join, hash-proven at the gate on
+    a key distribution that is genuinely skewed at EVERY scale factor:
+    ``least(user_id, 5)`` lands ~97% of events on key 5 (user ids are
+    ~uniform over the customer domain, so everything above 5 collapses
+    onto it) while keys 1-4 stay cold. The 500-row threshold sits
+    between the coldest hot key (~0.97·N ≈ 970 rows at the smallest
+    sf0.001 tier) and the hottest cold key (~N/150), so the detection
+    aggregate finds exactly {5} at EVERY scale factor and the gate
+    executes the REAL skew plan — hot fact rows fanned over 8
+    salts, ONLY key 5's dim row replicated, cold keys joined plain —
+    and the oracle proves it row-identical to the unsalted join.
+    j11_salted_skew_join is this operator's other gate face (uniform
+    keys → empty hot set → plain-join degeneration); together the two
+    leave no arm of ``ops.relational.salted_join`` pytest-only. A plan
+    contract additionally asserts THIS query's plan replicates (an
+    explode feeds the dim side) while j11's does not."""
+    from ..ops.relational import salted_join
+    events, customer = tables(spark, sf_dir, "events", "customer")
+    fact = events.withColumn("hot_key",
+                             F.least(F.col("user_id"), F.lit(5)))
+    dim = (customer.filter(F.col("c_custkey") <= 5)
+           .select(F.col("c_custkey").alias("dim_key"), "c_acctbal"))
+    joined = salted_join(fact, dim, left_on="hot_key",
+                         right_on="dim_key", salt=8,
+                         salt_source="event_id", hot_threshold=500)
+    return (joined.groupBy("hot_key")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("c_acctbal").cast("double").alias("sum_acctbal"))
+            .orderBy("hot_key"))

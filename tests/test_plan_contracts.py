@@ -57,6 +57,18 @@ def test_j2_dim_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_salted_join_arms_route_by_measured_skew(spark):
+    """j16 (least(user_id,5): one key carries ~97% of rows) must
+    execute the REAL salted plan — the dim side replicated via explode
+    — while j11 (uniform keys, empty hot set) must degenerate to the
+    plain join with no salt machinery at all (r13: the hot arm is gate
+    -proven, the degeneration is plan-proven)."""
+    hot = _plan(spark, "j16_hot_salted_join")
+    assert "explode(CASE WHEN" in hot and "__salt" in hot
+    plain = _plan(spark, "j11_salted_skew_join")
+    assert "explode(" not in plain and "__salt" not in plain
+
+
 def test_s7_scan_pushdown_and_pruning(spark):
     plan = _plan(spark, "s7_parquet_pruned_scan")
     assert "PushedFilters" in plan and "o_totalprice" in \
