@@ -417,9 +417,11 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     max/avg is 99/67, i.e. zero actual skew; the r12 gate tail's whole
     8.15× ratio was that constant). The 1000-row threshold is ~15× the
     SF-invariant 67-row key average — a key crosses it only when it
-    would genuinely straggle a reducer; the salted arm stays
-    pytest-pinned on synthetic skew (test_plan_contracts). See
-    ``ops.relational.salted_join``."""
+    would genuinely straggle a reducer; the salted arm is pinned on
+    synthetic skew (test_operators) AND gate-proven on genuinely
+    skewed keys by j16_hot_salted_join, with a plan contract asserting
+    this query degenerates to the plain join while j16 replicates.
+    See ``ops.relational.salted_join``."""
     from ..ops.relational import salted_join
     events, customer = tables(spark, sf_dir, "events", "customer")
     joined = salted_join(events, customer,
