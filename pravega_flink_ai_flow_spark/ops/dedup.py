@@ -116,7 +116,7 @@ def minhash_signatures_from_arrays(arrs: DataFrame,
     return arrs.select("id", minhash_sig_expr(num_hashes).alias("sig"))
 
 
-def minhash_sig_expr(num_hashes: int = 64) -> F.Column:
+def minhash_sig_expr(num_hashes: int = 64) -> Column:
     """The in-row MinHash signature EXPRESSION over a ``shingles``
     column — factored out (r13) so callers that keep other columns can
     project it instead of joining the ``(id, sig)`` frame back to its
@@ -359,18 +359,24 @@ def keyed_shingle_lookup(spark, store, cand_ids: DataFrame, *,
     against the relation's cached file index. A table format with
     manifests (Iceberg/Delta) or a metastore entry makes the discovery
     O(1) — that is what this parameter stands in for."""
-    first = cand_ids.columns[0]
-    distinct_ids = (cand_ids.select(F.col(first).alias(id_col))
-                    .distinct())
-    rows = distinct_ids.limit(max_ids + 1).collect()
     store = (spark.read.parquet(store) if isinstance(store, str)
              else store)
+    # candidate ids are CAST to the store's id type BEFORE hashing
+    # (r13 advice #2): xxhash64 is type-sensitive (IntegerType and
+    # LongType hash the same value differently), so computing __pb from
+    # a candidate frame whose id dtype differs from the writer's would
+    # prune to the WRONG directories and silently return missing rows
+    id_type = store.schema[id_col].dataType.simpleString()
+    first = cand_ids.columns[0]
+    distinct_ids = (cand_ids.select(
+        F.col(first).cast(id_type).alias(id_col)).distinct())
+    rows = distinct_ids.limit(max_ids + 1).collect()
     if len(rows) > max_ids:
         return (store.join(distinct_ids, id_col, "left_semi")
                 .drop("__pb"))
     if not rows:
         return store.filter(F.lit(False)).drop("__pb")
-    ids_df = spark.createDataFrame(rows, f"{id_col} long")
+    ids_df = spark.createDataFrame(rows, f"{id_col} {id_type}")
     # partition keys via the SAME jvm expression the writer used (one
     # tiny driver-local job, no store scan)
     pbs = sorted({r[0] for r in ids_df.select(

@@ -415,19 +415,28 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting — every dim row replicated 8× regardless of heat — was
     7.2× of the join's sf10 wall, 9.88 s vs 1.38 s plain, on keys whose
     max/avg is 99/67, i.e. zero actual skew; the r12 gate tail's whole
-    8.15× ratio was that constant). The 1000-row threshold is ~15× the
-    SF-invariant 67-row key average — a key crosses it only when it
-    would genuinely straggle a reducer; the salted arm is pinned on
-    synthetic skew (test_operators) AND gate-proven on genuinely
-    skewed keys by j16_hot_salted_join, with a plan contract asserting
-    this query degenerates to the plain join while j16 replicates.
-    See ``ops.relational.salted_join``."""
+    8.15× ratio was that constant). The threshold is SCALE-RELATIVE
+    (r14, from the r13 verdict): 15× the mean rows-per-key measured by
+    the same detection pass — an absolute count is dishonest on data
+    where rows-per-key grows with volume (every key eventually crosses
+    it and the fallback reverts to blanket salting), while k×mean keeps
+    "hot = disproportionate share" meaningful at every scale. On this
+    table the mean is the SF-invariant 67 rows, so 15× reproduces the
+    old 1000-row bar exactly. Detection cost is bounded and measured:
+    it reads only the column-pruned key projection — 0.72 s at sf10 vs
+    this join's own 1.1 s wall (tools/explain_r13_tails.py detection;
+    row-level sampling measured as NOT paying on parquet — see
+    ops/relational.py — and key_stats is the reuse path). The salted arm
+    is pinned on synthetic skew (test_operators) AND gate-proven on
+    genuinely skewed keys by j16_hot_salted_join, with a plan contract
+    asserting this query degenerates to the plain join while j16
+    replicates. See ``ops.relational.salted_join``."""
     from ..ops.relational import salted_join
     events, customer = tables(spark, sf_dir, "events", "customer")
     joined = salted_join(events, customer,
                          left_on="user_id", right_on="c_custkey",
                          salt=8, salt_source="event_id",
-                         hot_threshold=1000)
+                         hot_rel_threshold=15.0)
     return (joined.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum("c_acctbal").cast("double").alias("sum_acctbal"))
@@ -593,10 +602,14 @@ def j16_hot_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a key distribution that is genuinely skewed at EVERY scale factor:
     ``least(user_id, 5)`` lands ~97% of events on key 5 (user ids are
     ~uniform over the customer domain, so everything above 5 collapses
-    onto it) while keys 1-4 stay cold. The 500-row threshold sits
-    between the coldest hot key (~0.97·N ≈ 970 rows at the smallest
-    sf0.001 tier) and the hottest cold key (~N/150), so the detection
-    aggregate finds exactly {5} at EVERY scale factor and the gate
+    onto it) while keys 1-4 stay cold. The threshold is RELATIVE —
+    2× the mean rows-per-key from the detection pass — which
+    is the scale-honest form on exactly this distribution: rows-per-key
+    grows with N here (hot ≈ 0.97·N), so any absolute bar is eventually
+    crossed by the COLD keys too (N/150 > 500 from sf≈0.75 up) and the
+    hot set degrades toward "everything"; 2×mean (mean ≈ 0.97·N/5, so
+    thr ≈ 0.39·N vs hot 0.97·N, cold 0.007·N) selects exactly {5} at
+    EVERY scale factor and the gate
     executes the REAL skew plan — hot fact rows fanned over 8
     salts, ONLY key 5's dim row replicated, cold keys joined plain —
     and the oracle proves it row-identical to the unsalted join.
@@ -613,7 +626,7 @@ def j16_hot_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("c_custkey").alias("dim_key"), "c_acctbal"))
     joined = salted_join(fact, dim, left_on="hot_key",
                          right_on="dim_key", salt=8,
-                         salt_source="event_id", hot_threshold=500)
+                         salt_source="event_id", hot_rel_threshold=2.0)
     return (joined.groupBy("hot_key")
             .agg(F.count("*").alias("n_events"),
                  F.sum("c_acctbal").cast("double").alias("sum_acctbal"))

@@ -6,7 +6,7 @@ feature in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from . import declared, session_memo, tables
 from ..ops import text as T
@@ -1137,7 +1137,7 @@ def l4_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FH_DIM = 64    # feature-hashing buckets (HashingTF-style)
 
 
-def _md5_bucket(term_col) -> "F.Column":
+def _md5_bucket(term_col) -> Column:
     """md5(term) → bucket in [0, _FH_DIM): THE featurizer expression —
     shared by l4_feature_hashing, l6b_quality_score_pinned AND the
     pinned-weights trainer (tools/make_pinned_models.py imports it), so

@@ -12,7 +12,7 @@ end-to-end suite (it is not SQL-expressible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from . import declared, session_memo, tables
 
@@ -514,7 +514,7 @@ def m8_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CLAUDE.md rounding rule).
 # ---------------------------------------------------------------------------
 
-def _pinned_dot(vec_col, weights) -> "F.Column":
+def _pinned_dot(vec_col, weights) -> Column:
     """Sequential-left-fold dot(CAST(vec AS double[]), literal weights) —
     the exact arithmetic chain of DuckDB's list_dot_product."""
     coef = F.array(*[F.lit(float(c)) for c in weights])

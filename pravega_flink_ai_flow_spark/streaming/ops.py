@@ -204,7 +204,8 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                          text_col: str = "text", out_table: str = None,
                          num_hashes: int = 64, bands: int = 16,
                          threshold: float = 0.7,
-                         small_batch_rows: int = 100_000):
+                         small_batch_rows: int = 100_000,
+                         max_batch_pairs: int = None):
     """Streaming near-duplicate suppression (T7 × L2): per micro-batch,
     MinHash-sign the new documents, find candidates within the batch AND
     against the accumulated store, drop docs whose near-dup (verified
@@ -241,7 +242,19 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     cached inputs. Larger batches keep the aggregate shapes — a forced
     broadcast of a multi-million-row batch would OOM its build side,
     and at that size per-row work dominates the per-batch constant
-    anyway (BENCH_stream.json big-batch arm).
+    anyway (BENCH_stream.json big-batch arm). ROW COUNT alone does not
+    bound the broadcast though (r13 verdict #3): the hinted arm
+    broadcasts candidate PAIRS joined with their shingle arrays, and a
+    degenerate batch whose docs share a band — a burst of
+    near-identical boilerplate, exactly what a dedup sink ingests —
+    makes within-batch candidates quadratic while the row-count gate
+    still says "small". So the hinted choice is re-checked against the
+    exact within-batch pair count ``Σ c·(c−1)/2`` over band buckets
+    (one aggregate on the already-persisted ``batch_bands`` — no extra
+    banding pass); past ``max_batch_pairs`` (default
+    ``4 × small_batch_rows``) the batch falls back to the aggregate
+    arm, whose pair work is shuffled across executors instead of built
+    into one broadcast side.
 
     Store/bands appends are made IDEMPOTENT under checkpoint retry
     (r9 advice #4): each append anti-joins the batch's new ids against
@@ -263,8 +276,15 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     The retry-path scans stay columnar and co-located under the s14
     ``id`` / ``band_sig`` bucketing at scale; a transactional table
     format (Delta/Iceberg MERGE) is the production swap-in that makes
-    all of this free. ``out_table`` output remains at-least-once —
-    dedupe downstream by id if it feeds a corpus.
+    all of this free. ``out_table`` appends carry the SAME ``is_retry``
+    idempotency filter (r13 advice #1), keyed on ``id_col``: a batch
+    replayed after a crash anti-joins its kept ids against the rows the
+    previous attempt already landed in ``out_table``, so the downstream
+    table stays duplicate-free even when the three appends race and
+    ``append_out`` committed while a sibling append failed. (Id-keyed
+    is sufficient here — one output row per id, and cross-batch
+    redelivery never reaches the appends because the store probe
+    suppresses it.)
 
     Cross-BATCH redelivery of the same document (at-least-once
     upstream): suppressed. On first attempts the store probe KEEPS
@@ -331,6 +351,23 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         # each of the three consumers, pure per-batch fixed cost
         batch_bands = dedup.lsh_band_table(
             new.select("id", "sig"), num_hashes, bands).persist()
+        if hinted:
+            # re-check the hint against the EXACT within-batch pair
+            # count (r13 verdict #3): a band-collision burst makes
+            # candidates quadratic while n_batch stays small, and the
+            # hinted arm would build those pairs (joined with shingle
+            # arrays) into a broadcast side. One aggregate over the
+            # persisted batch_bands — the frame every later consumer
+            # reads anyway, so this materializes no extra pass.
+            pair_cap = (4 * small_batch_rows if max_batch_pairs is None
+                        else max_batch_pairs)
+            est = (batch_bands.groupBy("band_id", "band_sig")
+                   .agg(F.count("*").alias("c"))
+                   .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1))
+                               / F.lit(2)).cast("long")).alias("p"))
+                   .first()["p"])
+            if est is not None and est > pair_cap:
+                hinted = False
 
         def _has_parquet(d: str) -> bool:
             return os.path.isdir(d) and any(
@@ -512,6 +549,16 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
             kept = batch_df.join(
                 F.broadcast(keep_ids) if hinted else keep_ids,
                 id_col, "left_semi")
+            # same retry idempotency as the store/bands appends (r13
+            # advice #1): with the three appends racing, append_out can
+            # land while a sibling fails and the batch refails — without
+            # this filter the replay would duplicate the kept rows
+            # downstream. Id-keyed is safe: one output row per id, and
+            # the store probe keeps redelivered ids out of survivors.
+            if is_retry and spark.catalog.tableExists(out_table):
+                kept = kept.join(
+                    spark.table(out_table).select(id_col),
+                    id_col, "left_anti")
             kept.write.mode("append").saveAsTable(out_table)
 
         appends = [append_store, append_bands] \
@@ -519,15 +566,15 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         if hinted:
             # the appends run CONCURRENTLY (r13): each is a sub-second
             # cached-input job and the serial sum was pure per-batch
-            # fixed cost. Crash safety is unchanged — retry's
-            # independent per-target filters already handle EITHER
-            # append landing without the other (the pre-r13 sequential
-            # order only ever produced store-without-bands; the
-            # symmetric bands-without-store heals through the same
-            # is_retry anti-joins, and the torn-bands test covers the
-            # keying). Duplicate survivor computation between the racing
-            # jobs resolves via the persist() — whichever job computes a
-            # partition first caches it.
+            # fixed cost. Crash safety holds because ALL THREE targets
+            # carry independent is_retry anti-join filters — any subset
+            # of the racing appends can land before a failure and the
+            # replay re-writes only what its target is missing (the
+            # out_table filter was added r14 per the r13 advice: the
+            # pre-r13 sequential order made out-last implicit, the
+            # race does not). Duplicate survivor computation between
+            # the racing jobs resolves via the persist() — whichever
+            # job computes a partition first caches it.
             errs: list[BaseException] = []
 
             def _wrap(fn):

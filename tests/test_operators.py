@@ -500,6 +500,59 @@ def test_salted_join_equals_plain_join(spark):
             for x in fb.select("row_id", "name").collect()} == plain
 
 
+def test_salted_join_detection_modes(spark):
+    """r14 scale-honesty arms of salted_join's hot detection: relative
+    (k×mean) thresholds, caller-supplied key_stats replacing the scan,
+    and the mutually-exclusive / stats-without-threshold errors. Result
+    identity is by construction (salting never changes rows); these
+    pin WHICH arm runs."""
+    import random
+    rng = random.Random(7)
+    left = [(i, 0 if rng.random() < 0.8 else rng.randint(1, 4))
+            for i in range(2000)]
+    l = spark.createDataFrame(left, "row_id long, k long")
+    r = spark.createDataFrame([(k, f"dim{k}") for k in range(5)],
+                              "rk long, name string")
+    plain = {(x.row_id, x.name) for x in
+             l.join(r, l.k == r.rk).select("row_id", "name").collect()}
+
+    # relative threshold: key 0 is ~80% of rows, mean ≈ 400 rows/key →
+    # 2×mean ≈ 800 selects exactly {0}; hot key must spread over >1 salt
+    rel = relational.salted_join(l, r, left_on="k", right_on="rk",
+                                 salt=8, salt_source="row_id",
+                                 hot_rel_threshold=2.0, detect_sample=1.0)
+    assert {(x.row_id, x.name)
+            for x in rel.select("row_id", "name").collect()} == plain
+    assert "explode(CASE WHEN" in \
+        rel._jdf.queryExecution().executedPlan().toString()
+
+    # key_stats short-circuits the detection scan entirely: feed true
+    # counts, same classification, and no extra aggregate over `l`
+    stats = l.groupBy("k").count()
+    ks = relational.salted_join(l, r, left_on="k", right_on="rk",
+                                salt=8, salt_source="row_id",
+                                hot_threshold=800, key_stats=stats)
+    assert {(x.row_id, x.name)
+            for x in ks.select("row_id", "name").collect()} == plain
+    assert "explode(CASE WHEN" in \
+        ks._jdf.queryExecution().executedPlan().toString()
+
+    # sampled absolute threshold (opt-in knob): 10% still detects the
+    # 1600-row hot key against thr = 800×f without changing the result
+    samp = relational.salted_join(l, r, left_on="k", right_on="rk",
+                                  salt=8, salt_source="row_id",
+                                  hot_threshold=800, detect_sample=0.1)
+    assert {(x.row_id, x.name)
+            for x in samp.select("row_id", "name").collect()} == plain
+
+    with pytest.raises(ValueError, match="not both"):
+        relational.salted_join(l, r, left_on="k", right_on="rk",
+                               hot_threshold=10, hot_rel_threshold=2.0)
+    with pytest.raises(ValueError, match="key_stats"):
+        relational.salted_join(l, r, left_on="k", right_on="rk",
+                               key_stats=stats)
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_workdir):
     """Bucketing both sides on the join key co-locates them at write time:
     the join plan must contain NO Exchange — the 100 TB answer to
@@ -918,6 +971,14 @@ def test_keyed_shingle_store_lookup_prunes_and_matches(spark, tmp_workdir):
         spark, path, spark.createDataFrame([], "id_corpus long"),
         n_parts=64)
     assert empty.count() == 0
+
+    # r13 advice #2: xxhash64 is TYPE-sensitive — an int-typed candidate
+    # frame hashed as-is would compute wrong partition keys and silently
+    # drop rows; the lookup must cast to the store's id type first
+    cand_int = spark.createDataFrame([(5,), (77,), (1999,)],
+                                     "id_corpus int")
+    got_int = dedup.keyed_shingle_lookup(spark, path, cand_int, n_parts=64)
+    assert sorted(r.id for r in got_int.collect()) == [5, 77, 1999]
 
 
 def test_connected_components_empty_pairs(spark):

@@ -663,6 +663,103 @@ def test_streaming_near_dedup_big_batch_arm_equals_hinted(spark,
             .distinct().collect()} == {1, 3}
 
 
+def test_streaming_near_dedup_band_collision_routes_aggregate_arm(
+        spark, tmp_workdir, monkeypatch):
+    """r13 verdict #3: the hinted (broadcast) arm's row-count gate does
+    not bound CANDIDATE PAIRS — a burst of near-identical docs sharing
+    a band makes within-batch candidates quadratic while the batch
+    still looks small. The pair-count guard must route such a batch to
+    the aggregate arm, and the keeper set must be what the hinted arm
+    would have produced (dup cluster collapses to its min id; unique
+    docs all survive)."""
+    from pravega_flink_ai_flow_spark.ops import dedup as dd
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    boiler = ("terms of service boilerplate repeated verbatim across the "
+              "crawl with identical wording in every copy of the page")
+    rows = [(i, boiler) for i in range(200)]           # quadratic cluster
+    rows += [(1000 + i,
+              f"unique document number {i} covering subject {i * 7} with "
+              f"distinct filler words item{i} token{i * 3} end{i}")
+             for i in range(9_800)]
+    stream.append(spark.createDataFrame(rows, doc_schema))
+
+    agg_calls = []
+    orig = dd.lsh_candidate_pairs_from_bands
+    monkeypatch.setattr(
+        dd, "lsh_candidate_pairs_from_bands",
+        lambda *a, **k: (agg_calls.append(1), orig(*a, **k))[1])
+
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"),
+        threshold=0.5, num_hashes=16, bands=4,
+        small_batch_rows=100_000,       # row gate says "small"
+        max_batch_pairs=5_000)          # 200-doc cluster → ~19.9k pairs
+    q.awaitTermination()
+
+    assert agg_calls, "pair-count guard did not route to the aggregate arm"
+    kept = spark.read.parquet(store).select("id")
+    ids = {r.id for r in kept.collect()}
+    assert 0 in ids                      # cluster survivor = min id
+    assert not (ids & set(range(1, 200)))  # rest of the cluster dropped
+    assert len(ids) == 9_801             # 1 cluster survivor + uniques
+    assert kept.count() == len(ids)      # no duplicate store rows
+
+
+def test_streaming_near_dedup_retry_does_not_duplicate_out_table(
+        spark, tmp_workdir):
+    """r13 advice #1: with the three appends racing, append_out can land
+    while a sibling append fails and the batch refails — the replay must
+    not re-append the kept rows to out_table. Simulate the replay the
+    same way the across-batches test does (attempt marker pre-written →
+    is_retry) against an out_table the 'crashed' attempt already
+    populated."""
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+    d1 = "the quick brown fox jumps over the lazy dog in the bright morning"
+    d3 = "completely unrelated text about query engines and shuffles here"
+    stream.append(spark.createDataFrame(
+        [(1, d1), (2, d1.replace("morning", "evening")), (3, d3)],
+        doc_schema))
+
+    try:
+        q = st.streaming_near_dedup(
+            stream.read_stream(spark), store_dir=store,
+            checkpoint=os.path.join(tmp_workdir, "ck"),
+            out_table="near_dedup_out_retry", threshold=0.5)
+        q.awaitTermination()
+        first = {r.doc_id for r in spark.table("near_dedup_out_retry")
+                 .select("doc_id").collect()}
+        assert first == {1, 3}
+
+        # replayed attempt: marker present → is_retry; all three appends
+        # (store, bands, OUT) must be no-ops
+        with open(os.path.join(store, "_commits", "batch-0"), "w"):
+            pass
+        q = st.streaming_near_dedup(
+            stream.read_stream(spark), store_dir=store,
+            checkpoint=os.path.join(tmp_workdir, "ck_retry"),
+            out_table="near_dedup_out_retry", threshold=0.5)
+        q.awaitTermination()
+        out = spark.table("near_dedup_out_retry")
+        assert out.count() == 2, "retry duplicated out_table rows"
+        assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 3}
+        assert spark.read.parquet(store).count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS near_dedup_out_retry")
+
+
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_workdir):
     """Continuous-aggregate pattern: partial aggregates appended per
     drain, merged at read — must equal a full batch recompute."""

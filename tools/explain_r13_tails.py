@@ -174,5 +174,60 @@ def main() -> None:
     spark.stop()
 
 
+def detection_cost() -> None:
+    """r14 (r13 verdict #3): cost of salted_join's HOT-KEY DETECTION
+    pass at sf1/sf10, sampled (the new 10% default) vs full — the r13
+    shape ran `left.groupBy(key).count()` eagerly over the whole fact
+    side, a second full read before the join's own scan. The scaling
+    rule under measurement: detection reads a Bernoulli sample of the
+    column-pruned key projection (~f× one key column), and the
+    threshold is k× the mean rows-per-key from that same pass
+    (scale-relative, so the hot set never degrades to "everything" as
+    rows-per-key grows). Prints detection wall for both fractions plus
+    the full j11/j16 query wall, at both tiers."""
+    from pravega_flink_ai_flow_spark.queries import tables
+    from pravega_flink_ai_flow_spark.queries.joins import (
+        j11_salted_skew_join, j16_hot_salted_join)
+
+    spark = bench.scale_session("salt-detection-cost")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+    for label in ("sf1", "sf10"):
+        d = bench.normalize_layout(os.path.join(REPO, "testdata_scale",
+                                                label))
+        events, = tables(spark, d, "events")
+        events.count()  # warm the file index
+        for f_label, frac in (("f0.1", 0.1), ("full", 1.0)):
+            keys = events.select("user_id")
+            if frac < 1.0:
+                keys = keys.sample(fraction=frac, seed=42)
+            counts = keys.groupBy("user_id").count()
+            walls = []
+            for i in range(4):            # first run = codegen warmup
+                t0 = time.perf_counter()
+                mean = counts.agg(F.avg("count")).first()[0]
+                hot = counts.filter(
+                    F.col("count") > (mean or 0.0) * 15.0) \
+                    .limit(1025).count()
+                walls.append(time.perf_counter() - t0)
+            out[f"detect_{label}_{f_label}_sec"] = round(
+                sorted(walls[1:])[1], 3)
+            out[f"detect_{label}_{f_label}_hot_keys"] = hot
+        for qname, q in (("j11", j11_salted_skew_join),
+                         ("j16", j16_hot_salted_join)):
+            df = q(spark, d)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            out[f"{qname}_{label}_total_sec"] = bench.median_noop_time(
+                df, runs=4)
+        out[f"detect_{label}_sample_saving"] = round(
+            out[f"detect_{label}_full_sec"]
+            / max(out[f"detect_{label}_f0.1_sec"], 1e-9), 2)
+    print(json.dumps(out, indent=1, sort_keys=True))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "detection":
+        detection_cost()
+    else:
+        main()
