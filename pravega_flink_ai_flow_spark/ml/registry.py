@@ -411,14 +411,35 @@ class DocumentStore:
         count (0 or 1)."""
         raise NotImplementedError
 
+    def allocate(self, collection: str, key: str, floor: int = 0) -> int:
+        """Atomically increment and return the named counter — the
+        allocation primitive version numbering rides on. Returns a value
+        ``> max(previous, floor)``; two racing callers can never get the
+        same value. ``floor`` seeds counters for stores that predate
+        them (legacy collections whose max version exists only in the
+        documents). Default: read-modify-write on a counter document
+        inside :meth:`transaction` — correct wherever transaction()
+        provides real mutual exclusion (file store: flock). Stores whose
+        transaction is a no-op (MongoDB) MUST override with a
+        server-side atomic op."""
+        with self.transaction():
+            cur = self.find(collection, {"_id": key})
+            seq = max(cur[0].get("seq", 0) if cur else 0, floor) + 1
+            if cur:
+                self.update_one(collection, {"_id": key}, {"seq": seq})
+            else:
+                self.insert_one(collection, {"_id": key, "seq": seq})
+            return seq
+
     @contextmanager
     def transaction(self):
         """Critical section spanning MULTIPLE store ops (the registry's
         find-max-then-insert allocation). Default: no extra isolation —
         a store whose single ops are only atomic individually must
         override this to make the pair safe across its writer population
-        (file store: flock lockfile; MongoDB: the counter-document
-        pattern makes the RMW a single server-side op instead)."""
+        (file store: flock lockfile), or route every multi-op RMW
+        through a single server-side op instead (MongoDB:
+        :meth:`allocate` via ``find_one_and_update``)."""
         yield
 
 
@@ -513,42 +534,83 @@ class FileDocumentStore(DocumentStore):
 
 
 class MongoDocumentStore(DocumentStore):
-    """``pymongo`` adapter — same three primitives against a real
-    MongoDB. Import is deferred so the sandbox (no mongo client, no
-    server) can still construct registries from other URIs."""
+    """``pymongo`` adapter — same primitives against a real MongoDB.
+    Import is deferred so the sandbox (no mongo client, no server) can
+    still construct registries from other URIs; ``client`` injects a
+    fake server for tests (the MySQL backend's ``driver=`` pattern —
+    the sandbox has neither package nor server, so the adapter's
+    allocation semantics are proven against an in-memory Mongo fake,
+    tests/test_registry_docstore.py)."""
 
-    def __init__(self, uri: str, database: str = "model_registry"):
-        try:
-            import pymongo  # type: ignore
-        except ImportError as e:  # pragma: no cover - no pymongo here
-            raise ImportError(
-                "mongodb:// registry URIs need the pymongo package; in "
-                "this sandbox use docstore:/// (same data model, file-"
-                "backed) or sqlite:///") from e
-        self._db = pymongo.MongoClient(uri)[database]  # pragma: no cover
+    def __init__(self, uri: str, database: str = "model_registry",
+                 client=None, dup_exc: type[BaseException] | None = None):
+        if client is None:  # pragma: no cover - no pymongo here
+            try:
+                import pymongo  # type: ignore
+            except ImportError as e:
+                raise ImportError(
+                    "mongodb:// registry URIs need the pymongo package; "
+                    "in this sandbox use docstore:/// (same data model, "
+                    "file-backed) or sqlite:///") from e
+            client = pymongo.MongoClient(uri)
+            dup_exc = pymongo.errors.DuplicateKeyError
+        self._db = client[database]
+        # raised when two first-ever upserts race on a counter _id —
+        # the loser retries and lands on the now-existing document
+        self._dup_exc = dup_exc if dup_exc is not None else ()
 
-    def insert_one(self, collection, doc):  # pragma: no cover
+    def insert_one(self, collection, doc):
         self._db[collection].insert_one(dict(doc))
 
-    def find(self, collection, query):  # pragma: no cover
+    def find(self, collection, query):
         return [{k: v for k, v in d.items() if k != "_id"}
                 for d in self._db[collection].find(query)]
 
-    def update_one(self, collection, query, update):  # pragma: no cover
+    def update_one(self, collection, query, update):
         return self._db[collection].update_one(
             query, {"$set": update}).matched_count
+
+    def allocate(self, collection: str, key: str, floor: int = 0) -> int:
+        """Counter-document allocation as ONE server-side op (r13
+        verdict #5): an aggregation-pipeline ``find_one_and_update``
+        computes ``seq = max(ifNull(seq, 0), floor) + 1`` and returns
+        the post-image, so concurrent allocators are serialized by the
+        server's per-document atomicity — no client-side transaction
+        needed (the adapter's :meth:`transaction` stays a no-op by
+        design). ``upsert=True`` creates the counter on first use; if
+        two first-ever upserts race, MongoDB raises DuplicateKeyError
+        on the loser's insert of the same ``_id`` — it retries and
+        takes the update path. ``floor`` folds a legacy collection's
+        max version into the seed via ``$max``, making migration from
+        the pre-counter layout a no-op."""
+        pipeline = [{"$set": {"seq": {"$add": [
+            {"$max": [{"$ifNull": ["$seq", 0]}, floor]}, 1]}}}]
+        for _ in range(8):
+            try:
+                doc = self._db[collection].find_one_and_update(
+                    {"_id": key}, pipeline, upsert=True,
+                    return_document=True)  # pymongo ReturnDocument.AFTER
+                return int(doc["seq"])
+            except self._dup_exc:
+                continue
+        raise RuntimeError(
+            f"counter upsert for {key!r} kept losing the creation race")
 
 
 class DocumentModelRegistry(ModelRegistry):
     """Registry over any :class:`DocumentStore` — collections ``models``
     and ``model_versions`` hold one document per model / version, the
     document-database twin of the SQLite backend's two tables. Version
-    allocation is max+1 over the store's view, made atomic by the
-    store's :meth:`DocumentStore.transaction` (file store: flock
-    lockfile → cross-PROCESS safe like the SQLite backend, r12 verdict
-    #5; MongoDB: the adapter's transaction is a no-op and a production
-    deployment uses a counter document with ``find_one_and_update``,
-    which makes the RMW a single server-side op)."""
+    numbers come from :meth:`DocumentStore.allocate` on a per-model
+    counter document (r14): the file store runs the counter RMW under
+    its flock :meth:`~DocumentStore.transaction` (cross-PROCESS safe
+    like the SQLite backend, proven by the 3-process suite), the Mongo
+    adapter makes it ONE server-side ``find_one_and_update`` pipeline
+    (per-document atomicity — no client transaction exists or is
+    needed). The max-over-existing floor is still computed so a store
+    created before counters existed migrates seamlessly; duplicate
+    versions are impossible either way because the counter only moves
+    forward."""
 
     def __init__(self, store: DocumentStore):
         super().__init__(path=None)
@@ -578,9 +640,15 @@ class DocumentModelRegistry(ModelRegistry):
     def register_model_version(self, model_name: str, model_path: str) -> ModelVersion:
         self.register_model(model_name)
         with self._alloc_lock, self._store.transaction():
+            # floor = legacy max: only load-bearing on a store whose
+            # versions predate the counter; once the counter exists it
+            # dominates (allocate() takes max(counter, floor) + 1)
             existing = self._store.find("model_versions",
                                         {"model_name": model_name})
-            version = max((d["version"] for d in existing), default=0) + 1
+            floor = max((d["version"] for d in existing), default=0)
+            version = self._store.allocate(
+                "version_counters", f"model_version:{model_name}",
+                floor=floor)
             self._store.insert_one("model_versions", {
                 "model_name": model_name, "version": version,
                 "model_path": model_path,

@@ -21,8 +21,16 @@ Construction (copy k = 0..K-1; copy 0 is byte-identical to the input):
 - embeddings: vec_id shifts; component 0 gets a k-dependent epsilon so
   no exact cross-copy duplicate vectors exist.
 
-Usage: python tools/make_sf_scale.py [src_dir] [dst_dir] [K]
-Defaults: /root/testdata/sf0.1  <repo>/testdata_scale/sf1  10
+Usage: python tools/make_sf_scale.py [src_dir] [dst_dir] [K] [tables...]
+Defaults: /root/testdata/sf0.1  <repo>/testdata_scale/sf1  10  (all)
+
+The optional table list generates a PARTIAL tier (r14: the sf100
+shuffle-measurement tier only needs the tables tpch_q5/q21/j3/j9
+touch — lineitem orders events customer supplier nation region —
+~15 GB instead of ~20). Copies are streamed to the ParquetWriter one
+k at a time, so peak memory is one source table + one copy, not the
+whole K× output (lineitem sf10→sf100 would otherwise hold ~40 GB of
+Arrow).
 """
 
 from __future__ import annotations
@@ -111,21 +119,37 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, "testdata_scale", "sf1")
     k_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4:])
     os.makedirs(dst, exist_ok=True)
     off = _offsets(src)
 
     for fname in sorted(os.listdir(src)):
         tbl = fname.removesuffix(".parquet")
+        if only and tbl not in only:
+            continue
         t = pq.read_table(os.path.join(src, fname))
         if tbl in FIXED:
-            out = t
-        else:
-            out = pa.concat_tables(
-                [_copy(tbl, t, k, off) for k in range(k_copies)])
-        # row-group sizing so Spark still gets parallel splits
-        pq.write_table(out, os.path.join(dst, fname),
-                       row_group_size=max(1, out.num_rows // 32))
-        print(f"{tbl:12s} {t.num_rows:>9,} -> {out.num_rows:>10,} rows")
+            pq.write_table(t, os.path.join(dst, fname),
+                           row_group_size=max(1, t.num_rows))
+            print(f"{tbl:12s} {t.num_rows:>9,} -> {t.num_rows:>10,} rows")
+            continue
+        # stream copies to the writer: peak memory = source + one copy;
+        # per-copy row groups (>= 32 per table at K=10) keep Spark's
+        # byte-range splits mapping to real parallel work
+        rg = max(1, t.num_rows // max(1, 32 // k_copies + 3))
+        writer = None
+        total = 0
+        for k in range(k_copies):
+            out = _copy(tbl, t, k, off)
+            if writer is None:
+                writer = pq.ParquetWriter(os.path.join(dst, fname),
+                                          out.schema)
+            for start in range(0, out.num_rows, rg):
+                writer.write_table(out.slice(start, rg))
+            total += out.num_rows
+        if writer is not None:
+            writer.close()
+        print(f"{tbl:12s} {t.num_rows:>9,} -> {total:>10,} rows")
 
 
 if __name__ == "__main__":
