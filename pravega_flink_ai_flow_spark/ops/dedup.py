@@ -49,10 +49,10 @@ def exact_dedup(df: DataFrame, on: str = "text",
                  F.count("*").alias("n_copies")))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles of a text column, JVM-side.
 
-    Indexed ``transform`` + ``F.get`` (O(1), null-safe out of bounds even
+    Indexed ``transform`` + ``get`` (O(1), null-safe out of bounds even
     under ANSI mode) instead of a per-gram ``slice`` — each gram is k
     element lookups, not an array copy.
 
@@ -60,7 +60,23 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     ``transform(array(words), ws -> ...)`` so the regex split runs ONCE
     per row: naively referencing the split expression inside the per-gram
     lambda re-inlines (and re-evaluates) it for every element — O(n²)
-    regex work per document."""
+    regex work per document.
+
+    Given a column NAME (every in-repo caller), the tree is built as
+    ONE ``F.expr`` round trip — the Column-DSL assembly cost ~30 ms of
+    py4j latency per call (r14, bench plan-build); a Column argument
+    keeps the DSL path for computed inputs."""
+    if isinstance(text, str):
+        parts = ", ".join(["w"] + [f"get(ws, i + {j})"
+                                   for j in range(1, k)])
+        return F.expr(f"""
+            get(transform(array(split(trim({text}), '\\\\s+')), ws ->
+                  array_distinct(
+                    if(size(ws) >= {k},
+                       slice(transform(ws, (w, i) -> concat_ws(' ', {parts})),
+                             1, greatest(size(ws) - {k - 1}, 1)),
+                       array(concat_ws(' ', ws))))),
+                0)""")
     words = F.split(F.trim(text), r"\s+")
 
     def gen(ws: Column) -> Column:
@@ -85,7 +101,7 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
     (inverted-index) formulations like exact n-gram Jaccard."""
     df = spread(df)
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(word_shingles(F.col(text_col), k)).alias("shingle")))
+                      F.explode(word_shingles(text_col, k)).alias("shingle")))
 
 
 def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
@@ -98,7 +114,7 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
     left in the near-dup pipeline are the LSH bucket join and the
     candidate→array lookups."""
     return df.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), k).alias("shingles"))
+                     word_shingles(text_col, k).alias("shingles"))
 
 
 def minhash_signatures_from_arrays(arrs: DataFrame,
@@ -121,17 +137,27 @@ def minhash_sig_expr(num_hashes: int = 64) -> Column:
     column — factored out (r13) so callers that keep other columns can
     project it instead of joining the ``(id, sig)`` frame back to its
     own lineage (streaming_near_dedup paid a per-batch self-join for
-    exactly that)."""
-    a_lit = F.array(*[F.lit(a) for a in _A[:num_hashes]])
-    b_lit = F.array(*[F.lit(b) for b in _B[:num_hashes]])
-    hashes = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    # let-bind the hash array: referencing it directly inside the per-
-    # permutation lambda would re-inline (re-hash) it per permutation
-    return F.get(F.transform(F.array(hashes), lambda hs: F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(
-            hs, lambda h: F.pmod(F.get(a_lit, i) * h + F.get(b_lit, i),
-                                 F.lit(_P)))))), 0)
+    exactly that).
+
+    Built as ONE ``F.expr`` SQL string (r14): assembling the same tree
+    through the Column DSL cost ~300 py4j round trips (each HOF lambda
+    is several JVM calls), the bulk of l2_minhash's 0.36 s plan-build
+    in BENCH_r13; the SQL parser builds the identical expression nodes
+    in a single round trip."""
+    a_csv = ",".join(str(a) for a in _A[:num_hashes])
+    b_csv = ",".join(str(b) for b in _B[:num_hashes])
+    # let-bind the hash array (array(...) + get(..., 0)): referencing it
+    # directly inside the per-permutation lambda would re-hash every
+    # shingle once per permutation
+    return F.expr(f"""
+        get(transform(
+              array(transform(shingles, s -> pmod(xxhash64(s), {_P}))),
+              hs -> transform(
+                sequence(0, {num_hashes - 1}),
+                i -> array_min(transform(
+                  hs, h -> pmod(get(array({a_csv}), i) * h
+                                + get(array({b_csv}), i), {_P}))))),
+            0)""")
 
 
 def minhash_signatures_arrow(arrs: DataFrame,
@@ -222,11 +248,15 @@ def lsh_candidate_pairs_from_bands(banded: DataFrame,
                .agg(F.collect_list(id_col).alias("ids"))
                .filter(F.size("ids") > 1))
     # let-bind the sorted id array (the repo-wide HOF rule: referencing
-    # array_sort(ids) inside the pair lambda would re-sort per element)
-    pairs = F.get(F.transform(F.array(F.array_sort("ids")), lambda ids:
-        F.flatten(F.transform(ids, lambda a, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))), 0)
+    # array_sort(ids) inside the pair lambda would re-sort per element);
+    # one F.expr round trip instead of the DSL's dozens (r14, bench
+    # plan-build)
+    pairs = F.expr("""
+        get(transform(array(array_sort(ids)), xs ->
+              flatten(transform(xs, (a, i) ->
+                transform(slice(xs, i + 2, size(xs)),
+                          b -> named_struct('id_a', a, 'id_b', b))))),
+            0)""")
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b")
             .distinct())
@@ -245,11 +275,12 @@ def lsh_band_table(sig: DataFrame, num_hashes: int = 64, bands: int = 16,
     table (:func:`lsh_probe_banded`) — the corpus documents, shingles
     and signatures are never touched again."""
     rpb = num_hashes // bands
-    b = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.struct(
-            i.alias("band_id"),
-            F.xxhash64(F.slice("sig", i * rpb + 1, rpb)).alias("band_sig")))
+    # one F.expr round trip instead of the DSL's per-lambda JVM calls
+    # (r14, bench plan-build)
+    b = F.expr(f"""
+        transform(sequence(0, {bands - 1}), i -> named_struct(
+            'band_id', i,
+            'band_sig', xxhash64(slice(sig, i * {rpb} + 1, {rpb}))))""")
     return (sig.select(F.col("id").alias(out_id), F.explode(b).alias("bb"))
             .select(out_id, "bb.band_id", "bb.band_sig"))
 
@@ -1365,7 +1396,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     hashed = spread(df).select(
         F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col), k),
+        F.transform(word_shingles(text_col, k),
                     lambda s: F.xxhash64(s)).alias("__h"))
 
     shifts = np.arange(64, dtype=np.uint64)

@@ -185,12 +185,19 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
     because ascending sort + last-wins.
     """
     lcols, rcols = list(left.columns), list(right.columns)
+    # null-struct cast targets are assembled PYTHON-side from the input
+    # schemas: deriving them via select(struct(...)).schema cost two
+    # extra Catalyst analysis round trips per call — a fifth of j9's
+    # plan-build in BENCH_r13 (r14)
+    from pyspark.sql.types import StructType
+    l_struct = StructType([left.schema[c] for c in lcols])
+    r_struct = StructType([right.schema[c] for c in rcols])
     l = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_time).cast("timestamp").alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        F.lit(None).cast(right.select(F.struct(*rcols).alias("s")).schema["s"].dataType).alias("__r"),
+        F.lit(None).cast(r_struct).alias("__r"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
           for c in tie_breakers],
     )
@@ -198,7 +205,7 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
         F.col(right_on).alias("__k"),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias("__l"),
+        F.lit(None).cast(l_struct).alias("__l"),
         F.struct(*[F.col(c) for c in rcols]).alias("__r"),
         *[F.col(c).alias(f"__tb_{c}") for c in tie_breakers],
     )
