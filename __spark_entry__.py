@@ -264,27 +264,70 @@ def entry(spark: SparkSession) -> DataFrame:
 #       so that arm was pytest-only) — was born mid-round and took its
 #       slot per the runbook. The 32 r9 leftovers (incl. l3_mmr) are
 #       the ROUND 14 pad pool.
+# ROUND 13 recorded its window clean: 50/50 green (48 hash + 2 rows-
+# only-by-design), 0 red (CORRECTNESS_r13). Staleness census after
+# r13: 50 @ r13, 46 @ r12, 48 @ r11, 41 @ r10, 32 @ r9 — nothing
+# older.
+#
+# ROUND 14 (this round): no r13 reds to re-prove, so `_PROMOTED` =
+#   (a) the ENTIRE 32-query r9-stale pool exactly as the r13 census
+#       left it (l3_mmr_rerank, the l4 text-analysis block, the l5
+#       decode block, the l6 pipeline block, m4/m9, o4/p6/p7,
+#       t22-t24) — after this window NOTHING in the corpus is older
+#       than r10;
+#   (b) the 14 queries whose DECLARED PLAN or shared implementation
+#       changed this round, so their prior greens no longer cover the
+#       shipped code: j11_salted_skew_join + j16_hot_salted_join
+#       (salted_join's hot detection became scale-relative — both now
+#       pass hot_rel_threshold), j9_asof_join + j13_asof_tolerance
+#       (asof_merge's null-struct cast targets are now built
+#       python-side from the input schemas), and the shingle/MinHash
+#       family whose expressions were rebuilt as single-F.expr SQL
+#       (word_shingles / minhash_sig_expr / lsh_band_table /
+#       lsh_candidate_pairs_from_bands — bench plan-build):
+#       l2_minhash_lsh_pairs, l2_ngram_jaccard_pairs,
+#       l2_dfcap_jaccard_pairs, l2_edit_distance_pairs,
+#       l2_containment_pairs, l2_dedup_clusters, l2_dedup_keep,
+#       l2_incremental_dedup, l2_simhash_pairs (rows-only by design),
+#       l6_pretrain_pipeline (l6_benchmark_decontam is also affected
+#       and already in (a));
+#   (c) padded to exactly 50 with the name-ordered-first r10-stale
+#       greens (a10_unpivot, a11_string_agg, a12_corr_covar,
+#       a13_approx_percentile). FOUR of the 50 are rows-only by
+#       design, each with a documented reason and (for the trainers) a
+#       hash-green pinned twin: l2_simhash_pairs (xxhash64 signature
+#       has no SQL equivalent), l4_bpe_trained_tokenize (iterative
+#       merge loop; worked-example pytest + l4_bpe_token_count twin),
+#       m4_ridge_predict (iterative trainer; m4b pinned twin),
+#       a13_approx_percentile (GK sketch; tolerance pytest). So the
+#       window records ≥46 hash-green + ≤4 no_oracle. The 37 r10
+#       leftovers are the ROUND 15 pad pool.
 _PROMOTED = frozenset({
-    # (a) the full r8-stale pool
-    "t4_sliding_window", "t7_dedup_by_key",
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "u1_union_all", "u2_union_distinct", "u3_intersect",
-    "u3_intersect_all", "u4_except_all", "u5_distinct_dropdup",
-    "w1_row_number", "w2_rank_dense_ntile", "w3_lag_lead",
-    "w4_running_sum", "w5_moving_avg", "w6_range_frame",
-    "w7_first_last_value", "w8_percent_rank_cume_dist",
-    # (b) plan / shared-implementation changes this round + the NEW
-    # hot-salted-arm query (enters at birth per the runbook)
-    "j11_salted_skew_join", "j16_hot_salted_join",
-    "l2_minhash_lsh_pairs", "l2_semdedup",
-    "l3_ivf_topk", "l3_ivf_kmeans_topk", "l3b_ivf_pinned_topk",
-    "l3c_pq_pinned_adc", "l3_recall_eval",
-    # (c) name-ordered-first r9-stale pad
-    "a14_hll_mergeable_sketch", "a15_filtered_agg", "a5_grouping_id",
-    "f_regex", "j13_asof_tolerance",
+    # (a) the full r9-stale pool
+    "l3_mmr_rerank",
+    "l4_bigram_lm_score", "l4_bpe_token_count", "l4_bpe_trained_tokenize",
+    "l4_doc_chunking", "l4_fingerprint", "l4_gopher_repetition",
+    "l4_lang_source_stats", "l4_language_id", "l4_repetition_ratio",
+    "l4_rolling_hash", "l4_token_stats",
+    "l5_audio_decode", "l5_audio_features", "l5_binary_meta",
+    "l5_frame_sample_plan", "l5_jpeg_decode",
+    "l6_benchmark_decontam", "l6_boilerplate_removal",
+    "l6_dsir_importance", "l6_heavy_hitter_terms",
+    "l6_mixture_weighted_sample", "l6_pii_redaction", "l6_shard_assign",
+    "m4_ridge_predict", "m9_feature_drift_psi",
+    "o4_nulls_ordering", "p6_rename_alias", "p7_systematic_sample",
+    "t22_funnel_conversion", "t23_retention_cohorts",
+    "t24_purchase_attribution",
+    # (b) plan / shared-implementation changes this round
+    "j9_asof_join", "j11_salted_skew_join", "j13_asof_tolerance",
+    "j16_hot_salted_join",
+    "l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs",
+    "l2_dfcap_jaccard_pairs", "l2_edit_distance_pairs",
+    "l2_containment_pairs", "l2_dedup_clusters", "l2_dedup_keep",
+    "l2_incremental_dedup", "l2_simhash_pairs", "l6_pretrain_pipeline",
+    # (c) name-ordered-first r10-stale pad
+    "a10_unpivot", "a11_string_agg", "a12_corr_covar",
+    "a13_approx_percentile",
 })
 
 

@@ -150,5 +150,77 @@ def main() -> None:
     spark.stop()
 
 
+def measure_sf100() -> None:
+    """r14 (r13 verdict #1): the sf100 decade MEASURED, not projected.
+    Runs the four shuffle-bound queries against a real sf100 tier
+    (tools/make_sf_scale.py sf10→sf100, partial: only the tables these
+    queries touch) in a fresh JVM and records measured shuffle
+    write bytes/records next to SHUFFLE_PROJECTION.json's projections.
+    One real decade beats any fit — the r10 √N and r13 bloom-sizing
+    defects were both invisible until the next decade actually ran.
+    Confs scale with the data: shuffle partitions 32→96 (the fixed box
+    still has 32 cores; more waves, bounded per-partition memory),
+    driver heap 96g, AQE off (same as every projection measurement).
+    Writes SHUFFLE_SF100.json; the table lands in PERFORMANCE.md."""
+    import time as _time
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.sql.shuffle.partitions"] = "96"
+    conf["spark.sql.files.maxPartitionBytes"] = str(64 * 1024 * 1024)
+    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY",
+                                                 "96g")
+    conf["spark.ui.enabled"] = "true"
+    conf["spark.ui.retainedStages"] = "5000"
+    spark = get_spark("shuffle-sf100", extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    registry = load_all()
+    # no normalize_layout: the streamed generator already writes ~17 MB
+    # row groups (lineitem: 600), and rewriting an 11 GB parquet via
+    # pq.read_table would hold ~40 GB of Arrow; shuffle bytes — the
+    # measured quantity — don't depend on scan layout anyway
+    d = os.path.join(REPO, "testdata_scale", "sf100")
+    proj = json.load(open(os.path.join(REPO,
+                                       "SHUFFLE_PROJECTION.json")))["queries"]
+    out: dict = {"queries": {}}
+    for name in QUERIES:
+        fn = registry[name].fn
+        before = max_stage(url, app)
+        t0 = _time.perf_counter()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        wall = round(_time.perf_counter() - t0, 2)
+        got = stage_bytes(url, app, before)
+        mb = round(got["write"] / 2**20, 2)
+        p = proj[name]
+        row = {
+            "sf100_measured_write_mb": mb,
+            "sf100_measured_records": got["records"],
+            "sf100_projected_write_mb": p["sf100_projected_write_mb"],
+            "measured_over_projected": round(
+                mb / max(p["sf100_projected_write_mb"], 1e-9), 3),
+            "records_measured_over_sf10": round(
+                got["records"] / max(p["sf10_forced_smj_records"], 1), 2),
+            "wall_sec_cold_96part": wall,
+            "per_core_mb_if_320c": round(mb / 320, 2),
+        }
+        out["queries"][name] = row
+        print(name, json.dumps(row), flush=True)
+    out["model"] = ("one measured run per query at the real sf100 tier "
+                    "(fresh JVM, quiet box, AQE off, 96 shuffle "
+                    "partitions); measured_over_projected near 1.0 "
+                    "validates SHUFFLE_PROJECTION's within-regime slope; "
+                    "wall times are fixed-32-core box artifacts (10x the "
+                    "data on the same cores), NOT the per-core claim")
+    with open(os.path.join(REPO, "SHUFFLE_SF100.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sf100":
+        measure_sf100()
+    else:
+        main()
