@@ -292,16 +292,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #       l6_pretrain_pipeline (l6_benchmark_decontam is also affected
 #       and already in (a));
 #   (c) padded to exactly 50 with the name-ordered-first r10-stale
-#       greens (a10_unpivot, a11_string_agg, a12_corr_covar,
-#       a13_approx_percentile). FOUR of the 50 are rows-only by
+#       greens (a10_unpivot, a11_string_agg, a12_corr_covar;
+#       a13_approx_percentile initially held the 4th pad slot and
+#       returned to the pool when l5_webp_decode — the NEW VP8L
+#       lossless codec query, closing the r13 verdict #7 seam — was
+#       born mid-round and took its slot per the runbook).
+#       THREE of the 50 are rows-only by
 #       design, each with a documented reason and (for the trainers) a
 #       hash-green pinned twin: l2_simhash_pairs (xxhash64 signature
 #       has no SQL equivalent), l4_bpe_trained_tokenize (iterative
 #       merge loop; worked-example pytest + l4_bpe_token_count twin),
-#       m4_ridge_predict (iterative trainer; m4b pinned twin),
-#       a13_approx_percentile (GK sketch; tolerance pytest). So the
-#       window records ≥46 hash-green + ≤4 no_oracle. The 37 r10
-#       leftovers are the ROUND 15 pad pool.
+#       m4_ridge_predict (iterative trainer; m4b pinned twin). So the
+#       window records ≥47 hash-green + ≤3 no_oracle. The 38 r10
+#       leftovers (incl. a13) are the ROUND 15 pad pool.
 _PROMOTED = frozenset({
     # (a) the full r9-stale pool
     "l3_mmr_rerank",
@@ -325,9 +328,11 @@ _PROMOTED = frozenset({
     "l2_dfcap_jaccard_pairs", "l2_edit_distance_pairs",
     "l2_containment_pairs", "l2_dedup_clusters", "l2_dedup_keep",
     "l2_incremental_dedup", "l2_simhash_pairs", "l6_pretrain_pipeline",
+    # the NEW VP8L codec query (enters the gate at birth per the
+    # runbook, taking a13_approx_percentile's pad slot)
+    "l5_webp_decode",
     # (c) name-ordered-first r10-stale pad
     "a10_unpivot", "a11_string_agg", "a12_corr_covar",
-    "a13_approx_percentile",
 })
 
 

@@ -64,6 +64,17 @@ _DEFAULTS = {
     # "network" is memcpy; on a real cluster the bytes cross actual
     # network, so deployments at 100 TB should raise these caps with
     # executor count (the projection tool records both byte slopes).
+    # r14: the REAL sf100 decade (SHUFFLE_SF100.json) measured this
+    # constant saturating one decade later, exactly like the 1M default
+    # it replaced (q5's ~30M-key creation side in a 4M-item filter →
+    # FPR ≈ 1 → the whole 600M-row lineitem shuffled, 5.5× the
+    # projection): ANY constant is only honest for the tier it was
+    # measured on. Sessions reading STATS-LESS parquet at a known data
+    # scale must size the grid with bloom_filter_sizing() below; with
+    # catalog row-count stats Spark self-sizes inside max{NumItems,
+    # NumBits}, and creation sides too big for any useful filter stop
+    # being injected at creationSideThreshold — that pair is the
+    # production path.
     "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
         str(4 * 1024 * 1024),
     "spark.sql.optimizer.runtime.bloomFilter.numBits": str(1 << 25),
@@ -78,6 +89,39 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
 }
+
+
+def bloom_filter_sizing(creation_keys: int) -> dict[str, str]:
+    """Runtime-bloom sizing for sessions whose inputs carry NO row-count
+    statistics (raw parquet path reads) at a KNOWN data scale — the r14
+    lesson from measuring the real sf100 decade: a constant grid is only
+    honest for the tier it was measured on (1M saturated at sf10, the
+    4M replacement at sf100 — each time the eroded filter silently
+    passed ~everything and the fact shuffle went super-linear).
+
+    ``creation_keys`` is an upper bound on any injected filter's
+    creation-side key count; the biggest FACT table's row count is
+    always a safe bound (creation sides are filtered siblings of the
+    fact). Oversizing costs only memory — bits/key above ~8 just lowers
+    FPR — while undersizing destroys the filter, so the clamp errs
+    high: items in [4M, 2^26], bits = 8×items in [2^25, 2^29] (a 64 MB
+    worst-case filter — broadcastable on the executors this engine
+    assumes). Beyond the caps a filter stops being useful before it
+    stops being injected; production tables with ANALYZE'd stats
+    self-size inside max{NumItems,NumBits} instead, and creation sides
+    too big for ANY useful filter are stopped by
+    creationSideThreshold."""
+    items = max(4 * 1024 * 1024, min(creation_keys, 1 << 26))
+    bits = max(1 << 25, min(items * 8, 1 << 29))
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
+            str(items),
+        "spark.sql.optimizer.runtime.bloomFilter.numBits": str(bits),
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems":
+            str(max(items, 32 * 1024 * 1024)),
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits":
+            str(max(bits, 1 << 28)),
+    }
 
 
 def get_spark(app_name: str = "pravega-flink-ai-flow-spark",

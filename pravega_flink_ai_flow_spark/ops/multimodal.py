@@ -519,10 +519,11 @@ def decode_wav(content: bytes):
 
 def decode_image(content: bytes):
     """Image decode seam. PNG, JPEG — baseline sequential AND
-    progressive (r10) — and GIF 87a/89a (r11) decode for real (pure
-    python — :mod:`.jpeg` implements both T.81 DCT processes; the LZW
-    raster codec lives above); formats still needing external codec
-    libraries (WebP, video frames) raise — swap in
+    progressive (r10) — GIF 87a/89a (r11) and WebP lossless/VP8L (r14)
+    decode for real (pure python — :mod:`.jpeg` implements both T.81
+    DCT processes, :mod:`.webp` the VP8L entropy layer; the LZW raster
+    codec lives above); the remaining formats (lossy VP8, VP8L
+    transforms, video frames) raise — swap in
     PIL.Image.open(io.BytesIO(content)) where it's available."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
@@ -531,9 +532,13 @@ def decode_image(content: bytes):
         return decode_jpeg(content)
     if content[:6] in _GIF_SIGS:
         return decode_gif(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from .webp import decode_webp
+        return decode_webp(content)
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF image decode requires an image library not "
-        "present in this container; swap this seam for PIL.Image.open(...)")
+        "non-PNG/JPEG/GIF/WebP image decode requires an image library "
+        "not present in this container; swap this seam for "
+        "PIL.Image.open(...)")
 
 
 # Pixel-count ceiling for quarantined decodes: 64 Mpx ≈ a 256 MB RGBA
@@ -573,6 +578,12 @@ def _declared_pixels(content: bytes):
         if content[:6] in _GIF_SIGS:
             w, h = struct.unpack("<HH", content[6:10])
             return w * h
+        if content[:4] == b"RIFF" and content[8:12] == b"WEBP" \
+                and content[12:16] == b"VP8L" and len(content) >= 25:
+            # VP8L: signature byte then 14-bit width-1 / height-1,
+            # LSB-first from payload byte 1
+            bits = int.from_bytes(content[21:25], "little")
+            return ((bits & 0x3FFF) + 1) * (((bits >> 14) & 0x3FFF) + 1)
         if content[:2] == b"\xff\xd8":
             i = 2
             while i + 9 < len(content):
@@ -659,7 +670,8 @@ def decode_images_quarantined(df: DataFrame, *, id_col: str = "media_id",
                     raw = bytes(content)
                     out["codec"].append(
                         "png" if raw[:8] == _PNG_SIG
-                        else "gif" if raw[:6] in _GIF_SIGS else "jpeg")
+                        else "gif" if raw[:6] in _GIF_SIGS
+                        else "webp" if raw[:4] == b"RIFF" else "jpeg")
                     flat = arr[:, :, 0].reshape(-1).astype(np.int64) \
                         if arr.ndim == 3 else arr.reshape(-1).astype(np.int64)
                     out["width"].append(w)

@@ -3,13 +3,15 @@ metadata, exercised over ``documents`` (text bytes stand in for media
 bytes; the plumbing — BinaryType payloads, hash-dedup keys, frame-sample
 plan expansion — is byte-for-byte what an image/audio pipeline uses).
 
-The decode path is REAL for PNG and PCM16 WAV (pure-python codecs in
-``ops.multimodal``): ``l5_image_decode`` / ``l5_audio_decode`` synthesize
-deterministic media per row, run it through encode→decode inside
-``mapInPandas``, and emit properties the DuckDB oracle recomputes
-directly from the generating formula — so a bug anywhere in the zlib/
-filter/RIFF handling breaks the value hash. Only codecs that genuinely
-need external libraries (JPEG, video) remain a NotImplementedError seam.
+The decode path is REAL for PNG (sequential + Adam7), JPEG (baseline +
+progressive), GIF, WebP-lossless/VP8L and PCM16 WAV (pure-python codecs
+in ``ops.multimodal`` / ``ops.jpeg`` / ``ops.webp``): each decode query
+synthesizes deterministic media per row, runs it through encode→decode
+inside ``mapInPandas``, and emits properties the DuckDB oracle
+recomputes directly from the generating formula — so a bug anywhere in
+the zlib/filter/entropy/RIFF handling breaks the value hash. Only
+codecs that genuinely need external libraries (lossy VP8, VP8L
+transforms, video frames) remain a NotImplementedError seam.
 """
 
 from __future__ import annotations
@@ -880,3 +882,90 @@ def l5_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hashes
             .withColumn("bucket_n", F.count(F.lit(1)).over(wb))
             .orderBy("doc_id"))
+
+
+@declared(
+    "l5_webp_decode",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 11 + 3 AS INTEGER)  AS width,
+               CAST(doc_id % 9 + 2 AS INTEGER)    AS height,
+               CAST(doc_id % 2 AS INTEGER)        AS cached
+        FROM documents
+    ), px AS (
+        SELECT m.doc_id, m.width, m.height, m.cached,
+               (y.r * m.width + x.r) * 4                       AS base,
+               (m.doc_id * 31 + x.r * 5 + (y.r % 2) * 3) % 256 AS r,
+               (m.doc_id * 17 + x.r * 7) % 256                 AS g,
+               (m.doc_id + x.r * 11 + (y.r % 2) * 13) % 256    AS b,
+               (m.doc_id * 7 + x.r * 3 + (y.r % 2) * 5) % 256  AS a
+        FROM m,
+             unnest(generate_series(0, m.width - 1))  x(r),
+             unnest(generate_series(0, m.height - 1)) y(r)
+    )
+    SELECT doc_id, width, height, cached,
+           CAST(SUM(r + g + b + a) AS DOUBLE)
+               / (4 * width * height)                          AS mean_px,
+           CAST(SUM(r * base + g * (base + 1) + b * (base + 2)
+                    + a * (base + 3)) AS BIGINT)               AS px_checksum
+    FROM px
+    GROUP BY doc_id, width, height, cached
+    ORDER BY doc_id
+    """,
+    survey_ids=("L5",),
+)
+def l5_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode (r14, closing the r13 verdict #7 seam
+    decision the implemented way): per doc, synthesize an RGBA image
+    whose channels follow row-period-2 formulas — so the pixel-above
+    LZ77 back-reference (distance = width, a 2-D plane code) and the
+    previous-pixel run both fire — at sizes 3-13 × 2-10, encode through
+    ``ops.webp.encode_webp_lossless`` (even doc_ids plain, odd with a
+    5-bit color cache, both with LZ77) and decode back via the
+    magic-byte ``decode_image`` seam inside Arrow-batched
+    ``mapInPandas``. VP8L is lossless, so the DuckDB formula oracle
+    hash-checks the decoded stats: a canonical-code, code-length-code,
+    distance-mapping, cache-insertion, or bit-order bug flips the hash.
+    The hand-built spec vector (tests/test_properties.py::
+    test_webp_vp8l_spec_vector) anchors the wire format itself, the
+    GIF lesson — a roundtrip-only contract could hide complementary
+    encode/decode bugs."""
+    from ..ops.multimodal import decode_image
+    from ..ops.webp import encode_webp_lossless
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    meta = spread(docs.select("doc_id", "n_chars"), force=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "cached": [], "mean_px": [], "px_checksum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                w = int(n_chars) % 11 + 3
+                h = doc_id % 9 + 2
+                cached = doc_id % 2
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.empty((h, w, 4), dtype=np.uint8)
+                img[:, :, 0] = (doc_id * 31 + x * 5 + (y % 2) * 3) % 256
+                img[:, :, 1] = (doc_id * 17 + x * 7) % 256
+                img[:, :, 2] = (doc_id + x * 11 + (y % 2) * 13) % 256
+                img[:, :, 3] = (doc_id * 7 + x * 3 + (y % 2) * 5) % 256
+                dw, dh, _c, arr = decode_image(encode_webp_lossless(
+                    img, use_lz77=True, cache_bits=5 if cached else 0))
+                flat = arr.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["cached"].append(cached)
+                out["mean_px"].append(float(flat.sum()) / flat.size)
+                out["px_checksum"].append(
+                    int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(out)
+
+    return (meta.mapInPandas(
+        run, "doc_id long, width int, height int, cached int, "
+             "mean_px double, px_checksum long")
+        .orderBy("doc_id"))

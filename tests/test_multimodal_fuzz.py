@@ -26,6 +26,7 @@ from pravega_flink_ai_flow_spark.ops.multimodal import (
     encode_gif,
     encode_png,
 )
+from pravega_flink_ai_flow_spark.ops.webp import encode_webp_lossless
 
 pytestmark = pytest.mark.usefixtures("spark")
 
@@ -43,6 +44,9 @@ def _bases() -> list[bytes]:
         out.append(encode_gif(px, interlace=True))
         out.append(encode_jpeg(px, 90))
         out.append(encode_jpeg(px, 100))
+        out.append(encode_webp_lossless(px))
+        out.append(encode_webp_lossless(
+            np.repeat(px[:, :, None], 4, axis=2), cache_bits=5))
     return out
 
 
@@ -85,6 +89,13 @@ def _mutations(bases: list[bytes]):
     assert i > 0
     jpg[i + 5:i + 9] = struct.pack(">HH", 0xFFF0, 0xFFF0)
     muts.append((bytes(jpg), "dead"))
+    wbp = bytearray(encode_webp_lossless(np.zeros((4, 4), np.uint8)))
+    # VP8L dims live in the 28 bits after the signature byte: patch to
+    # the 14-bit max (16384² = 268 Mpx > the 64 Mpx guard)
+    rest = int.from_bytes(wbp[21:25], "little") >> 28
+    wbp[21:25] = ((rest << 28) | (0x3FFF << 14) | 0x3FFF) \
+        .to_bytes(4, "little")
+    muts.append((bytes(wbp), "dead"))
     # unknown formats / garbage / empty
     muts.append((b"RIFF0000WEBPVP8 ", "dead"))
     muts.append((b"\x00" * 64, "dead"))

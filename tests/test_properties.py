@@ -580,3 +580,99 @@ def test_gif_lzw_against_naive_reference_decoder():
             assert naive_decode(payload, mcs) == want, (mcs, trial, "naive")
             assert bytes(_lzw_decode(payload, mcs, len(want))) == want, \
                 (mcs, trial, "prod")
+
+
+def test_webp_vp8l_spec_vector():
+    """Pin the VP8L wire format against a HAND-ASSEMBLED bitstream —
+    the parity anchor for a codec with no reference decoder in this
+    container (the GIF lesson: a self-consistent encode/decode pair
+    could hide complementary canonical-code or bit-order bugs real
+    decoders would reject). The stream below is written by a local
+    10-line LSB-first packer, independent of ops.webp's writer, strictly
+    from the spec's read sequence: 14-bit dims, no transforms, no
+    cache, no meta-prefix, five SIMPLE prefix codes (green two-symbol —
+    code 0 for the FIRST-listed symbol — red/blue/alpha/distance
+    single-symbol 0-bit), then four 1-bit green codes for a 2×2 image
+    with g = [[32,64],[32,64]], r=16, b=48, a=255."""
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.webp import decode_vp8l
+
+    acc = []
+
+    def put(value, n):            # LSB-first, the VP8L convention
+        for i in range(n):
+            acc.append((value >> i) & 1)
+
+    put(1, 14)                    # width - 1
+    put(1, 14)                    # height - 1
+    put(0, 1)                     # alpha hint
+    put(0, 3)                     # version
+    put(0, 1)                     # no transforms
+    put(0, 1)                     # no color cache
+    put(0, 1)                     # no meta-prefix image
+    # green: simple, 2 symbols, 8-bit first: 32 (code 0), 64 (code 1)
+    put(1, 1); put(1, 1); put(1, 1); put(32, 8); put(64, 8)
+    # red / blue / alpha: simple single-symbol (0 bits per read)
+    put(1, 1); put(0, 1); put(1, 1); put(16, 8)
+    put(1, 1); put(0, 1); put(1, 1); put(48, 8)
+    put(1, 1); put(0, 1); put(1, 1); put(255, 8)
+    # distance: simple single-symbol via the 1-bit-first form
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    # pixels: green codes 0,1,0,1 — prefix codes read MSB-first, but a
+    # 1-bit code is its own MSB
+    for bit in (0, 1, 0, 1):
+        put(bit, 1)
+    payload = bytes([0x2F]) + bytes(
+        sum(b << i for i, b in enumerate(acc[k:k + 8]))
+        for k in range(0, len(acc), 8))
+    w, h, c, arr = decode_vp8l(payload)
+    assert (w, h, c) == (2, 2, 4)
+    assert np.array_equal(arr[:, :, 1], [[32, 64], [32, 64]])   # G
+    assert (arr[:, :, 0] == 16).all()                           # R
+    assert (arr[:, :, 2] == 48).all()                           # B
+    assert (arr[:, :, 3] == 255).all()                          # A
+
+
+def test_webp_roundtrip_grid_and_errors():
+    """Encoder↔decoder over the feature grid (LZ77 on/off × cache
+    sizes × channel counts, run + pixel-above references, plane and
+    plain distance codes), plus the error surface: truncation,
+    bad signature, lossy-VP8 seam, transform seam."""
+    import numpy as np
+    import pytest
+    from pravega_flink_ai_flow_spark.ops.multimodal import decode_image
+    from pravega_flink_ai_flow_spark.ops.webp import (
+        decode_webp, encode_webp_lossless)
+
+    rng = np.random.default_rng(3)
+    for h, w, c in ((1, 1, 3), (7, 13, 4), (16, 5, 1), (2, 40, 4)):
+        img = rng.integers(0, 256, size=(h, w, c)).astype(np.uint8) \
+            if c > 1 else rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        for lz in (False, True):
+            for cb in (0, 4, 8):
+                dw, dh, dc, out = decode_webp(encode_webp_lossless(
+                    img, use_lz77=lz, cache_bits=cb))
+                assert (dw, dh, dc) == (w, h, 4)
+                exp = img if img.ndim == 3 else img[:, :, None]
+                assert np.array_equal(out[:, :, 0], exp[:, :, 0])
+                if c == 4:
+                    assert np.array_equal(out, exp)
+    # vertical-stripe image: the distance-w reference dominates
+    img = np.tile(rng.integers(0, 256, size=(1, 9, 4)).astype(np.uint8),
+                  (25, 1, 1))
+    data = encode_webp_lossless(img, use_lz77=True, cache_bits=6)
+    assert np.array_equal(decode_webp(data)[3], img)
+    # routed through the magic-byte seam
+    assert decode_image(data)[2] == 4
+    with pytest.raises(ValueError):
+        decode_webp(data[:30])                     # truncated stream
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVE")   # not WebP
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+    bad = bytearray(data)
+    # the transform bit is the first bit after the 32 header bits that
+    # follow the signature byte at content[20]
+    bad[25] |= 0x01
+    with pytest.raises(NotImplementedError, match="transform"):
+        decode_webp(bytes(bad))

@@ -150,7 +150,7 @@ def main() -> None:
     spark.stop()
 
 
-def measure_sf100() -> None:
+def measure_sf100(scaled: bool = False) -> None:
     """r14 (r13 verdict #1): the sf100 decade MEASURED, not projected.
     Runs the four shuffle-bound queries against a real sf100 tier
     (tools/make_sf_scale.py sf10→sf100, partial: only the tables these
@@ -173,6 +173,14 @@ def measure_sf100() -> None:
                                                  "96g")
     conf["spark.ui.enabled"] = "true"
     conf["spark.ui.retainedStages"] = "5000"
+    if scaled:
+        # the r14 fix under test: size the stats-less runtime blooms
+        # from the tier's fact row count (600M lineitem rows at sf100)
+        # instead of the r13 constant grid that the first sf100 run
+        # measured saturating (q5 5.5x its projection)
+        from pravega_flink_ai_flow_spark.engine.session import \
+            bloom_filter_sizing
+        conf.update(bloom_filter_sizing(600_000_000))
     spark = get_spark("shuffle-sf100", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
     url = spark.sparkContext.uiWebUrl
@@ -185,7 +193,11 @@ def measure_sf100() -> None:
     d = os.path.join(REPO, "testdata_scale", "sf100")
     proj = json.load(open(os.path.join(REPO,
                                        "SHUFFLE_PROJECTION.json")))["queries"]
+    out_path = os.path.join(REPO, "SHUFFLE_SF100.json")
     out: dict = {"queries": {}}
+    if scaled and os.path.exists(out_path):
+        out = json.load(open(out_path))     # merge next to the first run
+    suffix = "_scaled_bloom" if scaled else ""
     for name in QUERIES:
         fn = registry[name].fn
         before = max_stage(url, app)
@@ -206,21 +218,25 @@ def measure_sf100() -> None:
             "wall_sec_cold_96part": wall,
             "per_core_mb_if_320c": round(mb / 320, 2),
         }
-        out["queries"][name] = row
-        print(name, json.dumps(row), flush=True)
+        out["queries"][name + suffix] = row
+        print(name + suffix, json.dumps(row), flush=True)
     out["model"] = ("one measured run per query at the real sf100 tier "
                     "(fresh JVM, quiet box, AQE off, 96 shuffle "
                     "partitions); measured_over_projected near 1.0 "
                     "validates SHUFFLE_PROJECTION's within-regime slope; "
                     "wall times are fixed-32-core box artifacts (10x the "
-                    "data on the same cores), NOT the per-core claim")
-    with open(os.path.join(REPO, "SHUFFLE_SF100.json"), "w") as f:
+                    "data on the same cores), NOT the per-core claim. "
+                    "'_scaled_bloom' rows re-measure with "
+                    "bloom_filter_sizing(600M) — the r14 fix for the "
+                    "saturated r13 constant grid the unsuffixed q5/q21 "
+                    "rows caught")
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     spark.stop()
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sf100":
-        measure_sf100()
+        measure_sf100(scaled=len(sys.argv) > 2 and sys.argv[2] == "scaled")
     else:
         main()
