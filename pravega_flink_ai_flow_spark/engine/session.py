@@ -64,16 +64,19 @@ _DEFAULTS = {
     # "network" is memcpy; on a real cluster the bytes cross actual
     # network, so deployments at 100 TB should raise these caps with
     # executor count (the projection tool records both byte slopes).
-    # r14: the REAL sf100 decade (SHUFFLE_SF100.json) measured this
-    # constant saturating one decade later, exactly like the 1M default
-    # it replaced (q5's ~30M-key creation side in a 4M-item filter →
-    # FPR ≈ 1 → the whole 600M-row lineitem shuffled, 5.5× the
-    # projection): ANY constant is only honest for the tier it was
-    # measured on. Sessions reading STATS-LESS parquet at a known data
-    # scale must size the grid with bloom_filter_sizing() below; with
-    # catalog row-count stats Spark self-sizes inside max{NumItems,
-    # NumBits}, and creation sides too big for any useful filter stop
-    # being injected at creationSideThreshold — that pair is the
+    # r14: the REAL sf100 decade (SHUFFLE_SF100.json) measured q5 at
+    # 5.5× its projected shuffle — the whole 600M-row lineitem shuffled
+    # — and the plan probe showed the o_orderkey bloom was ABSENT, not
+    # eroded: the 256 MB creationSideThreshold above silently stops
+    # injecting once the creation side's size estimate outgrows it
+    # (orders crossed it between sf10's 227 MB and sf100's 2.2 GB). And
+    # had it been admitted, this 4M-item grid would have held ~30M keys
+    # at ~1.1 bits/key — FPR over half, the same erosion the r13 fix
+    # bought one decade of. Two constants, two cliffs: ANY constant
+    # here is only honest for the tier it was measured on. Sessions
+    # reading STATS-LESS parquet at a known data scale must size BOTH
+    # with bloom_filter_sizing() below; with catalog row-count stats
+    # Spark self-sizes inside max{NumItems,NumBits} — that is the
     # production path.
     "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
         str(4 * 1024 * 1024),
@@ -121,6 +124,17 @@ def bloom_filter_sizing(creation_keys: int) -> dict[str, str]:
             str(max(items, 32 * 1024 * 1024)),
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits":
             str(max(bits, 1 << 28)),
+        # the SECOND constant the sf100 decade caught (the first run's
+        # q5 showed the 600M-row lineitem shuffled whole): the static
+        # 256 MB creationSideThreshold silently STOPS injecting the
+        # o_orderkey bloom once the creation side's size estimate
+        # outgrows it — at sf100 the filter wasn't eroded, it was
+        # ABSENT. Scale the admission bar with the same key bound
+        # (~32 B/row estimate), because the filter's VALUE (pruned
+        # fact-shuffle bytes) scales with exactly the same data growth
+        # that grows the creation side.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            str(max(256 * 1024 * 1024, creation_keys * 32)),
     }
 
 

@@ -431,3 +431,34 @@ def test_pretrain_pipeline_composition_contracts(spark):
     assert "BroadcastHashJoin" in plan        # gram semi-probe
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n <= 8, f"pipeline planned {n} exchanges"
+
+
+def test_bloom_filter_sizing_scales_both_constants():
+    """r14 (SHUFFLE_SF100.json): the sf100 decade caught TWO constants
+    in the runtime-bloom config — the 4M-item grid erodes on ≥30M-key
+    creation sides, and the 256 MB creationSideThreshold silently stops
+    injecting the o_orderkey filter once the creation side outgrows it.
+    bloom_filter_sizing must scale both from the creation-key bound,
+    clamp to broadcastable filter sizes, and keep every value
+    internally consistent (numBits ≤ maxNumBits, items ≤ maxNumItems)."""
+    from pravega_flink_ai_flow_spark.engine.session import \
+        bloom_filter_sizing
+
+    p = "spark.sql.optimizer.runtime.bloomFilter."
+    small = bloom_filter_sizing(1_000_000)
+    assert int(small[p + "expectedNumItems"]) == 4 * 1024 * 1024
+    assert int(small[p + "numBits"]) == 1 << 25
+    assert int(small[p + "creationSideThreshold"]) == 256 * 1024 * 1024
+
+    big = bloom_filter_sizing(600_000_000)
+    assert int(big[p + "expectedNumItems"]) == 1 << 26      # clamped
+    assert int(big[p + "numBits"]) == 1 << 29               # 64 MB cap
+    # the admission bar follows the data: a 2.2 GB orders creation side
+    # must stay under it at sf100
+    assert int(big[p + "creationSideThreshold"]) >= 600_000_000 * 32
+    for conf in (small, big):
+        assert int(conf[p + "numBits"]) <= int(conf[p + "maxNumBits"])
+        assert int(conf[p + "expectedNumItems"]) \
+            <= int(conf[p + "maxNumItems"])
+        assert int(conf[p + "numBits"]) \
+            >= int(conf[p + "expectedNumItems"])            # ≥1 bit/key

@@ -228,8 +228,10 @@ def measure_sf100(scaled: bool = False) -> None:
                     "data on the same cores), NOT the per-core claim. "
                     "'_scaled_bloom' rows re-measure with "
                     "bloom_filter_sizing(600M) — the r14 fix for the "
-                    "saturated r13 constant grid the unsuffixed q5/q21 "
-                    "rows caught")
+                    "two constants the unsuffixed q5/q21 rows caught: "
+                    "the 256MB creationSideThreshold stopped injecting "
+                    "the o_orderkey bloom at sf100 (plan-probed), and "
+                    "the 4M-item grid would have eroded it anyway")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     spark.stop()
