@@ -292,6 +292,15 @@ def main() -> None:
     # cold totals, so the build-inclusive ratio can be derived from the
     # same output line. (DuckDB's equivalent — SQL parse + plan, ~1 ms —
     # stays inside its timed loop.)
+    #
+    # r14 cut the build column itself: the four slowest builders spent
+    # 0.2-0.4 s/call in py4j ROUND TRIPS (each higher-order-function
+    # lambda and per-column projection is several JVM calls), so the
+    # hot expression trees now ship as single F.expr / selectExpr SQL
+    # strings — identical Catalyst nodes, one round trip (measured:
+    # l2_minhash 0.36→~0.18, j9 0.19→~0.07, m2 0.19→~0.11,
+    # l3_brute 0.24→~0.09). What remains is the irreducible ~10-20 ms
+    # per DataFrame operation in short chains.
     def spark_pass():
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}

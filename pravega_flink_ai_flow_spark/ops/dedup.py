@@ -249,16 +249,15 @@ def lsh_candidate_pairs_from_bands(banded: DataFrame,
                .filter(F.size("ids") > 1))
     # let-bind the sorted id array (the repo-wide HOF rule: referencing
     # array_sort(ids) inside the pair lambda would re-sort per element);
-    # one F.expr round trip instead of the DSL's dozens (r14, bench
-    # plan-build)
-    pairs = F.expr("""
-        get(transform(array(array_sort(ids)), xs ->
-              flatten(transform(xs, (a, i) ->
-                transform(slice(xs, i + 2, size(xs)),
-                          b -> named_struct('id_a', a, 'id_b', b))))),
-            0)""")
-    return (buckets.select(F.explode(pairs).alias("p"))
-            .select("p.id_a", "p.id_b")
+    # one F.expr round trip instead of the DSL's dozens, and inline()
+    # fuses the explode + struct-field projection into the same op
+    # (r14, bench plan-build)
+    return (buckets.selectExpr("""
+        inline(get(transform(array(array_sort(ids)), xs ->
+                 flatten(transform(xs, (a, i) ->
+                   transform(slice(xs, i + 2, size(xs)),
+                             b -> named_struct('id_a', a, 'id_b', b))))),
+               0))""")
             .distinct())
 
 
@@ -1251,13 +1250,15 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
     sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
-    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    # one fused projection (the duplicated intersect subtree collapses
+    # in codegen's subexpression elimination, same as the DSL form did)
     return (cands.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        n_common /
-                        (F.size("__sa") + F.size("__sb") - n_common))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .selectExpr(
+                "id_a", "id_b",
+                "size(array_intersect(__sa, __sb)) / (size(__sa) "
+                "+ size(__sb) - size(array_intersect(__sa, __sb))) "
+                "AS jaccard")
+            .filter(f"jaccard >= {threshold!r}"))
 
 
 def contamination_report(train: DataFrame, bench: DataFrame,

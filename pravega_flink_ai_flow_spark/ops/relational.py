@@ -185,39 +185,47 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
     because ascending sort + last-wins.
     """
     lcols, rcols = list(left.columns), list(right.columns)
-    # null-struct cast targets are assembled PYTHON-side from the input
-    # schemas: deriving them via select(struct(...)).schema cost two
-    # extra Catalyst analysis round trips per call — a fifth of j9's
-    # plan-build in BENCH_r13 (r14)
+    # Plan assembly is selectExpr-based (r14): the Column-DSL form of
+    # these wide projections cost ~900 py4j round trips per call —
+    # j9's whole 0.19 s plan-build in BENCH_r13 — while selectExpr
+    # ships each projection as ONE JVM call and parses identical
+    # expression nodes. Null-struct cast targets come from the input
+    # schemas python-side (no extra analysis pass); simpleString is the
+    # CAST-parseable DDL of the struct.
     from pyspark.sql.types import StructType
-    l_struct = StructType([left.schema[c] for c in lcols])
-    r_struct = StructType([right.schema[c] for c in rcols])
-    l = left.select(
-        F.col(left_on).alias("__k"),
-        F.col(left_time).cast("timestamp").alias("__t"),
-        F.lit(1).alias("__is_left"),
-        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        F.lit(None).cast(r_struct).alias("__r"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
-          for c in tie_breakers],
+
+    def q(c: str) -> str:
+        return f"`{c}`"
+
+    l_ddl = StructType([left.schema[c] for c in lcols]).simpleString()
+    r_ddl = StructType([right.schema[c] for c in rcols]).simpleString()
+    l = left.selectExpr(
+        f"{q(left_on)} AS __k",
+        f"CAST({q(left_time)} AS timestamp) AS __t",
+        "1 AS __is_left",
+        "struct(" + ", ".join(q(c) for c in lcols) + ") AS __l",
+        f"CAST(NULL AS {r_ddl}) AS __r",
+        *[f"CAST(NULL AS {right.schema[c].dataType.simpleString()}) "
+          f"AS `__tb_{c}`" for c in tie_breakers],
     )
-    r = right.select(
-        F.col(right_on).alias("__k"),
-        F.col(right_time).cast("timestamp").alias("__t"),
-        F.lit(0).alias("__is_left"),
-        F.lit(None).cast(l_struct).alias("__l"),
-        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
-        *[F.col(c).alias(f"__tb_{c}") for c in tie_breakers],
+    r = right.selectExpr(
+        f"{q(right_on)} AS __k",
+        f"CAST({q(right_time)} AS timestamp) AS __t",
+        "0 AS __is_left",
+        f"CAST(NULL AS {l_ddl}) AS __l",
+        "struct(" + ", ".join(q(c) for c in rcols) + ") AS __r",
+        *[f"{q(c)} AS `__tb_{c}`" for c in tie_breakers],
     )
-    w = (Window.partitionBy("__k")
-         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(),
-                  *[F.col(f"__tb_{c}").asc() for c in tie_breakers])
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    order = ", ".join(["__t ASC", "__is_left ASC",
+                       *[f"`__tb_{c}` ASC" for c in tie_breakers]])
     merged = (l.unionByName(r)
-              .withColumn("__carry", F.last("__r", ignorenulls=True).over(w))
-              .filter((F.col("__is_left") == 1) & F.col("__carry").isNotNull()))
-    return merged.select(*[F.col(f"__l.{c}").alias(c) for c in lcols],
-                         *[F.col(f"__carry.{c}").alias(c) for c in rcols])
+              .selectExpr("*",
+                          f"last(__r, true) OVER (PARTITION BY __k "
+                          f"ORDER BY {order} ROWS BETWEEN UNBOUNDED "
+                          f"PRECEDING AND CURRENT ROW) AS __carry")
+              .filter("__is_left = 1 AND __carry IS NOT NULL"))
+    return merged.selectExpr(*[f"__l.{q(c)} AS {q(c)}" for c in lcols],
+                             *[f"__carry.{q(c)} AS {q(c)}" for c in rcols])
 
 
 def asof_join(left: DataFrame, right: DataFrame, *,
