@@ -50,14 +50,15 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 13 window: TWO rows-only-by-design entries —
-    # a14_hll_mergeable_sketch (sketch estimates, tolerance-pytest per
-    # the SURVEY A4 policy; rides in from the r9-stale pad) and
-    # l3_ivf_kmeans_topk (iterative Lloyd trainer, re-promoted because
-    # nearest_refs_arrow's slack re-score changed its shared
-    # implementation; its hash-checkable pinned twin l3b is in the SAME
-    # window). Any commit that touches _PROMOTED must update this set
-    # in the SAME commit and re-run the suite — r7 shipped red by
-    # skipping that (VERDICT r7 wrong #1).
-    assert rows_only == {"a14_hll_mergeable_sketch",
-                         "l3_ivf_kmeans_topk"}, sorted(rows_only)
+    # round 14 window: THREE rows-only-by-design entries —
+    # l2_simhash_pairs (xxhash64 signature has no SQL equivalent;
+    # re-promoted because the shared word_shingles expression was
+    # rebuilt as single-expr SQL), l4_bpe_trained_tokenize (iterative
+    # merge loop; worked-example pytest + the hash-green
+    # l4_bpe_token_count twin; rides in from the r9-stale pool) and
+    # m4_ridge_predict (iterative trainer; its hash-green pinned twin
+    # is m4b; r9-stale pool). Any commit that touches _PROMOTED must
+    # update this set in the SAME commit and re-run the suite — r7
+    # shipped red by skipping that (VERDICT r7 wrong #1).
+    assert rows_only == {"l2_simhash_pairs", "l4_bpe_trained_tokenize",
+                         "m4_ridge_predict"}, sorted(rows_only)

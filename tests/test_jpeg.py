@@ -125,8 +125,13 @@ def test_decode_image_routes_jpeg_and_rejects_junk():
     px = np.full((8, 8), 77, dtype=np.uint8)
     w, h, c, arr = decode_image(encode_jpeg(px, 100))
     assert (w, h, c) == (8, 8, 1) and arr[0, 0, 0] == 77
-    with pytest.raises(NotImplementedError):
+    # r14: WebP routes into the VP8L decoder now — a TRUNCATED WebP is
+    # malformed (ValueError), a lossy-VP8 one is the documented seam
+    # (NotImplementedError); both covered in test_properties too
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBP")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
 
