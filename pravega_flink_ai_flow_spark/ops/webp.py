@@ -14,11 +14,13 @@ Implemented from the public "WebP Lossless Bitstream Specification"
   simple (1–2 symbol) AND normal prefix codes (code-length codes with
   the 16/17/18 repeat symbols and the optional max_symbol limit),
   single-symbol 0-bit codes, LZ77 backward references with both the
-  120-entry 2-D distance-plane mapping and plain distances.
+  120-entry 2-D distance-plane mapping and plain distances;
+* the subtract-green transform (both directions — the entropy layer
+  sees r−g / b−g, the decoder inverts after entropy decode).
 
 NOT implemented — explicit documented seams, each raising
-``NotImplementedError`` with the feature name: the four transforms
-(predictor / color / subtract-green / color-indexing) and meta-prefix
+``NotImplementedError`` with the feature name: the other three
+transforms (predictor / color / color-indexing) and meta-prefix
 (entropy image) partitioning. Our encoder never emits them; a corpus
 payload using them quarantines through ``decode_image_safe`` exactly
 like the other codec seams (12-bit JPEG, non-PCM WAV).
@@ -306,12 +308,16 @@ def decode_vp8l(payload: bytes):
     br.bits(1)                           # alpha-is-used hint
     if br.bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    subtract_green = False
     while br.bits(1):
         t = br.bits(2)
+        if t == 2:                       # subtract-green: no payload
+            subtract_green = True
+            continue
         raise NotImplementedError(
             f"VP8L transform {('predictor', 'color', 'subtract-green', 'color-indexing')[t]} "
             "not implemented (documented seam — our encoder never emits "
-            "transforms; swap this seam for PIL/libwebp where available)")
+            "it; swap this seam for PIL/libwebp where available)")
     cache_bits = 0
     if br.bits(1):
         cache_bits = br.bits(4)
@@ -378,6 +384,11 @@ def decode_vp8l(payload: bytes):
     out[:, :, 1] = (arr >> 8) & 0xFF     # G
     out[:, :, 2] = arr & 0xFF            # B
     out[:, :, 3] = (arr >> 24) & 0xFF    # A
+    if subtract_green:
+        # inverse transform, vectorized after entropy decode: the
+        # forward pass stored r−g and b−g (mod 256)
+        out[:, :, 0] += out[:, :, 1]
+        out[:, :, 2] += out[:, :, 1]
     return w, h, 4, out
 
 
@@ -477,16 +488,20 @@ class _SymWriter:
 
 
 def encode_webp_lossless(pixels, *, use_lz77: bool = True,
-                         cache_bits: int = 0) -> bytes:
+                         cache_bits: int = 0,
+                         subtract_green: bool = False) -> bytes:
     """uint8 array (h×w, h×w×3 or h×w×4) → lossless WebP bytes.
 
     Emits literals, optional greedy LZ77 back-references (run of the
     previous pixel, distance 1, and the pixel-above run, distance =
     width — both through PLAIN distance codes ``d+120`` and, for the
     two mapped neighbors, the 2-D plane codes, so the decoder's both
-    distance paths are exercised), and an optional color cache whose
+    distance paths are exercised), an optional color cache whose
     state mirrors the decoder's exactly (every emitted pixel inserted,
-    including back-reference copies — the spec's rule)."""
+    including back-reference copies — the spec's rule), and optionally
+    the subtract-green transform (r−g / b−g mod 256 ahead of the
+    entropy layer — the one VP8L transform implemented on both
+    sides)."""
     import numpy as np
 
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
@@ -506,6 +521,12 @@ def encode_webp_lossless(pixels, *, use_lz77: bool = True,
         rgba[:] = arr
     else:
         raise ValueError(f"unsupported channel count {c}")
+    if subtract_green:
+        # forward transform before the entropy layer (cache and LZ77
+        # both see the transformed values, mirroring the decoder)
+        rgba = rgba.copy()
+        rgba[:, :, 0] -= rgba[:, :, 1]
+        rgba[:, :, 2] -= rgba[:, :, 1]
     argb = ((rgba[:, :, 3].astype(np.uint32) << 24)
             | (rgba[:, :, 0].astype(np.uint32) << 16)
             | (rgba[:, :, 1].astype(np.uint32) << 8)
@@ -606,7 +627,10 @@ def encode_webp_lossless(pixels, *, use_lz77: bool = True,
     bw.bits(h - 1, 14)
     bw.bits(1 if has_alpha else 0, 1)
     bw.bits(0, 3)                        # version
-    bw.bits(0, 1)                        # no transforms
+    if subtract_green:
+        bw.bits(1, 1)                    # a transform follows
+        bw.bits(2, 2)                    # type 2 = subtract-green
+    bw.bits(0, 1)                        # no (further) transforms
     if cache_bits:
         bw.bits(1, 1)
         bw.bits(cache_bits, 4)

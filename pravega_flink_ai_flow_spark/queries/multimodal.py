@@ -922,8 +922,9 @@ def l5_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZ77 back-reference (distance = width, a 2-D plane code) and the
     previous-pixel run both fire — at sizes 3-13 × 2-10, encode through
     ``ops.webp.encode_webp_lossless`` (even doc_ids plain, odd with a
-    5-bit color cache, both with LZ77) and decode back via the
-    magic-byte ``decode_image`` seam inside Arrow-batched
+    5-bit color cache, every third through the subtract-green
+    transform, all with LZ77) and decode back via the magic-byte
+    ``decode_image`` seam inside Arrow-batched
     ``mapInPandas``. VP8L is lossless, so the DuckDB formula oracle
     hash-checks the decoded stats: a canonical-code, code-length-code,
     distance-mapping, cache-insertion, or bit-order bug flips the hash.
@@ -954,7 +955,8 @@ def l5_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img[:, :, 2] = (doc_id + x * 11 + (y % 2) * 13) % 256
                 img[:, :, 3] = (doc_id * 7 + x * 3 + (y % 2) * 5) % 256
                 dw, dh, _c, arr = decode_image(encode_webp_lossless(
-                    img, use_lz77=True, cache_bits=5 if cached else 0))
+                    img, use_lz77=True, cache_bits=5 if cached else 0,
+                    subtract_green=doc_id % 3 == 0))
                 flat = arr.reshape(-1).astype(np.int64)
                 out["doc_id"].append(doc_id)
                 out["width"].append(dw)

@@ -650,13 +650,15 @@ def test_webp_roundtrip_grid_and_errors():
             if c > 1 else rng.integers(0, 256, size=(h, w)).astype(np.uint8)
         for lz in (False, True):
             for cb in (0, 4, 8):
-                dw, dh, dc, out = decode_webp(encode_webp_lossless(
-                    img, use_lz77=lz, cache_bits=cb))
-                assert (dw, dh, dc) == (w, h, 4)
-                exp = img if img.ndim == 3 else img[:, :, None]
-                assert np.array_equal(out[:, :, 0], exp[:, :, 0])
-                if c == 4:
-                    assert np.array_equal(out, exp)
+                for sg in (False, True):
+                    dw, dh, dc, out = decode_webp(encode_webp_lossless(
+                        img, use_lz77=lz, cache_bits=cb,
+                        subtract_green=sg))
+                    assert (dw, dh, dc) == (w, h, 4)
+                    exp = img if img.ndim == 3 else img[:, :, None]
+                    assert np.array_equal(out[:, :, 0], exp[:, :, 0])
+                    if c == 4:
+                        assert np.array_equal(out, exp)
     # vertical-stripe image: the distance-w reference dominates
     img = np.tile(rng.integers(0, 256, size=(1, 9, 4)).astype(np.uint8),
                   (25, 1, 1))
