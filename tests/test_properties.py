@@ -678,3 +678,63 @@ def test_webp_roundtrip_grid_and_errors():
     bad[25] |= 0x01
     with pytest.raises(NotImplementedError, match="transform"):
         decode_webp(bytes(bad))
+
+
+def test_webp_vp8l_normal_code_spec_vector():
+    """Second hand-assembled VP8L anchor, for the NORMAL prefix-code
+    path (the simple-code vector above can't reach it): a 2×1 image
+    whose green code is spelled out through a code-length code using
+    the 17-repeat symbol and the max_symbol early-stop field — the
+    machinery real encoders emit. Green lengths {10:1, 20:2, 30:2}
+    (30 is an unused Kraft-completing symbol); code-length code
+    lengths {17:1, 1:2, 2:2}; six code-length symbols read under
+    max_symbol = 6. r/b/a/distance are simple single-symbol codes."""
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.webp import decode_vp8l
+
+    acc = []
+
+    def put(value, n):
+        for i in range(n):
+            acc.append((value >> i) & 1)
+
+    def code(bits_msb_first):
+        acc.extend(bits_msb_first)
+
+    put(1, 14); put(0, 14)        # width 2, height 1
+    put(0, 1); put(0, 3)          # alpha hint, version
+    put(0, 1)                     # no transforms
+    put(0, 1)                     # no color cache
+    put(0, 1)                     # no meta-prefix
+    # ---- green: NORMAL form ----
+    put(0, 1)                     # not simple
+    put(1, 4)                     # num_code_lengths = 4 + 1 = 5
+    # slots in kCodeLengthCodeOrder: 17→1, 18→0, 0→0, 1→2, 2→2
+    for v in (1, 0, 0, 2, 2):
+        put(v, 3)
+    put(1, 1)                     # use max_symbol
+    put(1, 3)                     # length_nbits = 2 + 2*1 = 4
+    put(4, 4)                     # max_symbol = 2 + 4 = 6 reads
+    # canonical CL code: 17→0 (1 bit), 1→10, 2→11
+    code([0]); put(7, 3)          # 17: repeat 0 × (3+7)=10  → syms 0-9
+    code([1, 0])                  # len 1                    → sym 10
+    code([0]); put(6, 3)          # 17: 3+6=9 zeros          → 11-19
+    code([1, 1])                  # len 2                    → sym 20
+    code([0]); put(6, 3)          # 9 zeros                  → 21-29
+    code([1, 1])                  # len 2                    → sym 30
+    # ---- red / blue / alpha: simple single-symbol ----
+    for sym in (5, 6, 255):
+        put(1, 1); put(0, 1); put(1, 1); put(sym, 8)
+    # ---- distance: simple single-symbol, 1-bit form ----
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    # ---- pixels: green 10 (code 0), then green 20 (code 10) ----
+    code([0])
+    code([1, 0])
+    payload = bytes([0x2F]) + bytes(
+        sum(b << i for i, b in enumerate(acc[k:k + 8]))
+        for k in range(0, len(acc), 8))
+    w, h, c, arr = decode_vp8l(payload)
+    assert (w, h, c) == (2, 1, 4)
+    assert np.array_equal(arr[0, :, 1], [10, 20])               # G
+    assert (arr[:, :, 0] == 5).all() and (arr[:, :, 2] == 6).all()
+    assert (arr[:, :, 3] == 255).all()
