@@ -73,11 +73,15 @@ _DEFAULTS = {
     # had it been admitted, this 4M-item grid would have held ~30M keys
     # at ~1.1 bits/key — FPR over half, the same erosion the r13 fix
     # bought one decade of. Two constants, two cliffs: ANY constant
-    # here is only honest for the tier it was measured on. Sessions
-    # reading STATS-LESS parquet at a known data scale must size BOTH
-    # with bloom_filter_sizing() below; with catalog row-count stats
-    # Spark self-sizes inside max{NumItems,NumBits} — that is the
-    # production path.
+    # here is only honest for the tier it was measured on.
+    # r15: these grid values are therefore a FALLBACK for sessions
+    # built with no knowledge of their data — the self-sizing path is
+    # ``get_spark(data_dir=...)`` (or ``session_conf(data_dir=...)``),
+    # which reads the tier's parquet FOOTERS (metadata only, no data
+    # pages) and applies :func:`bloom_filter_sizing` to the largest
+    # table's row count with zero manual input; production tables with
+    # ANALYZE'd catalog stats self-size inside max{NumItems,NumBits}
+    # without either.
     "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
         str(4 * 1024 * 1024),
     "spark.sql.optimizer.runtime.bloomFilter.numBits": str(1 << 25),
@@ -138,22 +142,77 @@ def bloom_filter_sizing(creation_keys: int) -> dict[str, str]:
     }
 
 
+def parquet_row_bound(data_dir: str) -> int | None:
+    """Largest table's row count under ``data_dir``, from parquet FOOTERS
+    only (pyarrow metadata read — a few KB per file, no data pages; at
+    the 100 TB tier this is the one full-corpus statistic that costs
+    nothing to know). Tables are ``*.parquet`` files or directories of
+    part files; the max across tables is a safe upper bound for any
+    runtime filter's creation-side key count, because every creation
+    side is a filtered subset of some table. Returns None when nothing
+    readable is found — callers keep the static fallback grid."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    if not os.path.isdir(data_dir):
+        return None
+
+    def file_rows(path: str) -> int:
+        try:
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return 0
+
+    best = 0
+    for entry in sorted(os.listdir(data_dir)):
+        p = os.path.join(data_dir, entry)
+        if os.path.isfile(p) and entry.endswith(".parquet"):
+            best = max(best, file_rows(p))
+        elif os.path.isdir(p):
+            best = max(best, sum(
+                file_rows(os.path.join(p, f)) for f in os.listdir(p)
+                if f.endswith(".parquet")))
+    return best or None
+
+
+def session_conf(extra_conf: dict[str, str] | None = None,
+                 data_dir: str | None = None) -> dict[str, str]:
+    """The engine conf as a plain dict (pure assembly — testable without
+    a JVM). ``data_dir`` is the r15 self-sizing path: derive the
+    runtime-bloom grid from the tier's parquet footers via
+    :func:`parquet_row_bound` + :func:`bloom_filter_sizing`, so no
+    hand-set constant survives a decade jump (the r14 sf100 lesson —
+    both static cliffs were invisible until the next decade ran).
+    Explicit ``extra_conf`` still wins over the derived values."""
+    conf = dict(_DEFAULTS)
+    if data_dir is not None:
+        bound = parquet_row_bound(data_dir)
+        if bound is not None:
+            conf.update(bloom_filter_sizing(bound))
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
+
+
 def get_spark(app_name: str = "pravega-flink-ai-flow-spark",
               master: str | None = None,
-              extra_conf: dict[str, str] | None = None) -> SparkSession:
+              extra_conf: dict[str, str] | None = None,
+              data_dir: str | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
     so the same code runs unchanged under a cluster master URL.
+    ``data_dir`` self-sizes the runtime-bloom grid from that tier's
+    parquet footers (see :func:`session_conf`); note getOrCreate reuses
+    a live session, so sizing only applies to the session that actually
+    starts the JVM.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    conf = dict(_DEFAULTS)
-    if extra_conf:
-        conf.update(extra_conf)
-    for k, v in conf.items():
+    for k, v in session_conf(extra_conf, data_dir).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

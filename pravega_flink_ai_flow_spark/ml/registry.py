@@ -554,10 +554,24 @@ class MongoDocumentStore(DocumentStore):
                     "file-backed) or sqlite:///") from e
             client = pymongo.MongoClient(uri)
             dup_exc = pymongo.errors.DuplicateKeyError
+        elif dup_exc is None:
+            # an injected client without its duplicate-key exception
+            # would silently disable allocate()'s creation-race retry
+            # (empty except tuple catches nothing); default to the real
+            # pymongo error, and refuse outright when neither exists
+            try:
+                import pymongo.errors  # type: ignore
+                dup_exc = pymongo.errors.DuplicateKeyError
+            except ImportError as e:
+                raise ValueError(
+                    "MongoDocumentStore(client=...) needs dup_exc= (the "
+                    "client's duplicate-key exception class) when pymongo "
+                    "is not importable — without it the counter "
+                    "creation-race retry would be silently disabled") from e
         self._db = client[database]
         # raised when two first-ever upserts race on a counter _id —
         # the loser retries and lands on the now-existing document
-        self._dup_exc = dup_exc if dup_exc is not None else ()
+        self._dup_exc = dup_exc
 
     def insert_one(self, collection, doc):
         self._db[collection].insert_one(dict(doc))

@@ -65,12 +65,15 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     Given a column NAME (every in-repo caller), the tree is built as
     ONE ``F.expr`` round trip — the Column-DSL assembly cost ~30 ms of
     py4j latency per call (r14, bench plan-build); a Column argument
-    keeps the DSL path for computed inputs."""
+    keeps the DSL path for computed inputs. The name is backtick-quoted
+    (escaped) into the SQL so non-identifier names — spaces, dashes,
+    keywords — parse the same as they did under the DSL path."""
     if isinstance(text, str):
+        col = "`" + text.replace("`", "``") + "`"
         parts = ", ".join(["w"] + [f"get(ws, i + {j})"
                                    for j in range(1, k)])
         return F.expr(f"""
-            get(transform(array(split(trim({text}), '\\\\s+')), ws ->
+            get(transform(array(split(trim({col}), '\\\\s+')), ws ->
                   array_distinct(
                     if(size(ws) >= {k},
                        slice(transform(ws, (w, i) -> concat_ws(' ', {parts})),
@@ -262,10 +265,15 @@ def lsh_candidate_pairs_from_bands(banded: DataFrame,
 
 
 def lsh_band_table(sig: DataFrame, num_hashes: int = 64, bands: int = 16,
-                   out_id: str = "id") -> DataFrame:
+                   out_id: str = "id",
+                   carry: "tuple[str, ...]" = ()) -> DataFrame:
     """Banded LSH bucket table of a MinHash signature frame —
     ``(out_id, band_id, band_sig)``, one row per (doc, band). Plan
-    constants identical to :func:`lsh_candidate_pairs`.
+    constants identical to :func:`lsh_candidate_pairs`. ``carry`` names
+    extra input columns to keep on each band row (r15: the streaming
+    sink carries the shingle-array length so its broadcast guard can
+    estimate bytes from the same aggregate it already runs — the plan
+    is unchanged when empty).
 
     This is the WRITE-ONCE corpus artifact of the incremental probe
     path: persist it (parquet, bucketed by ``band_sig`` — the s14
@@ -280,8 +288,9 @@ def lsh_band_table(sig: DataFrame, num_hashes: int = 64, bands: int = 16,
         transform(sequence(0, {bands - 1}), i -> named_struct(
             'band_id', i,
             'band_sig', xxhash64(slice(sig, i * {rpb} + 1, {rpb}))))""")
-    return (sig.select(F.col("id").alias(out_id), F.explode(b).alias("bb"))
-            .select(out_id, "bb.band_id", "bb.band_sig"))
+    return (sig.select(F.col("id").alias(out_id), *carry,
+                       F.explode(b).alias("bb"))
+            .select(out_id, *carry, "bb.band_id", "bb.band_sig"))
 
 
 def lsh_probe_banded(sig_new: DataFrame, corpus_banded: DataFrame,
@@ -1258,7 +1267,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                 "size(array_intersect(__sa, __sb)) / (size(__sa) "
                 "+ size(__sb) - size(array_intersect(__sa, __sb))) "
                 "AS jaccard")
-            .filter(f"jaccard >= {threshold!r}"))
+            # Column comparison, not f-string SQL: repr() of inf/nan is
+            # not valid SQL, and a lit survives any float (r14 advice)
+            .filter(F.col("jaccard") >= F.lit(float(threshold))))
 
 
 def contamination_report(train: DataFrame, bench: DataFrame,

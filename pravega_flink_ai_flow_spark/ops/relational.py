@@ -111,6 +111,11 @@ def salted_join(left: DataFrame, right: DataFrame, *,
            if salt_source is None else F.xxhash64(F.col(salt_source)))
     if hot_threshold is not None and hot_rel_threshold is not None:
         raise ValueError("pass hot_threshold OR hot_rel_threshold, not both")
+    if detect_sample is not None and not (0.0 < detect_sample <= 1.0):
+        # f<=0 would make every sampled key "hot" (thr=0 → blanket-salt
+        # fallback, the r9 regression mode); f>1 is an opaque Spark error
+        raise ValueError(
+            f"detect_sample must be in (0, 1], got {detect_sample}")
     if key_stats is not None and hot_threshold is None \
             and hot_rel_threshold is None:
         raise ValueError("key_stats needs a hot_threshold or "
@@ -190,15 +195,30 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
     # j9's whole 0.19 s plan-build in BENCH_r13 — while selectExpr
     # ships each projection as ONE JVM call and parses identical
     # expression nodes. Null-struct cast targets come from the input
-    # schemas python-side (no extra analysis pass); simpleString is the
-    # CAST-parseable DDL of the struct.
+    # schemas python-side (no extra analysis pass), as explicitly
+    # quoted struct DDL. simpleString() is NOT that DDL: it leaves
+    # field names bare, so a name containing ',', ':' or '<>' would
+    # parse as type syntax (r14 advice). Names the DDL parser cannot
+    # round-trip even quoted (embedded newlines — the lexer treats a
+    # quoted identifier as single-line) take the Column-DSL fallback
+    # below: same plan, more py4j chatter, any name.
     from pyspark.sql.types import StructType
 
     def q(c: str) -> str:
-        return f"`{c}`"
+        return "`" + c.replace("`", "``") + "`"
 
-    l_ddl = StructType([left.schema[c] for c in lcols]).simpleString()
-    r_ddl = StructType([right.schema[c] for c in rcols]).simpleString()
+    def struct_ddl(schema, cols: Sequence[str]) -> str:
+        return ("struct<" + ",".join(
+            f"{q(c)}:{schema[c].dataType.simpleString()}" for c in cols)
+            + ">")
+
+    if any("\n" in c or "\r" in c for c in lcols + rcols):
+        return _asof_merge_dsl(left, right, left_on=left_on,
+                               right_on=right_on, left_time=left_time,
+                               right_time=right_time,
+                               tie_breakers=tie_breakers)
+    l_ddl = struct_ddl(left.schema, lcols)
+    r_ddl = struct_ddl(right.schema, rcols)
     l = left.selectExpr(
         f"{q(left_on)} AS __k",
         f"CAST({q(left_time)} AS timestamp) AS __t",
@@ -206,7 +226,7 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
         "struct(" + ", ".join(q(c) for c in lcols) + ") AS __l",
         f"CAST(NULL AS {r_ddl}) AS __r",
         *[f"CAST(NULL AS {right.schema[c].dataType.simpleString()}) "
-          f"AS `__tb_{c}`" for c in tie_breakers],
+          f"AS {q('__tb_' + c)}" for c in tie_breakers],
     )
     r = right.selectExpr(
         f"{q(right_on)} AS __k",
@@ -214,10 +234,10 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
         "0 AS __is_left",
         f"CAST(NULL AS {l_ddl}) AS __l",
         "struct(" + ", ".join(q(c) for c in rcols) + ") AS __r",
-        *[f"{q(c)} AS `__tb_{c}`" for c in tie_breakers],
+        *[f"{q(c)} AS {q('__tb_' + c)}" for c in tie_breakers],
     )
     order = ", ".join(["__t ASC", "__is_left ASC",
-                       *[f"`__tb_{c}` ASC" for c in tie_breakers]])
+                       *[f"{q('__tb_' + c)} ASC" for c in tie_breakers]])
     merged = (l.unionByName(r)
               .selectExpr("*",
                           f"last(__r, true) OVER (PARTITION BY __k "
@@ -226,6 +246,55 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
               .filter("__is_left = 1 AND __carry IS NOT NULL"))
     return merged.selectExpr(*[f"__l.{q(c)} AS {q(c)}" for c in lcols],
                              *[f"__carry.{q(c)} AS {q(c)}" for c in rcols])
+
+
+def _asof_merge_dsl(left: DataFrame, right: DataFrame, *,
+                    left_on: str, right_on: str,
+                    left_time: str, right_time: str,
+                    tie_breakers: Sequence[str] = ()) -> DataFrame:
+    """Column-DSL twin of :func:`asof_merge` for column names the SQL
+    DDL/identifier lexer cannot express (embedded newlines). Identical
+    plan nodes, built object-side — only plan-BUILD cost differs, so
+    the fast path stays the default."""
+    from pyspark.sql.types import StructType
+
+    def qc(c: str) -> Column:
+        # F.col() PARSES its argument as a (possibly multi-part)
+        # attribute name — dots split, stray backticks error — so every
+        # dynamic name must go in pre-quoted; parseAttributeName (unlike
+        # the SQL lexer) accepts any character inside a quoted part,
+        # newlines included
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    lcols, rcols = list(left.columns), list(right.columns)
+    l_t = StructType([left.schema[c] for c in lcols])
+    r_t = StructType([right.schema[c] for c in rcols])
+    l = left.select(
+        qc(left_on).alias("__k"),
+        qc(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[qc(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(r_t).alias("__r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
+          for c in tie_breakers])
+    r = right.select(
+        qc(right_on).alias("__k"),
+        qc(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_t).alias("__l"),
+        F.struct(*[qc(c) for c in rcols]).alias("__r"),
+        *[qc(c).alias(f"__tb_{c}") for c in tie_breakers])
+    w = (Window.partitionBy("__k")
+         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(),
+                  *[qc(f"__tb_{c}").asc() for c in tie_breakers])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (l.unionByName(r)
+              .withColumn("__carry", F.last("__r", ignorenulls=True).over(w))
+              .filter((F.col("__is_left") == 1)
+                      & F.col("__carry").isNotNull()))
+    return merged.select(*[F.col("__l").getField(c).alias(c) for c in lcols],
+                         *[F.col("__carry").getField(c).alias(c)
+                           for c in rcols])
 
 
 def asof_join(left: DataFrame, right: DataFrame, *,

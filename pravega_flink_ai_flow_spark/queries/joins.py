@@ -631,3 +631,75 @@ def j16_hot_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum("c_acctbal").cast("double").alias("sum_acctbal"))
             .orderBy("hot_key"))
+
+
+@declared(
+    "j17_stats_salted_join",
+    oracle="""
+    SELECT c.c_custkey                       AS hot_key,
+           COUNT(*)                          AS n_events,
+           CAST(SUM(c.c_acctbal) AS DOUBLE)  AS sum_acctbal
+    FROM events e JOIN customer c ON LEAST(e.user_id, 5) = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    survey_ids=("J1",),
+)
+def j17_stats_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j16's join with the hot set classified from CALLER-SUPPLIED
+    ``key_stats`` instead of a detection scan — the 100 TB arm of
+    ``ops.relational.salted_join`` (r14 verdict #3), where any
+    detection pass over the fact side is a TB-scale read and the stats
+    you already have (table-format column stats, a prior round's
+    counts) are free.
+
+    The stats here come from the cheapest honest source that exists at
+    every scale: the fact table's parquet FOOTER row count (metadata
+    only — no data pages read) plus the structural fact that
+    ``least(user_id, 5)`` collapses the whole upper key domain onto
+    key 5, so key 5's row count is ~N and N/10 is a safe, N-relative
+    hot bar. Hotness needs only order-of-magnitude precision — a
+    misclassified borderline key changes the PLAN, never the result
+    (salting is row-identical by construction) — which is exactly why
+    footer-grade stats suffice. The oracle proves the stats-driven
+    salted plan row-identical to the unsalted join; a pytest proves
+    plan EQUALITY with j16's scan-detected salted plan and that plan
+    construction runs ZERO jobs over the fact side (the fact input is
+    unscannable in that test — construction still succeeds)."""
+    import os as _os
+
+    from ..ops.relational import salted_join
+
+    events, customer = tables(spark, sf_dir, "events", "customer")
+    p = _os.path.join(sf_dir, "events.parquet")
+    try:
+        import pyarrow.parquet as _pq
+        if _os.path.isdir(p):
+            n = sum(_pq.ParquetFile(_os.path.join(p, f)).metadata.num_rows
+                    for f in _os.listdir(p) if f.endswith(".parquet"))
+        else:
+            n = _pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        # footers unreadable → the one-scan detection pass is the
+        # honest fallback; the zero-scan contract is pytest-pinned
+        n = None
+    fact = events.withColumn("hot_key",
+                             F.least(F.col("user_id"), F.lit(5)))
+    dim = (customer.filter(F.col("c_custkey") <= 5)
+           .select(F.col("c_custkey").alias("dim_key"), "c_acctbal"))
+    if n is not None:
+        stats = spark.createDataFrame([(5, n)], "key long, cnt long")
+        joined = salted_join(fact, dim, left_on="hot_key",
+                             right_on="dim_key", salt=8,
+                             salt_source="event_id",
+                             hot_threshold=max(n // 10, 1),
+                             key_stats=stats)
+    else:  # pragma: no cover - sandbox tiers always carry footers
+        joined = salted_join(fact, dim, left_on="hot_key",
+                             right_on="dim_key", salt=8,
+                             salt_source="event_id",
+                             hot_rel_threshold=2.0)
+    return (joined.groupBy("hot_key")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("c_acctbal").cast("double").alias("sum_acctbal"))
+            .orderBy("hot_key"))

@@ -205,7 +205,8 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
                          num_hashes: int = 64, bands: int = 16,
                          threshold: float = 0.7,
                          small_batch_rows: int = 100_000,
-                         max_batch_pairs: int = None):
+                         max_batch_pairs: int = None,
+                         max_batch_broadcast_mb: float = 64.0):
     """Streaming near-duplicate suppression (T7 × L2): per micro-batch,
     MinHash-sign the new documents, find candidates within the batch AND
     against the accumulated store, drop docs whose near-dup (verified
@@ -254,7 +255,16 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
     banding pass); past ``max_batch_pairs`` (default
     ``4 × small_batch_rows``) the batch falls back to the aggregate
     arm, whose pair work is shuffled across executors instead of built
-    into one broadcast side.
+    into one broadcast side. The cap is also BYTE-aware (r15 — r14
+    verdict "What's wrong" #3): the broadcast payload is pairs × their
+    shingle ARRAYS, so a few long near-identical documents sharing a
+    band can pass any pure pair-count cap while building a
+    multi-hundred-MB broadcast side. Each band row carries its doc's
+    shingle payload BYTES (``carry`` column through the banding — one
+    in-row fold, no extra pass), the SAME guard aggregate estimates
+    the pair payload as ``Σ_band (c−1)·Σbytes/2``, and past
+    ``max_batch_broadcast_mb`` (default 64, the engine's
+    autoBroadcastJoinThreshold) the batch takes the aggregate arm.
 
     Store/bands appends are made IDEMPOTENT under checkpoint retry
     (r9 advice #4): each append anti-joins the batch's new ids against
@@ -349,8 +359,15 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
         # self-join, the store probe and the bands append all feed from
         # this persisted table — the old shape re-banded the batch for
         # each of the three consumers, pure per-batch fixed cost
+        # per-doc shingle payload BYTES for the broadcast guard below:
+        # string lengths + ~16 B/element array overhead, one fold over
+        # an array the signature expression walks anyway (shingles are
+        # array<string> — an element COUNT would underprice them 3-4×)
+        sh_bytes = F.expr(
+            "aggregate(shingles, 0L, (a, x) -> a + length(x) + 16)")
         batch_bands = dedup.lsh_band_table(
-            new.select("id", "sig"), num_hashes, bands).persist()
+            new.select("id", "sig", sh_bytes.alias("__sh_bytes")),
+            num_hashes, bands, carry=("__sh_bytes",)).persist()
         if hinted:
             # re-check the hint against the EXACT within-batch pair
             # count (r13 verdict #3): a band-collision burst makes
@@ -358,15 +375,27 @@ def streaming_near_dedup(stream_df: DataFrame, *, store_dir: str,
             # hinted arm would build those pairs (joined with shingle
             # arrays) into a broadcast side. One aggregate over the
             # persisted batch_bands — the frame every later consumer
-            # reads anyway, so this materializes no extra pass.
+            # reads anyway, so this materializes no extra pass. The
+            # SAME aggregate is byte-aware (r15): each band row carries
+            # its doc's shingle payload bytes, so the estimate
+            # Σ_band (c−1)·Σbytes/2 prices the few-rows-huge-arrays
+            # burst the pure pair count waves through.
             pair_cap = (4 * small_batch_rows if max_batch_pairs is None
                         else max_batch_pairs)
-            est = (batch_bands.groupBy("band_id", "band_sig")
-                   .agg(F.count("*").alias("c"))
-                   .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1))
-                               / F.lit(2)).cast("long")).alias("p"))
-                   .first()["p"])
+            c = F.col("c")
+            row = (batch_bands.groupBy("band_id", "band_sig")
+                   .agg(F.count("*").alias("c"),
+                        F.sum("__sh_bytes").alias("s"))
+                   .agg(F.sum((c * (c - F.lit(1)) / F.lit(2))
+                              .cast("long")).alias("p"),
+                        F.sum(((c - F.lit(1)) * F.col("s") / F.lit(2))
+                              .cast("long")).alias("pb"))
+                   .first())
+            est, est_bytes = row["p"], row["pb"]
             if est is not None and est > pair_cap:
+                hinted = False
+            elif est_bytes is not None and \
+                    est_bytes > max_batch_broadcast_mb * 1024 * 1024:
                 hinted = False
 
         def _has_parquet(d: str) -> bool:

@@ -2140,3 +2140,55 @@ def test_normalize_text_one_pass_equals_two_pass(spark):
                     two_pass.alias("b")).collect()
     for r in got:
         assert r.a == r.b, (r.i, r.a, r.b)
+
+
+def test_asof_merge_non_identifier_columns(spark):
+    """r15 (r14 advice): asof_merge's selectExpr assembly must survive
+    column names the bare simpleString() DDL would misparse — spaces,
+    dashes, commas, colons, angle brackets, embedded backticks — and
+    names with newlines must route to the Column-DSL fallback with the
+    same result."""
+    weird_l = ["event id", "k,ey", "t:im<e>"]
+    weird_r = ["order`id", "k-2", "t 2", "amt,val"]
+    l = spark.createDataFrame(
+        [(1, 10, ts(5)), (2, 10, ts(50)), (3, 11, ts(50))],
+        "`event id` long, `k,ey` long, `t:im<e>` timestamp")
+    r = spark.createDataFrame(
+        [(100, 10, ts(0), 1.5), (101, 10, ts(40), 2.5),
+         (102, 11, ts(60), 3.5)],
+        "`order``id` long, `k-2` long, `t 2` timestamp, `amt,val` double")
+    out = relational.asof_merge(
+        l, r, left_on="k,ey", right_on="k-2",
+        left_time="t:im<e>", right_time="t 2", tie_breakers=["order`id"])
+    assert list(out.columns) == weird_l + weird_r
+    got = {(x["event id"], x["order`id"]) for x in out.collect()}
+    assert got == {(1, 100), (2, 101)}   # event 3 precedes its right row
+
+    # a newline in a name cannot survive the SQL lexer → DSL fallback,
+    # identical semantics
+    l2 = l.withColumnRenamed("event id", "event\nid")
+    out2 = relational.asof_merge(
+        l2, r, left_on="k,ey", right_on="k-2",
+        left_time="t:im<e>", right_time="t 2", tie_breakers=["order`id"])
+    got2 = {(x["event\nid"], x["order`id"]) for x in out2.collect()}
+    assert got2 == {(1, 100), (2, 101)}
+
+
+def test_salted_join_detect_sample_validation(spark):
+    l = spark.createDataFrame([(1, 0)], "row_id long, k long")
+    r = spark.createDataFrame([(0, "d")], "rk long, name string")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="detect_sample"):
+            relational.salted_join(l, r, left_on="k", right_on="rk",
+                                   hot_threshold=10, detect_sample=bad)
+
+
+def test_word_shingles_non_identifier_column(spark):
+    """r15 (r14 advice): the single-expr fast path must backtick-quote
+    the interpolated column name — a name with spaces/dashes parsed as
+    SQL syntax before."""
+    df = spark.createDataFrame([(1, "a b c d")], "id long, `my text-col` string")
+    fast = df.select(dedup.word_shingles("my text-col", 3).alias("s"))
+    slow = df.select(dedup.word_shingles(F.col("my text-col"), 3).alias("s"))
+    assert fast.collect() == slow.collect()
+    assert sorted(fast.collect()[0].s) == ["a b c", "b c d"]

@@ -12,6 +12,7 @@ shared hardware:
 """
 
 import io
+import os
 from contextlib import redirect_stdout
 
 import pytest
@@ -462,3 +463,109 @@ def test_bloom_filter_sizing_scales_both_constants():
             <= int(conf[p + "maxNumItems"])
         assert int(conf[p + "numBits"]) \
             >= int(conf[p + "expectedNumItems"])            # ≥1 bit/key
+
+
+def test_session_conf_self_sizes_from_parquet_footers(tmp_path):
+    """r15 (r14 verdict #1): the self-sizing path — session_conf(
+    data_dir=tier) must derive the bloom grid from the tier's parquet
+    FOOTERS with no manual key bound, so no tier-pinned constant
+    remains for the next decade to catch. Pinned against
+    bloom_filter_sizing(parquet_row_bound(dir)) and against explicit
+    extra_conf still winning."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pravega_flink_ai_flow_spark.engine.session import (
+        _DEFAULTS, bloom_filter_sizing, parquet_row_bound, session_conf)
+
+    # two "tables": a small dim file and a fact DIRECTORY of two parts
+    pq.write_table(pa.table({"a": list(range(10))}),
+                   tmp_path / "dim.parquet")
+    fact = tmp_path / "fact.parquet"
+    fact.mkdir()
+    pq.write_table(pa.table({"a": list(range(700))}),
+                   fact / "part-0.parquet")
+    pq.write_table(pa.table({"a": list(range(500))}),
+                   fact / "part-1.parquet")
+
+    assert parquet_row_bound(str(tmp_path)) == 1200
+    conf = session_conf(data_dir=str(tmp_path))
+    for k, v in bloom_filter_sizing(1200).items():
+        assert conf[k] == v
+    # a big-tier bound must actually move the grid off the fallback
+    big = {**dict(_DEFAULTS), **bloom_filter_sizing(600_000_000)}
+    assert big != dict(_DEFAULTS)
+
+    # a real tier: the bound is the largest table, and sf0.001's tiny
+    # counts land on the 4M/2^25 floor (plans identical to the static
+    # fallback at test scale)
+    d = "/root/testdata/sf0.001"
+    if os.path.isdir(d):
+        b = parquet_row_bound(d)
+        assert b and b > 0
+        floor = session_conf(data_dir=d)
+        p = "spark.sql.optimizer.runtime.bloomFilter."
+        assert floor[p + "expectedNumItems"] == str(4 * 1024 * 1024)
+
+    # explicit conf still wins over derived sizing
+    p = "spark.sql.optimizer.runtime.bloomFilter.numBits"
+    over = session_conf(extra_conf={p: "12345"}, data_dir=str(tmp_path))
+    assert over[p] == "12345"
+
+    # empty/missing dirs keep the static fallback
+    assert parquet_row_bound(str(tmp_path / "nope")) is None
+    assert session_conf(data_dir=str(tmp_path / "nope")) == dict(_DEFAULTS)
+
+
+def test_key_stats_salted_join_runs_zero_detection_jobs(spark, tmp_path):
+    """r15 (r14 verdict #3): salted_join's ``key_stats`` path must
+    classify hot keys WITHOUT any job over the fact side. Proven the
+    strong way: the fact input here is unscannable (a garbage file
+    behind an explicit schema — any Spark job over it throws), so
+    plan CONSTRUCTION succeeding is itself the zero-scan proof, while
+    the scan-detecting arm on the same input fails. Then, on real
+    data, the stats-driven plan must be node-identical to the
+    scan-detected plan (exprIds normalized) — same salted execution,
+    detection cost removed."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pravega_flink_ai_flow_spark.ops import relational
+
+    bad = tmp_path / "fact"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_bytes(b"not a parquet file")
+    fact = spark.read.schema("row_id long, k long").parquet(str(bad))
+    dim = spark.createDataFrame([(0, "d0"), (1, "d1")],
+                                "rk long, name string")
+    stats = spark.createDataFrame([(0, 1000)], "key long, cnt long")
+
+    out = relational.salted_join(fact, dim, left_on="k", right_on="rk",
+                                 salt=8, salt_source="row_id",
+                                 hot_threshold=100, key_stats=stats)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "explode(CASE WHEN" in plan      # the salted arm fired
+
+    with pytest.raises(Exception):          # scan detection MUST read
+        relational.salted_join(fact, dim, left_on="k", right_on="rk",
+                               salt=8, salt_source="row_id",
+                               hot_threshold=100)
+
+    # plan equality on scannable data: stats vs detection, same hot set
+    rows = [(i, 0 if i % 5 else 1) for i in range(500)]
+    l = spark.createDataFrame(rows, "row_id long, k long")
+    true_stats = l.groupBy(F.col("k").alias("key")).count()
+    a = relational.salted_join(l, dim, left_on="k", right_on="rk",
+                               salt=8, salt_source="row_id",
+                               hot_threshold=150)
+    b = relational.salted_join(l, dim, left_on="k", right_on="rk",
+                               salt=8, salt_source="row_id",
+                               hot_threshold=150, key_stats=true_stats)
+
+    def norm(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"plan_id=\d+", "plan_id=x",
+                      re.sub(r"#\d+L?", "#x", s))
+
+    assert norm(a) == norm(b)

@@ -284,3 +284,17 @@ def test_mongo_registry_concurrent_writers_allocate_unique_versions():
         "current_stage": "GENERATED"})
     reg = DocumentModelRegistry(store)
     assert reg.register_model_version("old", "/p5").version == 5
+
+
+def test_mongo_injected_client_requires_dup_exc():
+    """r15 (r14 advice): an injected client with no dup_exc must not
+    silently disable the creation-race retry. In this sandbox pymongo is
+    absent, so the constructor must refuse rather than default to ()."""
+    import pytest
+    try:
+        import pymongo  # noqa: F401
+        pytest.skip("pymongo present; default import path applies")
+    except ImportError:
+        pass
+    with pytest.raises(ValueError, match="dup_exc"):
+        MongoDocumentStore("mongodb://fake", client=FakeMongoClient())

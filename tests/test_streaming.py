@@ -935,3 +935,52 @@ def test_stateful_topk_modern_api_or_documented_seam(spark, tmp_workdir):
     rows = spark.sql("SELECT * FROM tws_tk").collect()
     last = {r.user_id: r.topk for r in rows}
     assert last[1] == "9,8,5"   # running top-3 across both batches
+
+
+def test_streaming_near_dedup_long_doc_burst_routes_by_bytes(
+        spark, tmp_workdir, monkeypatch):
+    """r15 (r14 verdict "What's wrong" #3): the broadcast payload is
+    candidate pairs × their shingle ARRAYS, so a burst of FEW but very
+    LONG near-identical documents passes any pure pair-count cap while
+    the build side balloons. The byte-aware guard must price the
+    payload from the same batch_bands aggregate and route the batch to
+    the aggregate arm; the keeper set must be unchanged (cluster
+    collapses to min id, uniques survive)."""
+    from pravega_flink_ai_flow_spark.ops import dedup as dd
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = StreamDir(os.path.join(tmp_workdir, "docs"), doc_schema)
+    store = os.path.join(tmp_workdir, "sig_store")
+
+    # ~400 distinct words/doc → shingle payload ~10 KB/doc; 40 copies
+    # sharing every band → pairs stay small (~3k over 4 bands) but the
+    # pair×array payload estimate crosses a 0.05 MB byte cap instantly
+    long_doc = " ".join(f"boilerplate{w} clause{w * 3} section{w * 7}"
+                        for w in range(140))
+    rows = [(i, long_doc) for i in range(40)]
+    rows += [(1000 + i, f"short unique doc {i} about item{i} topic{i * 5}")
+             for i in range(30)]
+    stream.append(spark.createDataFrame(rows, doc_schema))
+
+    agg_calls = []
+    orig = dd.lsh_candidate_pairs_from_bands
+    monkeypatch.setattr(
+        dd, "lsh_candidate_pairs_from_bands",
+        lambda *a, **k: (agg_calls.append(1), orig(*a, **k))[1])
+
+    q = st.streaming_near_dedup(
+        stream.read_stream(spark), store_dir=store,
+        checkpoint=os.path.join(tmp_workdir, "ck"),
+        threshold=0.5, num_hashes=16, bands=4,
+        small_batch_rows=100_000,        # row gate says "small"
+        max_batch_pairs=1_000_000,       # pair gate says "small" too
+        max_batch_broadcast_mb=0.05)     # ...but the BYTES do not fit
+    q.awaitTermination()
+
+    assert agg_calls, "byte guard did not route to the aggregate arm"
+    ids = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert 0 in ids and not (ids & set(range(1, 40)))
+    assert len(ids) == 31                # cluster survivor + 30 uniques

@@ -150,7 +150,7 @@ def main() -> None:
     spark.stop()
 
 
-def measure_sf100(scaled: bool = False) -> None:
+def measure_sf100(scaled: bool = False, auto: bool = False) -> None:
     """r14 (r13 verdict #1): the sf100 decade MEASURED, not projected.
     Runs the four shuffle-bound queries against a real sf100 tier
     (tools/make_sf_scale.py sf10→sf100, partial: only the tables these
@@ -173,6 +173,7 @@ def measure_sf100(scaled: bool = False) -> None:
                                                  "96g")
     conf["spark.ui.enabled"] = "true"
     conf["spark.ui.retainedStages"] = "5000"
+    d_sizing = None
     if scaled:
         # the r14 fix under test: size the stats-less runtime blooms
         # from the tier's fact row count (600M lineitem rows at sf100)
@@ -181,7 +182,13 @@ def measure_sf100(scaled: bool = False) -> None:
         from pravega_flink_ai_flow_spark.engine.session import \
             bloom_filter_sizing
         conf.update(bloom_filter_sizing(600_000_000))
-    spark = get_spark("shuffle-sf100", extra_conf=conf)
+    elif auto:
+        # r15 (r14 verdict #1): NO explicit sizing call — get_spark
+        # derives the grid itself from the tier's parquet footers.
+        # Done-criterion: these rows match the '_scaled_bloom' rows
+        # within noise.
+        d_sizing = os.path.join(REPO, "testdata_scale", "sf100")
+    spark = get_spark("shuffle-sf100", extra_conf=conf, data_dir=d_sizing)
     spark.sparkContext.setLogLevel("ERROR")
     url = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -195,9 +202,9 @@ def measure_sf100(scaled: bool = False) -> None:
                                        "SHUFFLE_PROJECTION.json")))["queries"]
     out_path = os.path.join(REPO, "SHUFFLE_SF100.json")
     out: dict = {"queries": {}}
-    if scaled and os.path.exists(out_path):
+    if (scaled or auto) and os.path.exists(out_path):
         out = json.load(open(out_path))     # merge next to the first run
-    suffix = "_scaled_bloom" if scaled else ""
+    suffix = "_scaled_bloom" if scaled else "_auto_sized" if auto else ""
     for name in QUERIES:
         fn = registry[name].fn
         before = max_stage(url, app)
@@ -239,6 +246,7 @@ def measure_sf100(scaled: bool = False) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sf100":
-        measure_sf100(scaled=len(sys.argv) > 2 and sys.argv[2] == "scaled")
+        mode = sys.argv[2] if len(sys.argv) > 2 else ""
+        measure_sf100(scaled=mode == "scaled", auto=mode == "auto")
     else:
         main()
