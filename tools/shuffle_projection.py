@@ -244,9 +244,171 @@ def measure_sf100(scaled: bool = False, auto: bool = False) -> None:
     spark.stop()
 
 
+def _job_table(url: str, app: str) -> list[dict]:
+    import datetime as _dt
+
+    def ms(s: str | None) -> float | None:
+        if not s:
+            return None
+        return _dt.datetime.strptime(
+            s.replace("GMT", "+0000"),
+            "%Y-%m-%dT%H:%M:%S.%f%z").timestamp() * 1000.0
+
+    jobs = json.load(urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app}/jobs"))
+    out = []
+    for j in sorted(jobs, key=lambda j: j["jobId"]):
+        t0, t1 = ms(j.get("submissionTime")), ms(j.get("completionTime"))
+        out.append({
+            "job_id": j["jobId"],
+            "name": (j.get("name") or "")[:120],
+            "wall_s": round((t1 - t0) / 1000.0, 3)
+            if t0 is not None and t1 is not None else None,
+            "num_tasks": j.get("numTasks"),
+            "num_stages": len(j.get("stageIds", [])),
+        })
+    return out
+
+
+def measure_sf100_one(query: str, bloom: str) -> None:
+    """ONE query, ONE bloom config, in THIS (fresh) JVM — the clean-room
+    unit of measure_sf100_clean (r15, r14 verdict #2: the committed q21
+    scaled wall was polluted by the preceding q5 run's shuffle spill;
+    any with/without comparison needs one quiet session per cell).
+    ``bloom`` is 'on' (self-sized from the tier's footers — the r15
+    production path) or 'off' (runtime bloom filters disabled entirely,
+    so the delta IS the filter: build cost and all savings included).
+    Prints one ``RESULT {json}`` line with wall, shuffle bytes/records
+    and the per-job wall table (the ON-only jobs are the filter
+    builds — scalar subqueries run as their own jobs with AQE off)."""
+    import time as _time
+
+    from pravega_flink_ai_flow_spark.engine.session import get_spark
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    d = os.path.join(REPO, "testdata_scale", "sf100")
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.sql.shuffle.partitions"] = "96"
+    conf["spark.sql.files.maxPartitionBytes"] = str(64 * 1024 * 1024)
+    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY",
+                                                 "96g")
+    conf["spark.ui.enabled"] = "true"
+    conf["spark.ui.retainedStages"] = "5000"
+    d_sizing = None
+    if bloom == "on":
+        d_sizing = d
+    else:
+        conf["spark.sql.optimizer.runtime.bloomFilter.enabled"] = "false"
+    spark = get_spark("shuffle-sf100-clean", extra_conf=conf,
+                      data_dir=d_sizing)
+    spark.sparkContext.setLogLevel("ERROR")
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    fn = load_all()[query].fn
+    t0 = _time.perf_counter()
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    wall = round(_time.perf_counter() - t0, 2)
+    got = stage_bytes(url, app, -1)
+    print("RESULT " + json.dumps({
+        "query": query, "bloom": bloom, "wall_s": wall,
+        "write_mb": round(got["write"] / 2**20, 2),
+        "records": got["records"],
+        "jobs": _job_table(url, app),
+    }), flush=True)
+    spark.stop()
+
+
+def measure_sf100_clean() -> None:
+    """r15 (r14 verdict #2): the bloom cost/benefit measured CLEANLY —
+    every (query, bloom on/off) cell in its own fresh quiet JVM via a
+    subprocess, so no cell inherits a neighbor's shuffle spill or page
+    cache churn. Filter-build wall is attributed from the job tables:
+    with AQE off the bloom creation aggregates run as their OWN jobs
+    before the main save job, so the ON run's extra jobs (name-count
+    diff against OFF) are the builds. Writes ``<q>_clean_on/off`` rows
+    + a derived comparison into SHUFFLE_SF100.json; the analysis
+    table lands in PERFORMANCE.md."""
+    import subprocess
+    from collections import Counter
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        for mode in ("off", "on"):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "sf100_one", name, mode],
+                capture_output=True, text=True)
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("RESULT ")]
+            if not line:
+                print(f"FAILED {name} {mode}:", p.stdout[-2000:],
+                      p.stderr[-2000:], flush=True)
+                continue
+            row = json.loads(line[-1][len("RESULT "):])
+            results[f"{name}_{mode}"] = row
+            print(name, mode, json.dumps(
+                {k: row[k] for k in ("wall_s", "write_mb", "records")}),
+                flush=True)
+
+    out_path = os.path.join(REPO, "SHUFFLE_SF100.json")
+    out = json.load(open(out_path)) if os.path.exists(out_path) \
+        else {"queries": {}}
+    for name in QUERIES:
+        on = results.get(f"{name}_on")
+        off = results.get(f"{name}_off")
+        if not on or not off:
+            continue
+        off_names = Counter(j["name"] for j in off["jobs"])
+        extra = []
+        seen: Counter = Counter()
+        for j in on["jobs"]:
+            seen[j["name"]] += 1
+            if seen[j["name"]] > off_names[j["name"]]:
+                extra.append(j)
+        build_wall = round(sum(j["wall_s"] or 0.0 for j in extra), 2)
+        row = {
+            "wall_s_bloom_on": on["wall_s"],
+            "wall_s_bloom_off": off["wall_s"],
+            "write_mb_bloom_on": on["write_mb"],
+            "write_mb_bloom_off": off["write_mb"],
+            "records_bloom_on": on["records"],
+            "records_bloom_off": off["records"],
+            "bytes_saved_mb": round(off["write_mb"] - on["write_mb"], 2),
+            "filter_build_wall_s": build_wall,
+            "filter_build_jobs": [
+                {k: j[k] for k in ("name", "wall_s", "num_tasks")}
+                for j in extra],
+            "jobs_on": on["jobs"],
+            "jobs_off": off["jobs"],
+        }
+        out["queries"][name + "_clean"] = row
+        print(name, "clean:", json.dumps(
+            {k: row[k] for k in ("wall_s_bloom_on", "wall_s_bloom_off",
+                                 "bytes_saved_mb",
+                                 "filter_build_wall_s")}), flush=True)
+    out["clean_model"] = (
+        "one fresh quiet JVM per (query, bloom on/off) cell — no cell "
+        "inherits a neighbor's spill (the r14 q21_scaled_bloom wall was "
+        "polluted that way and is superseded by these rows). 'on' = the "
+        "r15 self-sized grid (get_spark(data_dir=tier)); 'off' = runtime "
+        "bloom filters disabled, so wall/bytes deltas capture the whole "
+        "filter: creation-side scan + build + probe vs shuffle saved. "
+        "filter_build_wall_s sums the ON run's extra pre-save jobs (the "
+        "scalar-subquery filter builds; AQE off). On this loopback box "
+        "'shuffle' is memcpy — the filter pays on a real network when "
+        "bytes_saved x (network cost per MB) > filter_build + probe "
+        "overhead; see PERFORMANCE.md for the per-query break-even.")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sf100":
         mode = sys.argv[2] if len(sys.argv) > 2 else ""
         measure_sf100(scaled=mode == "scaled", auto=mode == "auto")
+    elif len(sys.argv) > 1 and sys.argv[1] == "sf100_one":
+        measure_sf100_one(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "sf100_clean":
+        measure_sf100_clean()
     else:
         main()
