@@ -1257,8 +1257,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     arrs = shingle_arrays(spread(df), id_col, text_col, k).persist()
     sigs = minhash_signatures_arrow(arrs, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
-    sa = arrs.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
-    sb = arrs.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    sa = arrs.selectExpr("id AS id_a", "shingles AS __sa")
+    sb = arrs.selectExpr("id AS id_b", "shingles AS __sb")
     # one fused projection (the duplicated intersect subtree collapses
     # in codegen's subexpression elimination, same as the DSL form did)
     return (cands.join(sa, "id_a").join(sb, "id_b")

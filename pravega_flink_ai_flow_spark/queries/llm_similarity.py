@@ -66,19 +66,19 @@ def l3_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply per batch), and the per-query top-k is a window merge over
     per-batch candidates only."""
     (emb,) = tables(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("c_id"),
-                        F.col("embedding").alias("c_vec"))
+    corpus = emb.selectExpr("vec_id AS c_id", "embedding AS c_vec")
     out = similarity.brute_force_topk_blocked(
         _query_rows(spark, sf_dir), corpus,
         query_id="q_id", corpus_id="c_id",
         query_vec="q_vec", corpus_vec="c_vec", k=_TOP_K + 1)
-    # exclude self-matches, then re-rank to 1..k
-    out = (out.filter(F.col("q_id") != F.col("c_id")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (out.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _TOP_K)
-            .select("q_id", "c_id", "cosine", "rank"))
+    # exclude self-matches, then re-rank to 1..k (single-selectExpr
+    # assembly — r15, bench plan-build)
+    return (out.filter("q_id != c_id")
+            .selectExpr(
+                "q_id", "c_id", "cosine",
+                "row_number() OVER (PARTITION BY q_id ORDER BY cosine "
+                "DESC, c_id) AS rank")
+            .filter(f"rank <= {_TOP_K}"))
 
 
 @declared(

@@ -84,14 +84,19 @@ _KNN_CTE = f"""
 def _knn_vote(nearest: DataFrame) -> DataFrame:
     """Majority vote with deterministic tie-break (votes desc, label asc)
     — shared by the fold and blocked formulations."""
-    votes = (nearest.groupBy("vec_id", "true_label",
-                             F.col("n_label").alias("pred_label"))
+    # single-selectExpr assembly (r15, bench plan-build): identical
+    # aggregate + WindowExec nodes, a handful of py4j round trips
+    # instead of ~25
+    votes = (nearest.selectExpr("vec_id", "true_label",
+                                "n_label AS pred_label")
+             .groupBy("vec_id", "true_label", "pred_label")
              .agg(F.count("*").alias("n_votes")))
-    vw = Window.partitionBy("vec_id").orderBy(
-        F.col("n_votes").desc(), F.col("pred_label"))
-    return (votes.withColumn("vr", F.row_number().over(vw))
-            .filter(F.col("vr") == 1)
-            .select("vec_id", "true_label", "pred_label"))
+    return (votes.selectExpr(
+        "vec_id", "true_label", "pred_label",
+        "row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, "
+        "pred_label) AS vr")
+        .filter("vr = 1")
+        .select("vec_id", "true_label", "pred_label"))
 
 
 def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,10 +117,9 @@ def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): one GEMM per input partition is the efficient shape —
     # BLAS parallelism inside the batch, not task fan-out (the fold path
     # needs spread because its per-row cost is interpreter-bound)
-    train = (emb.filter(F.col("vec_id") >= _SPLIT)
-             .select(F.col("vec_id").alias("n_id"),
-                     F.col("label").alias("n_label"),
-                     F.col("embedding").alias("nv")))
+    train = (emb.filter(f"vec_id >= {_SPLIT}")
+             .selectExpr("vec_id AS n_id", "label AS n_label",
+                         "embedding AS nv"))
     # the scorer emits each test vector's true label straight from the
     # closure — no label-attach step at all. (Both alternatives cost
     # real time per call: a 2×|test|-literal create_map is ~0.12 s of
@@ -124,9 +128,10 @@ def _spark_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adds a build job per run.)
     cands = knn_candidates_blocked(train, test_rows, k=_K,
                                    test_label_col="true_label")
-    w = Window.partitionBy("vec_id").orderBy("dist2", "n_id")
-    nearest = (cands.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") <= _K))
+    nearest = (cands.selectExpr(
+        "*", "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, "
+        "n_id) AS rn")
+        .filter(f"rn <= {_K}"))
     return _knn_vote(nearest.drop("dist2", "rn"))
 
 
