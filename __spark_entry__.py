@@ -305,34 +305,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #       m4_ridge_predict (iterative trainer; m4b pinned twin). So the
 #       window records ≥47 hash-green + ≤3 no_oracle. The 38 r10
 #       leftovers (incl. a13) are the ROUND 15 pad pool.
+#
+# ROUND 14 recorded its window clean: 50/50 green (47 hash + 3 rows-
+# only-by-design), 0 red (CORRECTNESS_r14). Staleness census after
+# r14: 50 @ r14, 46 @ r13, 41 @ r12, 44 @ r11, 37 @ r10 — nothing
+# older.
+#
+# ROUND 15 (this round): no r14 reds to re-prove, so `_PROMOTED` =
+#   (a) the ENTIRE 37-query r10-stale pool exactly as the r14 census
+#       left it (the s-block roundtrips, a1-a5 aggregate family,
+#       a13/a4 sketches, the l3 index block's r10 members, l4/l5/l6
+#       stragglers, p8, t5/t11-t15, tpch_q12, w9/w10, j14) — after
+#       this window NOTHING in the corpus is older than r11;
+#   (b) the 9 queries whose OPTIMIZED PLAN changed this round, proven
+#       by a worktree plan-diff against the previous revision
+#       (normalized explain("formatted") of all 219 queries — the
+#       diff, not guesswork, picked this set): the `_rank_merge`
+#       selectExpr fusion of the blocked-scorer window merges changed
+#       the l3-IVF family's plan (a redundant Project dropped — the
+#       vectors are now pruned BEFORE the window exchange) and moved
+#       the KNN vote's pred_label alias ahead of its aggregate:
+#       l3_allpairs_topk, l3_ivf_topk, l3_ivf_kmeans_topk,
+#       l3_recall_eval, l3b_ivf_pinned_topk, m2_knn_predict,
+#       m3_model_accuracy, m8_confusion_matrix,
+#       t16_user_similarity_topk. The OTHER queries touched this
+#       round (asof_merge identifier quoting → j9/j13; word_shingles
+#       quoting + minhash threshold lit → the l2 family; the
+#       brute/filtered/LSH-bucket/int8/near-dup `_rank_merge` tails)
+#       measured **plan-for-plan IDENTICAL** in the same diff, so
+#       their r14 greens still cover the shipped plans and they are
+#       NOT re-promoted — the slots go to staleness instead;
+#   (c) the NEW query (enters the gate at birth per the runbook):
+#       j17_stats_salted_join — the key_stats zero-detection-scan arm
+#       of salted_join, classified from parquet-footer metadata;
+#   (d) padded to exactly 50 with the name-ordered-first r11-stale
+#       greens: a16_equidepth_histogram, a6_positional_aggs, a7_stats.
+#       FIVE of the 50 are rows-only by design, each with a documented
+#       reason and (for the trainers) a hash-green twin:
+#       a4_approx_count_distinct + a13_approx_percentile (sketch
+#       estimates; tolerance pytests), l3_ivf_kmeans_topk (iterative
+#       trainer; l3b frozen-index twin — itself in this window),
+#       l3_pq_topk (trained quantizer; l3c pinned twin), and
+#       l6_quality_classifier (trained model; l6b pinned twin). So the
+#       window records ≥45 hash-green + ≤5 no_oracle. The 41 r11-stale
+#       leftovers are the ROUND 16 pad pool.
 _PROMOTED = frozenset({
-    # (a) the full r9-stale pool
-    "l3_mmr_rerank",
-    "l4_bigram_lm_score", "l4_bpe_token_count", "l4_bpe_trained_tokenize",
-    "l4_doc_chunking", "l4_fingerprint", "l4_gopher_repetition",
-    "l4_lang_source_stats", "l4_language_id", "l4_repetition_ratio",
-    "l4_rolling_hash", "l4_token_stats",
-    "l5_audio_decode", "l5_audio_features", "l5_binary_meta",
-    "l5_frame_sample_plan", "l5_jpeg_decode",
-    "l6_benchmark_decontam", "l6_boilerplate_removal",
-    "l6_dsir_importance", "l6_heavy_hitter_terms",
-    "l6_mixture_weighted_sample", "l6_pii_redaction", "l6_shard_assign",
-    "m4_ridge_predict", "m9_feature_drift_psi",
-    "o4_nulls_ordering", "p6_rename_alias", "p7_systematic_sample",
-    "t22_funnel_conversion", "t23_retention_cohorts",
-    "t24_purchase_attribution",
-    # (b) plan / shared-implementation changes this round
-    "j9_asof_join", "j11_salted_skew_join", "j13_asof_tolerance",
-    "j16_hot_salted_join",
-    "l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs",
-    "l2_dfcap_jaccard_pairs", "l2_edit_distance_pairs",
-    "l2_containment_pairs", "l2_dedup_clusters", "l2_dedup_keep",
-    "l2_incremental_dedup", "l2_simhash_pairs", "l6_pretrain_pipeline",
-    # the NEW VP8L codec query (enters the gate at birth per the
-    # runbook, taking a13_approx_percentile's pad slot)
-    "l5_webp_decode",
-    # (c) name-ordered-first r10-stale pad
-    "a10_unpivot", "a11_string_agg", "a12_corr_covar",
+    # (a) the full r10-stale pool
+    "a13_approx_percentile", "a1_pricing_summary", "a2_global_agg",
+    "a3_count_distinct", "a4_approx_count_distinct", "a5_cube",
+    "a5_grouping_sets", "a5_rollup", "j14_lateral_topn",
+    "l3_int8_quant_topk", "l3_lsh_topk", "l3_pq_topk",
+    "l4_char_entropy", "l4_tfidf_keywords",
+    "l5_image_decode", "l5_image_phash", "l5_image_resize",
+    "l5_interlaced_decode", "l5_progressive_decode",
+    "l6_quality_classifier", "p8_stratified_sample",
+    "s10_orc_roundtrip", "s11_ddl_connector_roundtrip",
+    "s1_csv_roundtrip", "s3_s4_stream_dir_roundtrip",
+    "s7_parquet_pruned_scan", "s8_rows_source", "s9_pandas_bridge",
+    "t11_ohlc_rollup", "t12_funnel_analysis", "t13_retention_cohorts",
+    "t14_resample_ffill", "t15_resample_interpolate",
+    "t5_session_window", "tpch_q12", "w10_rolling_median",
+    "w9_running_count_distinct",
+    # (b) optimized-plan changes this round (worktree plan-diff)
+    "l3_allpairs_topk", "l3_ivf_topk", "l3_ivf_kmeans_topk",
+    "l3_recall_eval", "l3b_ivf_pinned_topk", "m2_knn_predict",
+    "m3_model_accuracy", "m8_confusion_matrix",
+    "t16_user_similarity_topk",
+    # (c) the NEW key_stats gate query
+    "j17_stats_salted_join",
+    # (d) name-ordered-first r11-stale pad
+    "a16_equidepth_histogram", "a6_positional_aggs", "a7_stats",
 })
 
 

@@ -50,15 +50,16 @@ def test_promoted_rows_only_set_is_intentional():
     hash-checkable query."""
     registry = load_all()
     rows_only = {n for n in entrymod._PROMOTED if registry[n].oracle is None}
-    # round 14 window: THREE rows-only-by-design entries —
-    # l2_simhash_pairs (xxhash64 signature has no SQL equivalent;
-    # re-promoted because the shared word_shingles expression was
-    # rebuilt as single-expr SQL), l4_bpe_trained_tokenize (iterative
-    # merge loop; worked-example pytest + the hash-green
-    # l4_bpe_token_count twin; rides in from the r9-stale pool) and
-    # m4_ridge_predict (iterative trainer; its hash-green pinned twin
-    # is m4b; r9-stale pool). Any commit that touches _PROMOTED must
+    # round 15 window: FIVE rows-only-by-design entries, all riding in
+    # with the r10-stale pool rotation — a4_approx_count_distinct and
+    # a13_approx_percentile (sketch estimates; tolerance pytests),
+    # l3_ivf_kmeans_topk (iterative k-means trainer; hash-green
+    # l3b_ivf_pinned_topk frozen-index twin, itself in this window),
+    # l3_pq_topk (trained product quantizer; hash-green l3c_pq_pinned_adc
+    # twin) and l6_quality_classifier (trained model; hash-green
+    # l6b pinned twin). Any commit that touches _PROMOTED must
     # update this set in the SAME commit and re-run the suite — r7
     # shipped red by skipping that (VERDICT r7 wrong #1).
-    assert rows_only == {"l2_simhash_pairs", "l4_bpe_trained_tokenize",
-                         "m4_ridge_predict"}, sorted(rows_only)
+    assert rows_only == {"a4_approx_count_distinct", "a13_approx_percentile",
+                         "l3_ivf_kmeans_topk", "l3_pq_topk",
+                         "l6_quality_classifier"}, sorted(rows_only)
