@@ -20,6 +20,22 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Brute-force ALL-PAIRS operators are O(N²) BY CONTRACT: they exist as
+# the exact baselines whose scale path is the index family (LSH / IVF /
+# PQ / banded MinHash — the ops the same queries' docstrings point to).
+# Across a 10× data decade their PAIR count grows 100×, so a wall ratio
+# anywhere under 100× is SUB-quadratic work (blocked-GEMM throughput
+# improves with batch size); flagging them against the linear-plan 10×
+# bar would cry defect at operators doing exactly what they promise.
+# The scaling tools therefore report them under `quadratic_by_contract`
+# (ratios stated, nothing hidden) and keep `super_linear` for the
+# linear-contract plans it exists to police. (r15 — the first round
+# these three were measured at the sf10 decade at all: 50×/30×/32×
+# against a 100× pair-growth contract.)
+QUADRATIC_BY_CONTRACT = frozenset({
+    "l3_allpairs_topk", "l3_cosine_near_dup", "t16_user_similarity_topk",
+})
+
 HEADLINE = [
     "a1_pricing_summary",
     "a3_count_distinct",

@@ -77,10 +77,18 @@ def main() -> None:
         sum(r[kb] for r in art["queries"].values()), 3)
     art["total_ratio"] = round(
         art[f"total_{kb}"] / art[f"total_{ks}"], 2)
-    # same flag criterion as tools/bench_scale.py:136
+    # same flag criterion as tools/bench_scale.py — minus the operators
+    # whose CONTRACT is quadratic (bench.QUADRATIC_BY_CONTRACT: the
+    # brute-force all-pairs baselines; their ratios are reported
+    # separately, not hidden)
     art["super_linear"] = sorted(
         n for n, r in art["queries"].items()
-        if r["ratio_10x_data"] and r["ratio_10x_data"] > 10.0)
+        if r["ratio_10x_data"] and r["ratio_10x_data"] > 10.0
+        and n not in bench.QUADRATIC_BY_CONTRACT)
+    art["quadratic_by_contract"] = {
+        n: art["queries"][n]["ratio_10x_data"]
+        for n in sorted(bench.QUADRATIC_BY_CONTRACT)
+        if n in art["queries"]}
     with open(path, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(f"updated {path}: total_ratio={art['total_ratio']} "
