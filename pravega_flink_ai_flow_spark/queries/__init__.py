@@ -265,3 +265,38 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
             _TABLE_CACHE[key] = df
         out.append(df)
     return out
+
+
+def head_rows_fast(sf_dir: str, table: str, *, key_col: str, bound: int,
+                   cols: "tuple[str, ...]") -> "list[tuple] | None":
+    """Driver-side footer-pruned read of a broadcast-small key range —
+    the fast path behind the collected query/test-split memos (r15,
+    bench plan-build): the equivalent Spark collect schedules a real
+    job (scan + filter + collect, ~0.3-0.4 s of per-session fixed cost
+    on a busy box) for a few hundred rows that parquet row-group
+    statistics prune to one footer read. Values are identical — both
+    paths surface the file's float32 embeddings as Python floats.
+    Returns None when the table layout isn't a plain parquet file/dir
+    (callers fall back to the Spark collect)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(p):
+            paths = [p]
+        elif os.path.isdir(p):
+            paths = sorted(os.path.join(p, f) for f in os.listdir(p)
+                           if f.endswith(".parquet"))
+        else:
+            return None
+        parts = [pq.read_table(f, columns=list(cols),
+                               filters=[(key_col, "<", bound)])
+                 for f in paths]
+        t = pa.concat_tables(parts)
+    except Exception:
+        return None
+    return list(zip(*[t.column(c).to_pylist() for c in cols])) \
+        if t.num_rows else []

@@ -28,6 +28,13 @@ _PQ_CODEBOOK_CACHE: dict[tuple[str, str], object] = {}
 
 def _query_rows(spark: SparkSession, sf_dir: str) -> list:
     def collect():
+        from . import head_rows_fast
+
+        fast = head_rows_fast(sf_dir, "embeddings", key_col="vec_id",
+                              bound=_N_QUERIES,
+                              cols=("vec_id", "embedding"))
+        if fast is not None:
+            return fast
         (emb,) = tables(spark, sf_dir, "embeddings")
         return (emb.filter(F.col("vec_id") < _N_QUERIES)
                 .select("vec_id", "embedding").collect())

@@ -38,12 +38,20 @@ def _test_rows(spark: SparkSession, sf_dir: str) -> list | None:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _TEST_SPLIT_CACHE:
         return _TEST_SPLIT_CACHE[key]
-    (emb,) = tables(spark, sf_dir, "embeddings")
-    rows = (emb.filter(F.col("vec_id") < _SPLIT)
-            .select("vec_id", "embedding", "label")
-            .limit(_MAX_TEST_ROWS + 1).collect())
+    from . import head_rows_fast
+
+    fast = head_rows_fast(sf_dir, "embeddings", key_col="vec_id",
+                          bound=_SPLIT,
+                          cols=("vec_id", "embedding", "label"))
+    if fast is not None:
+        rows = fast[:_MAX_TEST_ROWS + 1]
+    else:
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        rows = (emb.filter(F.col("vec_id") < _SPLIT)
+                .select("vec_id", "embedding", "label")
+                .limit(_MAX_TEST_ROWS + 1).collect())
     out = None if len(rows) > _MAX_TEST_ROWS \
-        else [(r["vec_id"], r["embedding"], r["label"]) for r in rows]
+        else [(r[0], r[1], r[2]) for r in rows]
     _TEST_SPLIT_CACHE[key] = out
     return out
 
