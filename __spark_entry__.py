@@ -339,7 +339,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       j17_stats_salted_join — the key_stats zero-detection-scan arm
 #       of salted_join, classified from parquet-footer metadata;
 #   (d) padded to exactly 50 with the name-ordered-first r11-stale
-#       greens: a16_equidepth_histogram, a6_positional_aggs, a7_stats.
+#       greens: a16_equidepth_histogram, a6_positional_aggs —
+#       a7_stats initially held the 3rd pad slot and returned to the
+#       pool when l5_webp_decode re-entered mid-round per the runbook
+#       (its mapInPandas closure now routes every 5th/7th doc through
+#       the NEW VP8L predictor / color transforms, so the r14 green no
+#       longer covers the shipped code).
 #       FIVE of the 50 are rows-only by design, each with a documented
 #       reason and (for the trainers) a hash-green twin:
 #       a4_approx_count_distinct + a13_approx_percentile (sketch
@@ -373,8 +378,9 @@ _PROMOTED = frozenset({
     "t16_user_similarity_topk",
     # (c) the NEW key_stats gate query
     "j17_stats_salted_join",
-    # (d) name-ordered-first r11-stale pad
-    "a16_equidepth_histogram", "a6_positional_aggs", "a7_stats",
+    # (d) r11-stale pad + the re-entered webp gate query (its closure
+    # now exercises the new VP8L predictor/color transforms)
+    "a16_equidepth_histogram", "a6_positional_aggs", "l5_webp_decode",
 })
 
 

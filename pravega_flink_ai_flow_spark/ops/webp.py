@@ -15,15 +15,21 @@ Implemented from the public "WebP Lossless Bitstream Specification"
   the 16/17/18 repeat symbols and the optional max_symbol limit),
   single-symbol 0-bit codes, LZ77 backward references with both the
   120-entry 2-D distance-plane mapping and plain distances;
-* the subtract-green transform (both directions — the entropy layer
-  sees r−g / b−g, the decoder inverts after entropy decode).
+* three of the four spatial transforms, BOTH directions (r14-r15):
+  subtract-green (r−g / b−g ahead of the entropy layer), the
+  PREDICTOR transform (all 14 modes incl. Select and the two
+  clamp-add-subtract forms, normative border rules, per-block modes
+  decoded from the recursive entropy-coded sub-image), and the COLOR
+  (cross-channel decorrelation) transform (int8 green_to_red /
+  green_to_blue / red_to_blue deltas, ``(int8·int8) >> 5``);
+  inverse application in reverse stream order per RFC 9649 §4.4.
 
 NOT implemented — explicit documented seams, each raising
-``NotImplementedError`` with the feature name: the other three
-transforms (predictor / color / color-indexing) and meta-prefix
-(entropy image) partitioning. Our encoder never emits them; a corpus
-payload using them quarantines through ``decode_image_safe`` exactly
-like the other codec seams (12-bit JPEG, non-PCM WAV).
+``NotImplementedError`` with the feature name: the color-indexing
+transform (pixel-bundled palette images) and meta-prefix (entropy
+image) partitioning. Our encoder never emits them; a corpus payload
+using them quarantines through ``decode_image_safe`` exactly like the
+other codec seams (12-bit JPEG, non-PCM WAV).
 
 Honesty note on verification: the sandbox has no libwebp/PIL, so — as
 with the GIF/JPEG codecs — the wire format is anchored by a HAND-BUILT
@@ -296,34 +302,20 @@ def _read_code_lengths(br: _BitReader, alphabet: int,
     return lengths
 
 
-def decode_vp8l(payload: bytes):
-    """VP8L chunk payload → (width, height, 4, uint8 h×w×4 RGBA)."""
-    import numpy as np
-
-    if not payload or payload[0] != _SIG:
-        raise ValueError("not a VP8L stream (bad signature byte)")
-    br = _BitReader(payload[1:])
-    w = br.bits(14) + 1
-    h = br.bits(14) + 1
-    br.bits(1)                           # alpha-is-used hint
-    if br.bits(3) != 0:
-        raise ValueError("unknown VP8L version")
-    subtract_green = False
-    while br.bits(1):
-        t = br.bits(2)
-        if t == 2:                       # subtract-green: no payload
-            subtract_green = True
-            continue
-        raise NotImplementedError(
-            f"VP8L transform {('predictor', 'color', 'subtract-green', 'color-indexing')[t]} "
-            "not implemented (documented seam — our encoder never emits "
-            "it; swap this seam for PIL/libwebp where available)")
+def _decode_argb_section(br: "_BitReader", w: int, h: int, *,
+                         level0: bool) -> "list[int]":
+    """One spatially-coded ARGB image section — optional color cache,
+    five prefix codes, pixel loop — shared by the main image and the
+    transform sub-images (predictor modes / color-transform elements
+    are themselves entropy-coded images, RFC 9649 §4.4). Only the
+    level-0 (main) image may carry a meta-prefix bit; sub-images read
+    straight from the cache bit to the codes."""
     cache_bits = 0
     if br.bits(1):
         cache_bits = br.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"bad VP8L color-cache size {cache_bits}")
-    if br.bits(1):
+    if level0 and br.bits(1):
         raise NotImplementedError(
             "VP8L meta-prefix (entropy image) partitioning not "
             "implemented (documented seam)")
@@ -377,6 +369,214 @@ def decode_vp8l(payload: bytes):
             argb = cache[idx]
             px.append(argb)
             insert(argb)
+    return px
+
+
+# --- per-pixel SWAR helpers on packed 0xAARRGGBB ints ---------------------
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel mod-256 addition of two packed ARGB pixels."""
+    rb = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    ag = (((a >> 8) & 0x00FF00FF) + ((b >> 8) & 0x00FF00FF)) & 0x00FF00FF
+    return (ag << 8) | rb
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel floor((a+b)/2) without cross-channel carries."""
+    return (a & b) + (((a ^ b) & 0xFEFEFEFE) >> 1)
+
+
+def _channels(p: int) -> "tuple[int, int, int, int]":
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    """Predictor 11 (RFC 9649): the L/T candidate closer to the
+    gradient prediction L + T − TL, summed over all four channels."""
+    la, lr, lg, lb = _channels(l)
+    ta, tr, tg, tb = _channels(t)
+    ca, cr, cg, cb = _channels(tl)
+    pa, pr, pg, pb = la + ta - ca, lr + tr - cr, lg + tg - cg, lb + tb - cb
+    p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+    p_t = abs(pa - ta) + abs(pr - tr) + abs(pg - tg) + abs(pb - tb)
+    return l if p_l < p_t else t
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _clamp_add_subtract_full(l: int, t: int, tl: int) -> int:
+    """Predictor 12: per-channel clamp(L + T − TL)."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= _clamp(((l >> sh) & 0xFF) + ((t >> sh) & 0xFF)
+                      - ((tl >> sh) & 0xFF)) << sh
+    return out
+
+
+def _clamp_add_subtract_half(ave: int, tl: int) -> int:
+    """Predictor 13: per-channel clamp(a + (a − b) / 2) with C's
+    truncate-toward-zero division, a = avg2(L, T), b = TL."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        d = a - b
+        half = d // 2 if d >= 0 else -((-d) // 2)   # C trunc division
+        out |= _clamp(a + half) << sh
+    return out
+
+
+def _predict(mode: int, l: int, t: int, tr: int, tl: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_subtract_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_subtract_half(_avg2(l, t), tl)
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _predictor_inverse(px: "list[int]", w: int, h: int,
+                       size_bits: int, modes: "list[int]") -> None:
+    """In-place inverse of the predictor transform (RFC 9649 §4.4.1):
+    each entropy-decoded value is a residual; add the prediction from
+    already-restored neighbors. Border rules are normative: pixel
+    (0,0) predicts black, the rest of row 0 predicts L, column 0
+    predicts T — regardless of the block's mode. The top-right
+    neighbor of a right-edge pixel wraps to the linear-buffer
+    successor — index i − w + 1 = the CURRENT row's x = 0 pixel,
+    already restored — exactly libwebp's in-place buffer addressing."""
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if i == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                mode = (modes[(y >> size_bits) * bw
+                              + (x >> size_bits)] >> 8) & 0xFF
+                pred = _predict(mode, px[i - 1], px[i - w],
+                                px[i - w + 1], px[i - w - 1])
+            px[i] = _add_px(px[i], pred)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8)t * (int8)c >> 5 with arithmetic
+    shift (RFC 9649 §4.4.2)."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _color_inverse(px: "list[int]", w: int, h: int,
+                   size_bits: int, elems: "list[int]") -> None:
+    """In-place inverse of the color (cross-channel decorrelation)
+    transform: per block, red += delta(green_to_red, green) and
+    blue += delta(green_to_blue, green) + delta(red_to_blue, RESTORED
+    red) — element channels per the spec: green_to_red in blue,
+    green_to_blue in green, red_to_blue in red."""
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            e = elems[(y >> size_bits) * bw + (x >> size_bits)]
+            g2r, g2b, r2b = e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFF
+            p = px[i]
+            g = (p >> 8) & 0xFF
+            r = ((p >> 16) & 0xFF) + _ct_delta(g2r, g)
+            r &= 0xFF
+            b = (p & 0xFF) + _ct_delta(g2b, g) + _ct_delta(r2b, r)
+            px[i] = (p & 0xFF00FF00) | (r << 16) | (b & 0xFF)
+
+
+def decode_vp8l(payload: bytes):
+    """VP8L chunk payload → (width, height, 4, uint8 h×w×4 RGBA)."""
+    import numpy as np
+
+    if not payload or payload[0] != _SIG:
+        raise ValueError("not a VP8L stream (bad signature byte)")
+    br = _BitReader(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)                           # alpha-is-used hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    # transforms are read in stream order and INVERTED in reverse
+    # order after entropy decode (RFC 9649 §4.4); each of predictor /
+    # color carries a subresolution image that is itself an
+    # entropy-coded ARGB section
+    transforms: list[tuple] = []
+    seen_types: set[int] = set()
+    while br.bits(1):
+        t = br.bits(2)
+        if t in seen_types:
+            raise ValueError(f"duplicate VP8L transform type {t}")
+        seen_types.add(t)
+        if t == 2:                       # subtract-green: no payload
+            transforms.append(("subtract_green",))
+        elif t in (0, 1):                # predictor / color
+            size_bits = br.bits(3) + 2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_argb_section(br, bw, bh, level0=False)
+            transforms.append(("predictor" if t == 0 else "color",
+                               size_bits, sub))
+        else:
+            raise NotImplementedError(
+                "VP8L transform color-indexing not implemented "
+                "(documented seam — pixel-bundled palette images; our "
+                "encoder never emits it; swap this seam for PIL/libwebp "
+                "where available)")
+    px = _decode_argb_section(br, w, h, level0=True)
+
+    subtract_green = False
+    for tf in reversed(transforms):
+        if tf[0] == "predictor":
+            _predictor_inverse(px, w, h, tf[1], tf[2])
+        elif tf[0] == "color":
+            _color_inverse(px, w, h, tf[1], tf[2])
+        else:
+            # vectorized below, after the numpy unpack — it is always
+            # the FIRST-read transform our encoder emits, hence the
+            # last inverse, so deferring it is order-preserving; a
+            # foreign stream ordering it earlier gets the exact
+            # per-pixel path instead
+            if tf is transforms[0]:
+                subtract_green = True
+            else:  # pragma: no cover - unusual but legal ordering
+                for i, p in enumerate(px):
+                    g = (p >> 8) & 0xFF
+                    r = (((p >> 16) & 0xFF) + g) & 0xFF
+                    b = ((p & 0xFF) + g) & 0xFF
+                    px[i] = (p & 0xFF00FF00) | (r << 16) | b
 
     arr = np.array(px, dtype=np.uint32).reshape(h, w)
     out = np.empty((h, w, 4), dtype=np.uint8)
@@ -487,53 +687,42 @@ class _SymWriter:
         bw.code(c, ln)
 
 
-def encode_webp_lossless(pixels, *, use_lz77: bool = True,
-                         cache_bits: int = 0,
-                         subtract_green: bool = False) -> bytes:
-    """uint8 array (h×w, h×w×3 or h×w×4) → lossless WebP bytes.
+def _predictor_forward(a: "list[int]", w: int, h: int,
+                       size_bits: int, mode: int) -> "list[int]":
+    """Residual image of the predictor transform: out[i] = a[i] − pred
+    per channel mod 256, predictions from the ACTUAL neighbor values
+    (what the decoder will have restored), same border rules as
+    :func:`_predictor_inverse`."""
+    out = [0] * len(a)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if i == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = a[i - 1]
+            elif x == 0:
+                pred = a[i - w]
+            else:
+                pred = _predict(mode, a[i - 1], a[i - w],
+                                a[i - w + 1], a[i - w - 1])
+            v = a[i]
+            res = 0
+            for sh in (24, 16, 8, 0):
+                res |= ((((v >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
+                        & 0xFF) << sh
+            out[i] = res
+    return out
 
-    Emits literals, optional greedy LZ77 back-references (run of the
-    previous pixel, distance 1, and the pixel-above run, distance =
-    width — both through PLAIN distance codes ``d+120`` and, for the
-    two mapped neighbors, the 2-D plane codes, so the decoder's both
-    distance paths are exercised), an optional color cache whose
-    state mirrors the decoder's exactly (every emitted pixel inserted,
-    including back-reference copies — the spec's rule), and optionally
-    the subtract-green transform (r−g / b−g mod 256 ahead of the
-    entropy layer — the one VP8L transform implemented on both
-    sides)."""
-    import numpy as np
 
-    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, c = arr.shape
-    if not (1 <= h <= 1 << 14 and 1 <= w <= 1 << 14):
-        raise ValueError("VP8L dims must be 1..16384")
-    rgba = np.empty((h, w, 4), dtype=np.uint8)
-    if c == 1:
-        rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = arr[:, :, 0]
-        rgba[:, :, 3] = 255
-    elif c == 3:
-        rgba[:, :, :3] = arr
-        rgba[:, :, 3] = 255
-    elif c == 4:
-        rgba[:] = arr
-    else:
-        raise ValueError(f"unsupported channel count {c}")
-    if subtract_green:
-        # forward transform before the entropy layer (cache and LZ77
-        # both see the transformed values, mirroring the decoder)
-        rgba = rgba.copy()
-        rgba[:, :, 0] -= rgba[:, :, 1]
-        rgba[:, :, 2] -= rgba[:, :, 1]
-    argb = ((rgba[:, :, 3].astype(np.uint32) << 24)
-            | (rgba[:, :, 0].astype(np.uint32) << 16)
-            | (rgba[:, :, 1].astype(np.uint32) << 8)
-            | rgba[:, :, 2].astype(np.uint32)).reshape(-1)
-    n = argb.size
-    has_alpha = bool((rgba[:, :, 3] != 255).any())
-
+def _write_argb_section(bw: "_BitWriter", a: "list[int]", w: int, *,
+                        use_lz77: bool, cache_bits: int,
+                        level0: bool) -> None:
+    """Write one spatially-coded ARGB section (cache bit, prefix
+    codes, token stream) — the writer twin of
+    :func:`_decode_argb_section`, shared by the main image and the
+    predictor/color transform sub-images."""
+    n = len(a)
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
     cache = [0] * cache_size
@@ -547,7 +736,6 @@ def encode_webp_lossless(pixels, *, use_lz77: bool = True,
     # ("cache", idx)
     tokens: list[tuple] = []
     pos = 0
-    a = argb.tolist()
     while pos < n:
         best_len, best_d = 0, 0
         if use_lz77 and pos > 0:
@@ -621,22 +809,13 @@ def encode_webp_lossless(pixels, *, use_lz77: bool = True,
     la = _build_lengths(fa, 15)
     ld = _build_lengths(fd, 15)
 
-    # --- bitstream ----------------------------------------------------
-    bw = _BitWriter()
-    bw.bits(w - 1, 14)
-    bw.bits(h - 1, 14)
-    bw.bits(1 if has_alpha else 0, 1)
-    bw.bits(0, 3)                        # version
-    if subtract_green:
-        bw.bits(1, 1)                    # a transform follows
-        bw.bits(2, 2)                    # type 2 = subtract-green
-    bw.bits(0, 1)                        # no (further) transforms
     if cache_bits:
         bw.bits(1, 1)
         bw.bits(cache_bits, 4)
     else:
         bw.bits(0, 1)
-    bw.bits(0, 1)                        # no meta-prefix image
+    if level0:
+        bw.bits(0, 1)                    # no meta-prefix image
     for lengths in (lg, lr, lb, la, ld):
         _write_code(bw, lengths)
     wg, wr, wb, wa, wd = (_SymWriter(x) for x in (lg, lr, lb, la, ld))
@@ -656,6 +835,116 @@ def encode_webp_lossless(pixels, *, use_lz77: bool = True,
             bw.bits(extra, nb)
         else:
             wg.write(bw, 256 + _NUM_LENGTH_CODES + t[1])
+
+
+def encode_webp_lossless(pixels, *, use_lz77: bool = True,
+                         cache_bits: int = 0,
+                         subtract_green: bool = False,
+                         predictor: int | None = None,
+                         color_transform: "tuple[int, int, int] | None"
+                         = None,
+                         transform_bits: int = 9) -> bytes:
+    """uint8 array (h×w, h×w×3 or h×w×4) → lossless WebP bytes.
+
+    Emits literals, optional greedy LZ77 back-references (run of the
+    previous pixel, distance 1, and the pixel-above run, distance =
+    width — both through PLAIN distance codes ``d+120`` and, for the
+    two mapped neighbors, the 2-D plane codes, so the decoder's both
+    distance paths are exercised), an optional color cache whose
+    state mirrors the decoder's exactly (every emitted pixel inserted,
+    including back-reference copies — the spec's rule), and the VP8L
+    spatial transforms (all implemented BOTH directions, r15):
+    ``subtract_green`` (r−g / b−g mod 256), ``predictor`` (a mode
+    0-13 applied uniformly — the per-block mode SUB-IMAGE is emitted
+    for real through the shared entropy-section writer, so the
+    decoder exercises its recursive sub-image path), and
+    ``color_transform`` (uniform (green_to_red, green_to_blue,
+    red_to_blue) int8 deltas). ``transform_bits`` sizes the transform
+    blocks (2..9 per spec). Forward application follows STREAM order
+    (subtract-green, color, predictor) so the decoder's
+    reverse-order inversion restores exactly."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if not (1 <= h <= 1 << 14 and 1 <= w <= 1 << 14):
+        raise ValueError("VP8L dims must be 1..16384")
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    if c == 1:
+        rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = arr[:, :, 0]
+        rgba[:, :, 3] = 255
+    elif c == 3:
+        rgba[:, :, :3] = arr
+        rgba[:, :, 3] = 255
+    elif c == 4:
+        rgba[:] = arr
+    else:
+        raise ValueError(f"unsupported channel count {c}")
+    if subtract_green:
+        # forward transform before the entropy layer (cache and LZ77
+        # both see the transformed values, mirroring the decoder)
+        rgba = rgba.copy()
+        rgba[:, :, 0] -= rgba[:, :, 1]
+        rgba[:, :, 2] -= rgba[:, :, 1]
+    argb = ((rgba[:, :, 3].astype(np.uint32) << 24)
+            | (rgba[:, :, 0].astype(np.uint32) << 16)
+            | (rgba[:, :, 1].astype(np.uint32) << 8)
+            | rgba[:, :, 2].astype(np.uint32)).reshape(-1)
+    has_alpha = bool((rgba[:, :, 3] != 255).any())
+    if predictor is not None and not 0 <= predictor <= 13:
+        raise ValueError(f"VP8L predictor mode must be 0..13, got {predictor}")
+    if not 2 <= transform_bits <= 9:
+        raise ValueError("transform_bits must be 2..9")
+
+    # forward transforms, applied in STREAM order (the decoder inverts
+    # in reverse read order): subtract-green already ran on the numpy
+    # planes above; predictor and color run on the packed list
+    a = argb.tolist()
+    if color_transform is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+        for i, p in enumerate(a):
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            nr = (r - _ct_delta(g2r, g)) & 0xFF
+            nb_ = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+            a[i] = (p & 0xFF00FF00) | (nr << 16) | nb_
+    if predictor is not None:
+        a = _predictor_forward(a, w, h, transform_bits, predictor)
+
+    # --- bitstream ----------------------------------------------------
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if has_alpha else 0, 1)
+    bw.bits(0, 3)                        # version
+    if subtract_green:
+        bw.bits(1, 1)                    # a transform follows
+        bw.bits(2, 2)                    # type 2 = subtract-green
+    sbits = transform_bits
+    bsub_w = (w + (1 << sbits) - 1) >> sbits
+    bsub_h = (h + (1 << sbits) - 1) >> sbits
+    if color_transform is not None:
+        bw.bits(1, 1)
+        bw.bits(1, 2)                    # type 1 = color transform
+        bw.bits(sbits - 2, 3)
+        elem = 0xFF000000 | ((color_transform[2] & 0xFF) << 16) \
+            | ((color_transform[1] & 0xFF) << 8) \
+            | (color_transform[0] & 0xFF)
+        _write_argb_section(bw, [elem] * (bsub_w * bsub_h), bsub_w,
+                            use_lz77=False, cache_bits=0, level0=False)
+    if predictor is not None:
+        bw.bits(1, 1)
+        bw.bits(0, 2)                    # type 0 = predictor transform
+        bw.bits(sbits - 2, 3)
+        mode_px = 0xFF000000 | ((predictor & 0xFF) << 8)
+        _write_argb_section(bw, [mode_px] * (bsub_w * bsub_h), bsub_w,
+                            use_lz77=False, cache_bits=0, level0=False)
+    bw.bits(0, 1)                        # no (further) transforms
+    _write_argb_section(bw, a, w, use_lz77=use_lz77,
+                        cache_bits=cache_bits, level0=True)
 
     payload = bytes([_SIG]) + bw.bytes()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload

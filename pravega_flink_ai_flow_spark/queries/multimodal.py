@@ -923,7 +923,10 @@ def l5_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous-pixel run both fire — at sizes 3-13 × 2-10, encode through
     ``ops.webp.encode_webp_lossless`` (even doc_ids plain, odd with a
     5-bit color cache, every third through the subtract-green
-    transform, all with LZ77) and decode back via the magic-byte
+    transform, every fifth through a PREDICTOR transform — the mode
+    rotating over all 14 — and every seventh through the COLOR
+    transform, r15: the two new spatial transforms ride the same
+    hash gate) and decode back via the magic-byte
     ``decode_image`` seam inside Arrow-batched
     ``mapInPandas``. VP8L is lossless, so the DuckDB formula oracle
     hash-checks the decoded stats: a canonical-code, code-length-code,
@@ -956,7 +959,11 @@ def l5_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img[:, :, 3] = (doc_id * 7 + x * 3 + (y % 2) * 5) % 256
                 dw, dh, _c, arr = decode_image(encode_webp_lossless(
                     img, use_lz77=True, cache_bits=5 if cached else 0,
-                    subtract_green=doc_id % 3 == 0))
+                    subtract_green=doc_id % 3 == 0,
+                    predictor=doc_id % 14 if doc_id % 5 == 0 else None,
+                    color_transform=(16, -5, 3) if doc_id % 7 == 0
+                    else None,
+                    transform_bits=2 + doc_id % 8))
                 flat = arr.reshape(-1).astype(np.int64)
                 out["doc_id"].append(doc_id)
                 out["width"].append(dw)

@@ -672,12 +672,130 @@ def test_webp_roundtrip_grid_and_errors():
         decode_webp(b"RIFF\x00\x00\x00\x00WAVE")   # not WebP
     with pytest.raises(NotImplementedError, match="lossy"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
-    bad = bytearray(data)
-    # the transform bit is the first bit after the 32 header bits that
-    # follow the signature byte at content[20]
-    bad[25] |= 0x01
-    with pytest.raises(NotImplementedError, match="transform"):
-        decode_webp(bytes(bad))
+    # the color-indexing transform stays a documented seam (r15: the
+    # predictor and color transforms are now implemented, so the seam
+    # probe is a hand-built header selecting type 3 explicitly)
+    acc = []
+
+    def put(value, n):
+        for i in range(n):
+            acc.append((value >> i) & 1)
+
+    put(1, 14); put(1, 14); put(0, 1); put(0, 3)   # 2×2, hint, version
+    put(1, 1); put(3, 2)                           # transform type 3
+    seam = bytes([0x2F]) + bytes(
+        sum(b << i for i, b in enumerate(acc[k:k + 8]))
+        for k in range(0, len(acc), 8))
+    with pytest.raises(NotImplementedError, match="color-indexing"):
+        from pravega_flink_ai_flow_spark.ops.webp import decode_vp8l
+        decode_vp8l(seam)
+    # a duplicated transform type is a stream error, not a seam
+    acc2 = []
+
+    def put2(value, n):
+        for i in range(n):
+            acc2.append((value >> i) & 1)
+
+    put2(1, 14); put2(1, 14); put2(0, 1); put2(0, 3)
+    put2(1, 1); put2(2, 2); put2(1, 1); put2(2, 2)  # subtract-green ×2
+    dup = bytes([0x2F]) + bytes(
+        sum(b << i for i, b in enumerate(acc2[k:k + 8]))
+        for k in range(0, len(acc2), 8))
+    with pytest.raises(ValueError, match="duplicate"):
+        from pravega_flink_ai_flow_spark.ops.webp import decode_vp8l
+        decode_vp8l(dup)
+
+
+def test_webp_transform_roundtrip_grid():
+    """r15: the predictor (all 14 modes) and color transforms,
+    encoder↔decoder, composed with subtract-green / LZ77 / color
+    cache / both transform block sizes — the mode sub-images go
+    through the real recursive entropy-section path on both sides."""
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.webp import (
+        decode_webp, encode_webp_lossless)
+
+    rng = np.random.default_rng(11)
+    # smooth gradient + noise: predictors actually shrink residuals
+    base = (np.add.outer(np.arange(9) * 7, np.arange(13) * 3) % 256)
+    img = np.stack([(base + k * 31) % 256 for k in range(4)],
+                   axis=2).astype(np.uint8)
+    img += rng.integers(0, 8, size=img.shape).astype(np.uint8)
+    for pred in range(14):
+        for ct in (None, (16, -5, 3), (-120, 127, -128)):
+            for sg in (False, True):
+                for tb in (2, 9):
+                    data = encode_webp_lossless(
+                        img, use_lz77=True, cache_bits=4,
+                        subtract_green=sg, predictor=pred,
+                        color_transform=ct, transform_bits=tb)
+                    assert np.array_equal(decode_webp(data)[3], img), \
+                        (pred, ct, sg, tb)
+    # gradient image: the T predictor beats the untransformed stream
+    smooth = np.tile((np.arange(64) * 4 % 256).astype(np.uint8), (64, 1))
+    plain = encode_webp_lossless(smooth, use_lz77=False)
+    predicted = encode_webp_lossless(smooth, use_lz77=False, predictor=2)
+    assert len(predicted) < len(plain)
+    assert np.array_equal(decode_webp(predicted)[3][:, :, 0], smooth)
+
+
+def test_webp_vp8l_predictor_spec_vector():
+    """Third hand-assembled VP8L anchor: the PREDICTOR transform wire
+    format, written bit by bit from RFC 9649 §4.4.1 independent of
+    ops.webp's writer. 2×2 image, size_bits=2 (one block), mode 2 (T)
+    in the 1×1 mode sub-image (whose five codes are all single-symbol
+    — zero pixel bits), then residual greens [10,10,0,0] through a
+    2-symbol simple code. Expected reconstruction: pixel(0,0) adds the
+    BLACK predictor, (0,1) adds L, (1,0) adds T (border rules), (1,1)
+    adds T via the block mode — G [[10,20],[10,20]], R=B=0, A=255."""
+    import numpy as np
+    from pravega_flink_ai_flow_spark.ops.webp import decode_vp8l
+
+    acc = []
+
+    def put(value, n):            # LSB-first
+        for i in range(n):
+            acc.append((value >> i) & 1)
+
+    put(1, 14); put(1, 14)        # 2×2
+    put(0, 1); put(0, 3)          # alpha hint, version
+    # ---- predictor transform header ----
+    put(1, 1)                     # a transform follows
+    put(0, 2)                     # type 0 = predictor
+    put(0, 3)                     # size_bits = 2 (blocks 4×4 → 1×1)
+    # ---- 1×1 mode sub-image: no cache; NO meta bit (not level 0) ----
+    put(0, 1)                     # no color cache
+    # green: simple single-symbol, value 2 (the mode, green channel)
+    put(1, 1); put(0, 1); put(1, 1); put(2, 8)
+    # red / blue / alpha: simple single-symbol zeros
+    for _ in range(3):
+        put(1, 1); put(0, 1); put(1, 1); put(0, 8)
+    # distance: simple single-symbol via the 1-bit-first form
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    # (1 pixel × five 0-bit codes = no pixel bits at all)
+    put(0, 1)                     # no more transforms
+    # ---- main section ----
+    put(0, 1)                     # no color cache
+    put(0, 1)                     # no meta-prefix (level 0 only)
+    # green: simple 2-symbol 8-bit: code 0 → 10, code 1 → 0
+    put(1, 1); put(1, 1); put(1, 1); put(10, 8); put(0, 8)
+    # red / blue: single-symbol 0; alpha: single-symbol 0 (residual!)
+    for _ in range(3):
+        put(1, 1); put(0, 1); put(1, 1); put(0, 8)
+    # distance: single-symbol
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    # residual greens 10,10,0,0 → codes 0,0,1,1
+    for bit in (0, 0, 1, 1):
+        put(bit, 1)
+    payload = bytes([0x2F]) + bytes(
+        sum(b << i for i, b in enumerate(acc[k:k + 8]))
+        for k in range(0, len(acc), 8))
+    w, h, c, arr = decode_vp8l(payload)
+    assert (w, h, c) == (2, 2, 4)
+    assert np.array_equal(arr[:, :, 1], [[10, 20], [10, 20]])   # G
+    assert (arr[:, :, 0] == 0).all()                            # R
+    assert (arr[:, :, 2] == 0).all()                            # B
+    assert (arr[:, :, 3] == 255).all()                          # A
 
 
 def test_webp_vp8l_normal_code_spec_vector():
