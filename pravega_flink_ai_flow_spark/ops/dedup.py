@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Column, Window, functions as F
 
-from .partitioning import spread
+from .partitioning import spread, spread_coalesced
 
 # Mersenne prime 2^31-1: universal-hash modulus. The base hash and the
 # coefficients are all reduced below 2^31 so a*h+b < 2^62 — no signed-64
@@ -899,6 +899,11 @@ def _containment_verify(cand: DataFrame, arrs: DataFrame,
     sb = arrs.select(F.col("id").alias("id_b"),
                      F.col("shingles").alias("__sb"))
     common = F.size(F.array_intersect("__sa", "__sb"))
+    # skinny candidate pairs coalesce to ~1 AQE partition by bytes while
+    # the per-pair intersect below is the plan's heavy step — re-spread
+    # so the verify keeps full parallelism (r15; measured on
+    # l2_incremental_dedup, see spread_coalesced's docstring)
+    cand = spread_coalesced(cand)
     return (cand.join(sa, "id_a").join(sb, "id_b")
             .withColumn("cont_a_in_b", common / F.size("__sa"))
             .withColumn("cont_b_in_a", common / F.size("__sb"))
@@ -1256,7 +1261,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     amortize exactly like any incremental materialization."""
     arrs = shingle_arrays(spread(df), id_col, text_col, k).persist()
     sigs = minhash_signatures_arrow(arrs, num_hashes).persist()
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    # spread the skinny (id_a, id_b) candidates before the verify joins:
+    # under AQE their ~MB shuffle coalesces to one partition by bytes and
+    # the per-pair array_intersect below runs single-threaded (r15,
+    # measured on l2_incremental_dedup: steady 4.1 s -> 1.4 s at sf0.1;
+    # no-ops under static-partition sessions like BENCH_CONF)
+    cands = spread_coalesced(lsh_candidate_pairs(sigs, num_hashes, bands))
     sa = arrs.selectExpr("id AS id_a", "shingles AS __sa")
     sb = arrs.selectExpr("id AS id_b", "shingles AS __sb")
     # one fused projection (the duplicated intersect subtree collapses

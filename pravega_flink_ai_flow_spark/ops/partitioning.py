@@ -32,3 +32,32 @@ def spread(df: DataFrame, target: int | None = None, *,
     if force or df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def spread_coalesced(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Re-spread a POST-SHUFFLE frame whose next consumer is CPU-dense
+    per-row work, iff the session's AQE partition coalescing is active.
+
+    AQE coalesces a shuffle stage by BYTES (``parallelismFirst`` targets
+    ``max(total/parallelism, minPartitionSize)``, min 1 MB by default),
+    so a skinny-row shuffle output — candidate id-pairs, digests, keys —
+    collapses to one or two partitions even though the stage fused AFTER
+    it does heavy per-row work (array_intersect verify, codec calls).
+    Measured on l2_incremental_dedup at sf0.1 (interleaved A/B, engine
+    session): candidate verify serialized to ~1 AQE partition ran the
+    query at 4.14 s; with this re-spread 1.39 s. The alternative of
+    lowering ``coalescePartitions.minPartitionSize`` session-wide to
+    16 KB measured WORSE (1.69 s alone, 1.83 s combined with the
+    spread): it widens every tiny stage in the plan and pays task
+    overhead where there is no per-row work to parallelize.
+
+    When AQE coalescing is off (the bench session pins static shuffle
+    partitions), the shuffle already lands at the session's partition
+    count and the extra exchange is pure overhead (measured +0.15 s on
+    l2_minhash under BENCH_CONF) — so this helper no-ops there."""
+    conf = df.sparkSession.conf
+    if (conf.get("spark.sql.adaptive.enabled") != "true"
+            or conf.get(
+                "spark.sql.adaptive.coalescePartitions.enabled") != "true"):
+        return df
+    return spread(df, target, force=True)

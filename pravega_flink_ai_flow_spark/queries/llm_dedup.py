@@ -710,8 +710,16 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the exact plan previously declared directly; signal memoized per
     # corpus), Zipfian head to the df-ordered generator. Both lossless,
     # so the verified output is dispatch-invariant.
-    cands = dedup.jaccard_candidates_between_auto(
-        arrs_n, arrs_c, threshold=0.7)
+    # re-spread the skinny candidate pairs before the array verify (r15):
+    # AQE coalesces the ~MB distinct-candidates shuffle to one partition
+    # by BYTES, serializing the per-pair array_intersect work that
+    # dominates this query (interleaved A/B at sf0.1: 4.14 s -> 1.39 s
+    # steady; the same starvation recurs at any tier because pair rows
+    # are skinny while verify cost is per-row-heavy — the CLAUDE.md
+    # force-spread rule applied to a shuffle output instead of a scan;
+    # no-op under static-partition sessions, see spread_coalesced).
+    cands = dedup.spread_coalesced(dedup.jaccard_candidates_between_auto(
+        arrs_n, arrs_c, threshold=0.7))
     sa = arrs_n.select(F.col("id").alias("id_new"),
                        F.col("shingles").alias("__sa"))
     sb = arrs_c.select(F.col("id").alias("id_corpus"),
