@@ -1026,11 +1026,17 @@ def l4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    # per-doc term presence is deduped IN-ROW (array_distinct over the
+    # lowered token array) instead of a global .distinct(): the distinct
+    # planned an Exchange of every unique (doc_id, term) pair — a
+    # corpus-sized shuffle whose only job was per-doc dedup, which is
+    # row-local by definition (r15, guide §2.4; local wall unchanged,
+    # one corpus-sized Exchange removed from the plan)
     term = (spread(docs)
             .select("doc_id",
-                    F.explode(toks).alias("t"))
-            .select("doc_id", F.lower("t").alias("term"))
-            .distinct())
+                    F.explode(F.array_distinct(
+                        F.transform(toks, lambda t: F.lower(t))))
+                    .alias("term")))
     n_docs = docs.agg(F.count("*").alias("nd"))
     df_tbl = term.groupBy("term").agg(F.count("*").alias("df"))
     freq = (df_tbl.crossJoin(F.broadcast(n_docs))
