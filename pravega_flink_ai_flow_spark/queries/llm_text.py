@@ -703,7 +703,10 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "b.w1", "b.w2").persist())
     cnt2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = cnt2.select("w1").distinct().agg(F.count("*").alias("v"))
+    # v = |distinct w1| is exactly cnt1's row count — counting the
+    # already-grouped frame replaces the old distinct-over-cnt2 chain
+    # (one whole Exchange+HashAggregate of the vocab table, gone; r15).
+    vocab = cnt1.agg(F.count("*").alias("v"))
     # The model is VOCAB-bounded (|distinct bigrams|, not corpus rows),
     # so fold counts + smoothing into ONE broadcast probability table
     # and score with a single broadcast join — the corpus-sized bigram
@@ -712,7 +715,15 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it through two shuffle joins; at sf0.1 wall-clock is about the
     # same (fixed job overheads dominate the 266k-row stream) — the win
     # is the two corpus-stream shuffles this removes at real scale.
-    probs = (cnt2.join(cnt1, "w1").join(F.broadcast(vocab))
+    # Context totals come from a window over the SAME by-w1 exchange
+    # the model is already partitioned on, not a second aggregate
+    # joined back (r15: the cnt1 join + vocab distinct were two extra
+    # exchanges + one shuffle join of vocab-sized data; the window form
+    # measured 0.665 -> 0.459 s for the model subtree at sf0.1, exact
+    # same integer sums so the smoothed probabilities are bit-equal).
+    probs = (cnt2
+             .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+             .join(F.broadcast(vocab))
              .select("w1", "w2",
                      F.log2((F.col("c2") + 1).cast("double")
                             / (F.col("c1") + F.col("v"))).alias("__lp")))
