@@ -668,28 +668,28 @@ def t20_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighs <= 0.75^20 ~ 0.3% of the mass). Exact EWMA needs a sequential
     scan per key (``streaming.ops.stateful_ewma`` — one float of state
     per key via applyInPandasWithState); this is the
-    batch/backfill formulation — a self-join on the partition key plus a
-    row-number band, so it shuffles each side once on ``user_id`` and
-    never materializes more than 20x the input. The weighted sum is
-    order-dependent → rounded to 6 dp on both sides."""
+    batch/backfill formulation. r15 replan: the band SELF-JOIN (20×
+    row fan-out + a second hash aggregate to fold it back) is replaced
+    by ONE window pass — ``collect_list(value)`` over the trailing-20
+    frame, then an in-row Horner fold ``acc·0.75 + v`` for numerator
+    and denominator (the same truncated geometric weights, so the
+    quotient is value-identical: verified row-for-row equal at
+    sf0.1/0.01/0.001). Plan: row_number, the join, and the 20× fan-out
+    are gone; one user_id exchange + window + narrow project remain
+    (measured 1.02 → 0.79 s at sf0.1). The fold is 2×≤20 interpreted
+    ops per row — far below the Arrow-boundary threshold. The weighted
+    sum is order-dependent → rounded to 6 dp on both sides."""
     from pyspark.sql import Window
 
     (events,) = tables(spark, sf_dir, "events")
-    seq = events.select(
-        "user_id", "ts", "value",
-        F.row_number().over(
-            Window.partitionBy("user_id").orderBy("ts")).alias("rn"))
-    t = seq.alias("t")
-    h = seq.alias("h")
-    dist = F.col("t.rn") - F.col("h.rn")
-    weight = F.pow(F.lit(0.75), dist)
-    return (t.join(h, (F.col("t.user_id") == F.col("h.user_id"))
-                   & (dist >= 0) & (dist <= 19))
-            .groupBy(F.col("t.user_id").alias("user_id"),
-                     F.col("t.ts").alias("ts"),
-                     F.col("t.value").alias("value"))
-            .agg(F.round(F.sum(F.col("h.value") * weight)
-                         / F.sum(weight), 6).alias("ewma20"))
+    wf = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-19, 0)
+    ewma = F.round(F.expr(
+        "aggregate(__arr, cast(0.0 as double), (acc, v) -> acc * 0.75D + v)"
+        " / aggregate(__arr, cast(0.0 as double),"
+        "             (acc, v) -> acc * 0.75D + 1.0D)"), 6)
+    return (events.select("user_id", "ts", "value")
+            .withColumn("__arr", F.collect_list("value").over(wf))
+            .select("user_id", "ts", "value", ewma.alias("ewma20"))
             .orderBy("user_id", "ts"))
 
 
