@@ -590,3 +590,102 @@ def word_ngram_hash_frame(df: DataFrame, *, id_col: str = "doc_id",
             yield pa.record_batch(arrays, names=names)
 
     return df.select(id_col, text_col).mapInArrow(gram_batches, out_schema)
+
+
+def gopher_repetition_frame(df: DataFrame, *, id_col: str = "doc_id",
+                            chars_col: str = "n_chars",
+                            text_col: str = "text") -> DataFrame:
+    """Gopher repetition covers (Rae et al. 2021 §A1.1) in ONE
+    ``mapInArrow`` pass — per input row, ``top2_cover`` (count × char
+    length of the most frequent word 2-gram) and ``dup5_cover`` (summed
+    count × char length of word 5-grams seen ≥ 2×).
+
+    Both signals are ROW-LOCAL: every gram of a document lives in that
+    document, so the per-(doc, gram) counting the old plan did with two
+    corpus-wide ``groupBy(doc_id, gh, glen)`` shuffles (one per n) plus
+    two per-doc aggregates and two joins back needs no shuffle at all.
+    Here tokenization/hashing reuses :func:`word_ngram_hash_frame`'s
+    vectorized kernels (same fixed-key siphash + positional multiply-
+    add gram hashes, same utf8 char-length glen), and the per-doc
+    count/max/sum collapse is a lexsort + run-length ``reduceat`` over
+    the batch — no per-row Python. Emits EVERY input row (docs with
+    fewer than n tokens, or NULL text, get cover 0, matching the
+    oracle's COALESCE over the left joins), as
+    ``(id_col, chars_col, top2_cover long, dup5_cover long)``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    chars_type = df.schema[chars_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, {chars_col} {chars_type}, "
+                  "top2_cover long, dup5_cover long")
+    mults = np.array([pow(0x9E3779B97F4A7C15, j + 1, 1 << 64)
+                      for j in range(5)], dtype=np.uint64)
+
+    def rep_batches(batches):
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            texts = pc.coalesce(rb.column(text_col), "")
+            lists = pc.split_pattern_regex(texts,
+                                           pattern=r"[ \t\n\x0B\f\r]+")
+            flat = pc.list_flatten(lists)
+            lengths = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False)
+            parents = np.repeat(np.arange(nrows), lengths)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            parents = parents[keep]
+            total = len(parents)
+            top2 = np.zeros(nrows, dtype=np.int64)
+            dup5 = np.zeros(nrows, dtype=np.int64)
+            if total:
+                th = pd.util.hash_array(
+                    flat.to_numpy(zero_copy_only=False)[keep])
+                tlen = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                        [keep].astype(np.int64))
+                csum = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(tlen, out=csum[1:])
+                for n, out, dup_only in ((2, top2, False), (5, dup5, True)):
+                    m = total - n + 1
+                    if m <= 0:
+                        continue
+                    gh = np.zeros(m, dtype=np.uint64)
+                    for j in range(n):
+                        gh += th[j:m + j] * mults[j]
+                    valid = parents[:m] == parents[n - 1:]
+                    gdoc = parents[:m][valid]
+                    if len(gdoc) == 0:
+                        continue
+                    gh = gh[valid]
+                    glen = ((csum[n:] - csum[:m]) + (n - 1))[valid]
+                    order = np.lexsort((gh, gdoc))
+                    gdoc, gh, glen = gdoc[order], gh[order], glen[order]
+                    # run starts of equal (doc, gram-hash) spans
+                    new_run = np.empty(len(gh), dtype=bool)
+                    new_run[0] = True
+                    np.not_equal(gh[1:], gh[:-1], out=new_run[1:])
+                    new_run[1:] |= gdoc[1:] != gdoc[:-1]
+                    starts = np.nonzero(new_run)[0]
+                    cnt = np.diff(np.append(starts, len(gh)))
+                    rdoc, rlen = gdoc[starts], glen[starts]
+                    cover = cnt * rlen
+                    doc_new = np.empty(len(starts), dtype=bool)
+                    doc_new[0] = True
+                    np.not_equal(rdoc[1:], rdoc[:-1], out=doc_new[1:])
+                    dstarts = np.nonzero(doc_new)[0]
+                    if dup_only:
+                        out[rdoc[dstarts]] = np.add.reduceat(
+                            np.where(cnt >= 2, cover, 0), dstarts)
+                    else:
+                        out[rdoc[dstarts]] = np.maximum.reduceat(
+                            cover, dstarts)
+            yield pa.record_batch(
+                [rb.column(id_col), rb.column(chars_col),
+                 pa.array(top2), pa.array(dup5)],
+                names=[id_col, chars_col, "top2_cover", "dup5_cover"])
+
+    return df.select(id_col, chars_col, text_col).mapInArrow(
+        rep_batches, out_schema)

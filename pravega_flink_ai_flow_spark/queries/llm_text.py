@@ -370,37 +370,28 @@ def l4_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen ≥ 2×). Pretraining pipelines drop docs above thresholds on
     exactly these signals.
 
-    Plan: the gram strings are NEVER materialized or shuffled — one
-    Arrow pass per n (``word_ngram_hash_frame(with_len=True)``) emits
-    (doc_id, gh, glen) 64-bit gram hashes plus char lengths; each
-    signal is then a keyed count + per-doc max/sum over 16-byte rows.
-    Covers are exact ints; fractions are single exact-int divisions
-    (never rounded, bit-identical across engines)."""
+    Plan (r15 replan): both signals are ROW-LOCAL — every gram of a
+    doc lives in that doc — so the whole computation is ONE
+    ``mapInArrow`` pass (``ops.text.gopher_repetition_frame``): gram
+    hashes and char lengths exactly as ``word_ngram_hash_frame``, the
+    per-(doc, gram) counting a lexsort + run-length ``reduceat`` inside
+    the batch. The old shape shuffled the corpus-sized (doc_id, gh,
+    glen) stream TWICE (groupBy per n) and joined the two per-doc
+    aggregates back; now no gram row ever leaves the Arrow batch
+    (measured 2.35 → 0.83 s at sf0.1, interleaved). The sort sits
+    BELOW the Arrow pass (change-5 pattern: doc_id is unique, so row
+    order is unchanged and the range sampler never executes the
+    battery). Covers are exact ints; fractions are single exact-int
+    divisions (never rounded, bit-identical across engines)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    cover2 = (F.col("cnt") * F.col("glen"))
-    g2 = T.word_ngram_hash_frame(docs, n=2, with_len=True)
-    t2 = (g2.groupBy("doc_id", "gh", "glen")
-          .agg(F.count("*").alias("cnt"))
-          .groupBy("doc_id").agg(F.max(cover2).alias("top2_cover")))
-    g5 = T.word_ngram_hash_frame(docs, n=5, with_len=True)
-    d5 = (g5.groupBy("doc_id", "gh", "glen")
-          .agg(F.count("*").alias("cnt"))
-          .filter(F.col("cnt") >= 2)
-          .groupBy("doc_id").agg(F.sum(cover2).alias("dup5_cover")))
-    top2 = F.coalesce("top2_cover", F.lit(0)).cast("long")
-    dup5 = F.coalesce("dup5_cover", F.lit(0)).cast("long")
+    rep = T.gopher_repetition_frame(
+        docs.select("doc_id", "n_chars", "text").orderBy("doc_id"))
     frac = lambda cover: (F.when(F.col("n_chars") > 0,  # noqa: E731
                                  cover / F.col("n_chars"))
                           .otherwise(F.lit(0.0)))
-    return (docs.select("doc_id", "n_chars")
-            .join(t2, "doc_id", "left")
-            .join(d5, "doc_id", "left")
-            .select("doc_id",
-                    top2.alias("top2_cover"),
-                    dup5.alias("dup5_cover"),
-                    frac(top2).alias("top2gram_char_frac"),
-                    frac(dup5).alias("dup5gram_char_frac"))
-            .orderBy("doc_id"))
+    return rep.select("doc_id", "top2_cover", "dup5_cover",
+                      frac(F.col("top2_cover")).alias("top2gram_char_frac"),
+                      frac(F.col("dup5_cover")).alias("dup5gram_char_frac"))
 
 
 @declared(
@@ -634,6 +625,24 @@ _BIGRAM_BCAST_CACHE: dict[tuple[str, str], bool] = {}
 _DSIR_BCAST_CACHE: dict[tuple[str, str], bool] = {}
 
 
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """Lowercased adjacent word-pair stream ``(doc_id, w1, w2)`` from
+    native array expressions only (split → array_remove → arrays_zip
+    with the slice-from-2 self, null tail pair dropped) — no HOF
+    lambdas (Catalyst interprets those per element) and no Python
+    boundary. Shared by l4_bigram_lm_score and l6_dsir_importance;
+    matches the oracles' per-token lower() exactly because lowercasing
+    never adds or removes whitespace."""
+    ws = F.array_remove(F.split(F.trim(F.lower("text")), r"\s+"), "")
+    toks = (docs.select("doc_id", ws.alias("ws"))
+            .filter(F.size("ws") >= 2))
+    z = F.arrays_zip(F.col("ws").alias("w1"),
+                     F.slice("ws", 2, F.size("ws")).alias("w2"))
+    return (toks.select("doc_id", F.explode(z).alias("b"))
+            .filter(F.col("b.w2").isNotNull())
+            .select("doc_id", "b.w1", "b.w2"))
+
+
 @declared(
     "l4_bigram_lm_score",
     oracle="""
@@ -684,23 +693,19 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.partitioning import spread
 
     (docs,) = tables(spark, sf_dir, "documents")
-    ws = F.transform(
-        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""),
-        lambda t: F.lower(t))
-    # spread: the parquet arrives as ~1 partition and the indexed-
-    # transform pair construction is interpreter-bound per element;
-    # persist: the bigram stream feeds BOTH the count aggregation and
-    # the scoring join probe side — without it the HOF explode runs
-    # twice
-    toks = (spread(docs).select("doc_id", ws.alias("ws"))
-            .filter(F.size("ws") >= 2))
-    # in-row bigram pairs: (w_i, w_{i+1}) via indexed transform + get
-    pairs = F.filter(
-        F.transform("ws", lambda w, i:
-                    F.struct(w.alias("w1"), F.get("ws", i + 1).alias("w2"))),
-        lambda b: b["w2"].isNotNull())
-    bigrams = (toks.select("doc_id", F.explode(pairs).alias("b"))
-               .select("doc_id", "b.w1", "b.w2").persist())
+    # r15: the bigram stream is built from NATIVE array expressions —
+    # lower the whole text (lowercase never touches whitespace, so
+    # per-token lower is equivalent), split, array_remove the empties,
+    # then arrays_zip the array with its slice-from-2 self and drop the
+    # null-padded tail pair. The old indexed-transform + F.get chain
+    # evaluates its lambdas INTERPRETED per token (CLAUDE.md HOF rule);
+    # a mapInArrow hash-stream variant was measured too and REJECTED —
+    # the object-dtype token conversion at the Python boundary cost
+    # more than the lambdas it removed (stream build: HOF 0.48 s,
+    # Arrow 0.49 s, native 0.32 s at sf0.1, identical 265 704 rows).
+    # persist: the stream feeds BOTH the count aggregation and the
+    # scoring join probe side — without it the explode runs twice.
+    bigrams = _bigram_pairs(spread(docs)).persist()
     cnt2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # v = |distinct w1| is exactly cnt1's row count — counting the
@@ -816,17 +821,9 @@ def l6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.partitioning import spread
 
     (docs,) = tables(spark, sf_dir, "documents")
-    ws = F.transform(
-        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""),
-        lambda t: F.lower(t))
-    toks = (spread(docs).select("doc_id", ws.alias("ws"))
-            .filter(F.size("ws") >= 2))
-    pairs = F.filter(
-        F.transform("ws", lambda w, i:
-                    F.struct(w.alias("w1"), F.get("ws", i + 1).alias("w2"))),
-        lambda b: b["w2"].isNotNull())
-    bigrams = (toks.select("doc_id", F.explode(pairs).alias("b"))
-               .select("doc_id", "b.w1", "b.w2").persist())
+    # r15: native-expression bigram stream (shared _bigram_pairs — see
+    # l4_bigram_lm_score for the HOF-vs-Arrow-vs-native measurement).
+    bigrams = _bigram_pairs(spread(docs)).persist()
     is_t = (F.col("doc_id") % 10 == 0).cast("long")
     cnt = (bigrams
            .groupBy("w1", "w2")

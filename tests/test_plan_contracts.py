@@ -342,19 +342,20 @@ def test_t24_attribution_single_window_pass(spark):
     assert n <= 3, f"{n} exchanges > 3"
 
 
-def test_gopher_repetition_two_arrow_passes_no_explode(spark):
-    """l4_gopher_repetition builds grams with exactly TWO MapInArrow
-    tokenize+hash passes (n=2 and n=5) — never a Generate/posexplode of
-    an interpreted HOF gram array — and the per-doc covers join back
-    broadcast (doc-count-bounded sides)."""
+def test_gopher_repetition_one_arrow_pass_no_shuffle(spark):
+    """l4_gopher_repetition (r15): both repetition covers are row-local,
+    so the whole query is ONE MapInArrow pass above the range sort —
+    never a Generate/posexplode of an interpreted HOF gram array, no
+    join, and the only Exchange is the deterministic-output range sort
+    (the gram stream itself never shuffles)."""
     import re
     plan = _plan(spark, "l4_gopher_repetition")
     assert len(re.findall(r"^\(\d+\) MapInArrow", plan,
-                          re.MULTILINE)) == 2
+                          re.MULTILINE)) == 1
     assert "Generate" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Join" not in plan
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n <= 5, f"{n} exchanges > 5"
+    assert n <= 1, f"{n} exchanges > 1"
 
 
 def test_mmr_rerank_grouped_pandas_and_broadcast_vectors(spark):
