@@ -446,7 +446,8 @@ def resample_interpolate(df: DataFrame, *, key: str, ts: str, value: str,
 
 def exact_grouped_quantiles(df: DataFrame, group_by: Sequence[str],
                             value: Column | str,
-                            qs: Sequence[tuple[float, str]]) -> DataFrame:
+                            qs: Sequence[tuple[float, str]],
+                            extra_aggs: Sequence[Column] = ()) -> DataFrame:
     """Exact continuous quantiles per group (SQL ``quantile_cont`` /
     Spark ``percentile`` semantics: 1-based continuous rank
     ``1 + (n-1)*q``, linear interpolation between the bracketing order
@@ -471,6 +472,12 @@ def exact_grouped_quantiles(df: DataFrame, group_by: Sequence[str],
     values are ALL NULL is absent from the output (Spark's
     ``percentile`` would emit it with a NULL result — left-join this
     op's output against the group list if that row matters).
+
+    ``extra_aggs``: additional aggregate columns evaluated in the SAME
+    final per-group aggregate, over the histogram columns ``__v``
+    (distinct value) and ``__c`` (its row count) — e.g. weighted-sum
+    moments. Lets a caller that needs quantiles AND moments make ONE
+    pass over the data instead of a second scan + join (r15, a7_stats).
     """
     vcol = F.col(value) if isinstance(value, str) else value
     # NULL values are ignored, matching quantile_cont / Spark percentile
@@ -492,4 +499,4 @@ def exact_grouped_quantiles(df: DataFrame, group_by: Sequence[str],
                             F.col("__v")))
         frac = F.max(pos - k_lo.cast("double"))
         out_aggs.append((v_lo + frac * (v_hi - v_lo)).alias(name))
-    return hist.groupBy(*group_by).agg(*out_aggs)
+    return hist.groupBy(*group_by).agg(*out_aggs, *extra_aggs)

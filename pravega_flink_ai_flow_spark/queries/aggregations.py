@@ -239,19 +239,26 @@ def a7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` aggregate, whose single-buffer-per-group, interpreted
     update path both concentrates a hot group on one reducer at scale
     and dominated this query's wall-clock (2.3 s → ~0.6 s at sf0.1).
-    The moments stay a plain two-phase hash aggregate; the two 3-row
-    results meet in a broadcast join."""
+    The moments (r15) come from the SAME value histogram as weighted
+    sums in the one final aggregate — n = Σc, s1 = Σc·p, s2 = Σc·p² →
+    var = (s2 − s1²/n)/(n−1) — instead of a second full lineitem scan
+    joined back broadcast: one pass over the data, no join. The
+    reassociated sums differ from Spark's merge-formula moments by
+    ≲1e-4 absolute here — far below both coarse rounds (2 dp on a ~e3
+    stddev, 0 dp on a ~e9 variance), the same engine-vs-engine noise
+    budget the rounding already absorbs."""
     (li,) = tables(spark, sf_dir, "lineitem")
     cents = F.col("l_extendedprice") * 100
-    quants = relational.exact_grouped_quantiles(
-        li, ["l_returnflag"], cents, [(0.5, "__q50"), (0.9, "__q90")])
-    moments = li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
-        F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
-    )
+    p = F.col("__v") / 100
+    n, s1, s2 = (F.sum("__c").cast("double"),
+                 F.sum(F.col("__c") * p), F.sum(F.col("__c") * p * p))
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    stats = relational.exact_grouped_quantiles(
+        li, ["l_returnflag"], cents, [(0.5, "__q50"), (0.9, "__q90")],
+        extra_aggs=[F.round(F.sqrt(var), 2).alias("price_stddev"),
+                    F.round(var, 0).alias("price_var")])
     return (
-        moments.join(F.broadcast(quants), "l_returnflag")
-        .select(
+        stats.select(
             "l_returnflag", "price_stddev", "price_var",
             F.round(F.col("__q50"), 1).alias("median_cents"),
             F.round(F.col("__q90"), 1).alias("p90_cents"),
