@@ -152,11 +152,19 @@ def l6_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = deduped.filter(F.col("doc_id") % 10 != 0)
 
     # stage 3: decontamination — broadcast the distinct benchmark gram
-    # set, map-side semi-probe, anti-join the hit ids back
+    # set, map-side semi-probe, anti-join the hit ids back. The probe
+    # side grams the RAW train-half of the corpus (doc_id % 10 != 0),
+    # NOT the `train` frame: Catalyst does not share common subtrees,
+    # so gramming `train` re-ran the whole quality featurize pass and
+    # the digest-dedup shuffle a second time under the anti-join's
+    # build side (r15 before-plan: 2 MapInArrow + 2 window exchanges).
+    # Equivalent output: text is untouched by stages 1-2, and the
+    # left_anti intersects the hit set with `train`, so extra hit ids
+    # from gate-rejected/duplicate docs drop out identically.
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     bg = (dedup.shingle_table(bench, "doc_id", "text", k=5)
           .select("shingle").distinct())
-    tg = dedup.shingle_table(train.select(F.col("doc_id"), "text"),
+    tg = dedup.shingle_table(docs.filter(F.col("doc_id") % 10 != 0),
                              "doc_id", "text", k=5)
     contaminated = (tg.join(F.broadcast(bg), "shingle", "left_semi")
                     .select(F.col("id").alias("doc_id")).distinct())
