@@ -154,13 +154,14 @@ def test_s14_bucketed_join_has_no_exchange(spark):
 
 
 def test_t16_allpairs_is_distributed_no_driver_collect(spark):
-    """t16's all-pairs scoring must stay on the block-pair applyInPandas
-    GEMM (FlatMapGroupsInPandas) — the r5 verdict flagged the previous
+    """t16's all-pairs scoring must stay on the block-pair grouped-map
+    GEMM (FlatMapGroupsInArrow since r15 — zero-copy list flatten; was
+    FlatMapGroupsInPandas) — the r5 verdict flagged the previous
     closure path's 100k driver-collect ceiling. The mean-centering
     mapInArrow pass must survive too, and nothing may plan a
     row-at-a-time Python UDF."""
     plan = _plan(spark, "t16_user_similarity_topk")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan
     assert "MapInArrow" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
