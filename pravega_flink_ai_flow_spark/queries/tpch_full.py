@@ -18,14 +18,14 @@ Scale notes (verified with ``.explain("formatted")``):
 - correlated subqueries (Q2 min-per-part, Q15 max-revenue, Q11 total
   threshold) are computed as one extra aggregate + broadcast join, never
   a per-row re-scan;
-- Q21's double EXISTS/NOT-EXISTS collapses to ONE per-order aggregate
-  (distinct suppliers, distinct late suppliers) joined back — two scans
-  of lineitem total, not four.
+- Q21's double EXISTS/NOT-EXISTS collapses to ONE per-(order, supplier)
+  aggregate with the per-order supplier counts as a window over the same
+  frame — one scan of lineitem total, not four.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import declared, tables
 
@@ -516,12 +516,16 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape; late =
-    shipped >90 days after order date). The EXISTS + NOT-EXISTS pair is
-    computed as ONE per-order aggregate — distinct suppliers and
-    distinct LATE suppliers — joined back to the late rows: a
-    multi-supplier order whose only late supplier is this one. Two
-    passes over lineitem instead of the four a naive correlated plan
-    would take."""
+    shipped >90 days after order date). The EXISTS + NOT-EXISTS pair
+    reduces to per-order supplier facts, computed from ONE
+    per-(order, supplier) aggregate — n_late_lines per supplier — with
+    the per-order counts (suppliers, late suppliers) as a window over
+    the SAME frame: a multi-supplier order whose only late supplier is
+    this one contributes its late-line count. One pass over lineitem;
+    the r15 before-plan's shape (a per-order countDistinct pair whose
+    Expand doubled every joined row, joined back to a SECOND
+    lineitem-orders subtree Catalyst could not share) scanned lineitem
+    twice and shuffled ~3× the line count."""
     supplier, lineitem, orders, nation = tables(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     li = (lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -531,15 +535,17 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("late",
                       F.col("l_shipdate") >
                       F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")))
-    per_order = (li.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(F.when(F.col("late"),
-                                             F.col("l_suppkey")))
-                      .alias("n_late_supp"))
-                 .withColumnRenamed("l_orderkey", "po_orderkey"))
-    waiting = (li.filter(F.col("late"))
-               .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-               .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
+    per_os = (li.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.sum(F.col("late").cast("int")).alias("n_late_lines")))
+    w = Window.partitionBy("l_orderkey")
+    pos = (per_os
+           .withColumn("n_supp", F.count(F.lit(1)).over(w))
+           .withColumn("n_late_supp",
+                       F.sum((F.col("n_late_lines") > 0).cast("int"))
+                       .over(w)))
+    waiting = pos.filter((F.col("n_late_lines") > 0) &
+                         (F.col("n_supp") > 1) &
+                         (F.col("n_late_supp") == 1))
     nat_supp = (supplier
                 .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
                       F.col("s_nationkey") == F.col("n_nationkey"))
@@ -548,6 +554,6 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nat_supp),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_name")
-            .agg(F.count("*").alias("numwait"))
+            .agg(F.sum("n_late_lines").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name")
             .limit(100))
