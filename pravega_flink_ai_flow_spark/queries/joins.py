@@ -376,16 +376,29 @@ def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j10_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analog of the stream-stream interval join (J10): same-user
-    event pairs within a 5-minute follow window. The equi-key (user_id)
-    carries the shuffle; the time band is a post-join filter — exactly the
-    plan Structured Streaming uses with watermarked state."""
+    event pairs within a 5-minute follow window. The equi-key carries a
+    5-minute time BUCKET besides user_id (r15, guide §3.3): a qualifying
+    pair's right event lands in the left event's bucket or the next one,
+    so the right side explodes into (bucket, bucket−1) and each pair
+    meets exactly once — the join enumerates only near-in-time pairs
+    (measured at sf0.1: 6.7 M same-user candidate pairs → ~2× the 771
+    band survivors) instead of every same-user pair, which is what a
+    watermarked stream-stream interval join's state bound achieves. The
+    exact band predicate is unchanged."""
     (events,) = tables(spark, sf_dir, "events")
-    a = events.select(F.col("user_id"), F.col("ts").alias("ts_a"),
-                      F.col("event_type").alias("type_a"))
-    b = events.select(F.col("user_id"), F.col("ts").alias("ts_b"),
-                      F.col("event_type").alias("type_b"))
+    bucket_us = 300_000_000  # 5 minutes, integer micros (repo time rule)
+    a = events.select(
+        F.col("user_id"), F.col("ts").alias("ts_a"),
+        F.col("event_type").alias("type_a"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("bk"))
+    b = events.select(
+        F.col("user_id"), F.col("ts").alias("ts_b"),
+        F.col("event_type").alias("type_b"),
+        F.explode(F.array(
+            F.expr(f"unix_micros(ts) div {bucket_us}"),
+            F.expr(f"unix_micros(ts) div {bucket_us} - 1"))).alias("bk"))
     return (
-        a.join(b, ["user_id"])
+        a.join(b, ["user_id", "bk"])
         .filter((F.col("ts_b") > F.col("ts_a")) &
                 (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")))
         .groupBy("type_a", "type_b")
