@@ -395,9 +395,11 @@ def m7_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully declaratively — unlike the iterative m5 softmax (rows-only by
     necessity), NB's sufficient statistics are plain aggregates, so the
     whole train->predict flow is one hash-checkable plan. Train split
-    (doc_id%5 != 0): word-given-lang counts, per-lang token totals,
-    doc priors, Laplace vocab size — each ONE map-side-combined groupBy
-    over the token stream. Score split: per-doc word counts join the
+    (doc_id%5 != 0): word-given-lang counts and the Laplace vocab size
+    are map-side-combined groupBys over the token stream; per-lang token
+    totals and doc priors come from ONE row-local narrow pass (the token
+    total is the sum of per-doc split sizes). Score split: per-doc word
+    counts join the
     likelihood table (guarded broadcast — vocab-bounded but Heaps-law
     growing, same fallback discipline as l4_bigram_lm_score), missing
     (word, lang) pairs contribute exactly 0 via the count form
@@ -414,14 +416,18 @@ def m7_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ttf = train.select("lang", F.explode(words).alias("word"))
     wl = ttf.groupBy("word", "lang").agg(F.count(F.lit(1)).alias("c_wl"))
-    lt = ttf.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
-    pr = train.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
-    tot = train.agg(F.count(F.lit(1)).alias("d_tot"))
-    voc = ttf.agg(F.countDistinct("word").alias("v"))
+    # d_l and c_l in ONE row-local narrow pass: the per-lang token total
+    # is the sum of per-DOC token counts (size of the filtered split),
+    # so it needs no explode and no token-stream shuffle; only the vocab
+    # count v still requires a token-level distinct
+    lang_stats = train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("d_l"),
+        F.sum(F.size(words)).alias("c_l"))
+    voc = (train.select(F.explode(words).alias("word"))
+           .agg(F.countDistinct("word").alias("v")))
 
     tw = (test.select("doc_id", F.explode(words).alias("word"))
           .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m")))
-    ntok = tw.groupBy("doc_id").agg(F.sum("m").alias("n_tokens"))
     broadcastable = session_memo(
         _NB_BCAST_CACHE, spark, sf_dir, lambda: wl.count() <= 1_000_000)
     model = F.broadcast(wl) if broadcastable else wl
@@ -429,16 +435,23 @@ def m7_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "lang")
             .agg(F.sum(F.col("m") * F.log(F.col("c_wl") + 1)).alias("h")))
 
-    # lang-level constants fold into one tiny broadcast frame
-    langs = (pr.join(lt, "lang").crossJoin(F.broadcast(tot))
+    # lang-level constants fold into one tiny broadcast frame; d_tot is
+    # the sum over the per-lang frame itself (a single-partition window
+    # over <= |langs| rows, not another corpus scan)
+    langs = (lang_stats
+             .withColumn("d_tot", F.sum("d_l").over(Window.partitionBy()))
              .crossJoin(F.broadcast(voc))
              .select(F.col("lang").alias("cand"),
                      (F.log("d_l") - F.log("d_tot")).alias("prior"),
                      F.log(F.col("c_l") + F.col("v")).alias("ln_denom")))
     score = F.round(F.col("prior") + F.coalesce(F.col("h"), F.lit(0.0))
                     - F.col("n_tokens") * F.col("ln_denom"), 6)
-    scores = (test.select("doc_id", F.col("lang").alias("actual_lang"))
-              .join(ntok, "doc_id")
+    # n_tokens is row-local (size of the filtered split) — no second
+    # test-side tokenize aggregate and no join; the n_tokens > 0 filter
+    # reproduces the old inner join's drop of token-free docs
+    scores = (test.select("doc_id", F.col("lang").alias("actual_lang"),
+                          F.size(words).cast("long").alias("n_tokens"))
+              .filter(F.col("n_tokens") > 0)
               .crossJoin(F.broadcast(langs))
               .join(hits.withColumnRenamed("lang", "cand"),
                     ["doc_id", "cand"], "left")

@@ -290,12 +290,20 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts/supplier relationship (TPC-H Q16 shape): NOT IN as a
-    null-safe anti join, distinct aggregation, post-agg HAVING."""
+    null-safe anti join, distinct aggregation, post-agg HAVING.
+
+    The (l_partkey, l_suppkey) pairs are deduped BEFORE the joins:
+    COUNT(DISTINCT l_suppkey) ignores duplicate pairs and p_partkey
+    functionally determines (brand, type, size), so the first shuffle
+    carries two bigints instead of the joined (brand, type, size,
+    suppkey) rows, and both hash joins probe distinct pairs instead of
+    every lineitem row."""
     lineitem, part, supplier = tables(spark, sf_dir,
                                       "lineitem", "part", "supplier")
     bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         lineitem
+        .select("l_partkey", "l_suppkey").dropDuplicates()
         .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(F.broadcast(part.filter(
             (F.col("p_brand") != "Brand#4") &
