@@ -61,3 +61,33 @@ def spread_coalesced(df: DataFrame, target: int | None = None) -> DataFrame:
                 "spark.sql.adaptive.coalescePartitions.enabled") != "true"):
         return df
     return spread(df, target, force=True)
+
+
+def compact_for_arrow(df: DataFrame, *,
+                      bytes_per_task: int = 8 << 20) -> DataFrame:
+    """Merge scan splits ahead of a vectorized Arrow pass so each task
+    hands the Python worker one LARGE batch instead of a sliver.
+
+    The inverse of :func:`spread`: a blocked-GEMM ``mapInArrow`` pass is
+    Arrow-transfer- and dispatch-bound, not interpreter-bound — its
+    per-task cost is dominated by the fixed Python-worker round trip,
+    and BLAS gets FASTER with bigger batches. Under small-split configs
+    (the bench session's 8 MB ``maxPartitionBytes``, or a toy tier) a
+    sub-MB table still fans out into many near-empty splits: measured on
+    m2_knn at sf0.1, the candidate stage ran 7 tasks over a 0.7 MB scan
+    and the merge-to-one cut its steady median 0.275 → 0.189 s.
+
+    ``coalesce`` (narrow — merges splits, no shuffle, no exchange) to
+    ceil(plan-stats bytes / ``bytes_per_task``); the stats come from the
+    optimized logical plan (file sizes — no job). Inputs whose splits
+    already hold ≥ ``bytes_per_task`` are untouched (coalesce above the
+    current partition count is the identity), so at real scale this is a
+    no-op by construction — the knob is data-sized, not core-sized."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return df
+    if size <= 0:
+        return df
+    return df.coalesce(max(1, -(-size // bytes_per_task)))

@@ -92,6 +92,30 @@ def test_gemm_scorers_stay_arrow_native(spark, name):
     assert "BatchEvalPython" not in plan
 
 
+@pytest.mark.parametrize("name", ["l3_brute_force_topk", "m2_knn_predict",
+                                  "l3_filtered_topk"])
+def test_gemm_scorers_compact_tiny_scans(spark, name):
+    """compact_for_arrow (r15): a sub-8MB corpus must reach the Arrow
+    scorer as one merged split (a narrow Coalesce — NOT an Exchange), so
+    the fixed per-task Python round trip is paid once, not per sliver.
+    At real scale the helper is a no-op by construction (coalesce above
+    the current partition count is the identity)."""
+    plan = _plan(spark, name)
+    assert "Coalesce" in plan, "tiny scan not compacted before MapInArrow"
+
+
+def test_compact_for_arrow_no_ops_on_large_inputs(spark):
+    """The compaction knob is data-sized: when every split already holds
+    >= bytes_per_task the partition count is untouched."""
+    from pravega_flink_ai_flow_spark.ops.partitioning import compact_for_arrow
+    df = spark.range(0, 10_000, 1, 8)
+    before = df.rdd.getNumPartitions()
+    kept = compact_for_arrow(df, bytes_per_task=1)
+    assert kept.rdd.getNumPartitions() == before
+    merged = compact_for_arrow(df, bytes_per_task=1 << 40)
+    assert merged.rdd.getNumPartitions() == 1
+
+
 @pytest.mark.parametrize("name,max_exchanges", [
     ("a1_pricing_summary", 1),    # partial→final agg: one shuffle
     ("l1_exact_dedup", 1),        # hash-groupBy: one shuffle
