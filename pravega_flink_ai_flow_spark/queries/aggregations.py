@@ -609,7 +609,13 @@ def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_totalprice",
                       F.spark_partition_id().alias("__pid"),
                       F.monotonically_increasing_id().alias("__mid"))
-              .localCheckpoint(eager=True))  # pin ids across the two uses
+              # persist, materialized by the stats collect below — one
+              # job where checkpoint+collect ran two. The ids stay
+              # pinned: both consumers read the same cached blocks, and
+              # recomputation on eviction is deterministic (range
+              # partitioner seed is fixed per RDD; the within-partition
+              # sort totally orders on (price, orderkey))
+              .persist())
     # statistics-sized: one row per partition (32), never data-sized
     part_stats = sorted(ranked.groupBy("__pid")
                         .agg(F.count(F.lit(1)).alias("c"),

@@ -547,8 +547,9 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to derive the next level's depth/root/path, unioning levels
     until the frontier empties. Rounds = tree DEPTH (not size) — a
     100 TB edge table with a 12-level hierarchy is 12 broadcast-join
-    jobs, each map-only over the edges; frontiers are localCheckpointed
-    so the lineage (and replay cost) never compounds. The synthetic
+    jobs, each map-only over the edges; frontiers are persisted (the
+    per-level emptiness count doubles as the materialization job) so
+    later rounds read blocks and replay never compounds. The synthetic
     hierarchy is parent = custkey div 10 (exactly the digits-prefix
     tree, 3-4 levels at these SFs); the oracle is DuckDB's native
     WITH RECURSIVE. A max-depth guard raises on cycles rather than
@@ -567,12 +568,18 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("c_custkey").alias("custkey"),
                      F.expr("c_custkey div 10").alias("parent"))
              .filter(F.col("custkey") >= 10))
+    # persist + count, not localCheckpoint(eager) + count: the count
+    # (needed anyway for the emptiness test and broadcast gate) is the
+    # job that materializes the level, so each BFS round runs ONE job
+    # instead of two — downstream rounds read the cached blocks exactly
+    # as they read checkpointed ones, and recomputation on eviction is
+    # deterministic (no nondeterministic ids in the frontier)
     frontier = (customer.filter(F.col("c_custkey") < 10)
                 .select(F.col("c_custkey").alias("custkey"),
                         F.lit(0).alias("depth"),
                         F.col("c_custkey").alias("root"),
                         F.col("c_custkey").cast("string").alias("path"))
-                .localCheckpoint(eager=True))
+                .persist())
     frontier_rows = frontier.count()
     levels = [frontier]
     for depth in range(1, 12):   # cycle guard: digits-tree depth << 12
@@ -585,7 +592,7 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.concat_ws("/", "path",
                                         F.col("custkey").cast("string"))
                             .alias("path"))
-                    .localCheckpoint(eager=True))
+                    .persist())
         frontier_rows = frontier.count()
         if frontier_rows == 0:
             break
