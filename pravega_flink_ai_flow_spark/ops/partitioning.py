@@ -88,6 +88,14 @@ def compact_for_arrow(df: DataFrame, *,
         size = int(str(stats.sizeInBytes()))
     except Exception:
         return df
-    if size <= 0:
+    if size <= 0 or size >= (1 << 60):
+        # In-memory inputs (createDataFrame → LogicalRDD) report the
+        # conf's defaultSizeInBytes sentinel (~8 EB) when no real stats
+        # exist: that means UNKNOWN, not huge — and the derived
+        # partition count would overflow py4j's int32 marshalling
+        # (coalesce(Long) does not exist). Leave such inputs untouched.
         return df
-    return df.coalesce(max(1, -(-size // bytes_per_task)))
+    n = max(1, -(-size // bytes_per_task))
+    if n > (1 << 30):
+        return df
+    return df.coalesce(n)

@@ -116,6 +116,18 @@ def test_compact_for_arrow_no_ops_on_large_inputs(spark):
     assert merged.rdd.getNumPartitions() == 1
 
 
+def test_compact_for_arrow_unknown_stats_sentinel(spark):
+    """createDataFrame inputs (LogicalRDD) carry the defaultSizeInBytes
+    sentinel (~8 EB) instead of real stats; the helper must treat that
+    as UNKNOWN and no-op — the naive ceil-divide overflows py4j's int32
+    and coalesce(Long) does not exist (r15 inherited breakage: the
+    brute/filtered topk fuzz tests died on exactly this)."""
+    from pravega_flink_ai_flow_spark.ops.partitioning import compact_for_arrow
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    out = compact_for_arrow(df)          # must not raise
+    assert out.collect()[0][0] == 1
+
+
 @pytest.mark.parametrize("name,max_exchanges", [
     ("a1_pricing_summary", 1),    # partial→final agg: one shuffle
     ("l1_exact_dedup", 1),        # hash-groupBy: one shuffle
