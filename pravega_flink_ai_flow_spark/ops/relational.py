@@ -175,7 +175,8 @@ def salted_join(left: DataFrame, right: DataFrame, *,
 def asof_merge(left: DataFrame, right: DataFrame, *,
                left_on: str, right_on: str,
                left_time: str, right_time: str,
-               tie_breakers: Sequence[str] = ()) -> DataFrame:
+               tie_breakers: Sequence[str] = (),
+               carry_cols: Sequence[str] | None = None) -> DataFrame:
     """Backward as-of join via the sort-merge formulation: union both
     sides tagged, sort per key by (time, side, tie_breakers) and carry the
     last-seen right row forward with ``last(..., ignorenulls)``.
@@ -188,8 +189,22 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
     Right rows sort *before* left rows at equal timestamps (`<=` is
     inclusive); ties among right rows resolve to the max ``tie_breakers``
     because ascending sort + last-wins.
+
+    ``carry_cols`` (r15, guide §2.3 "project before the exchange"):
+    the right columns to carry through — and return. Catalyst cannot
+    prune fields INSIDE the ``last(struct)`` carry, so by default the
+    shuffle and the window buffer haul every right column, join key and
+    match time included, even when the caller consumes two of them.
+    Pass the consumed subset to shrink the carried struct; the output
+    then has lcols + carry_cols. Default (None) keeps the full-rcols
+    contract.
     """
-    lcols, rcols = list(left.columns), list(right.columns)
+    lcols = list(left.columns)
+    rcols = list(carry_cols) if carry_cols is not None \
+        else list(right.columns)
+    missing = [c for c in rcols if c not in right.columns]
+    if missing:
+        raise ValueError(f"carry_cols not in right frame: {missing}")
     # Plan assembly is selectExpr-based (r14): the Column-DSL form of
     # these wide projections cost ~900 py4j round trips per call —
     # j9's whole 0.19 s plan-build in BENCH_r13 — while selectExpr
@@ -216,7 +231,8 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
         return _asof_merge_dsl(left, right, left_on=left_on,
                                right_on=right_on, left_time=left_time,
                                right_time=right_time,
-                               tie_breakers=tie_breakers)
+                               tie_breakers=tie_breakers,
+                               carry_cols=rcols)
     l_ddl = struct_ddl(left.schema, lcols)
     r_ddl = struct_ddl(right.schema, rcols)
     l = left.selectExpr(
@@ -251,7 +267,8 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
 def _asof_merge_dsl(left: DataFrame, right: DataFrame, *,
                     left_on: str, right_on: str,
                     left_time: str, right_time: str,
-                    tie_breakers: Sequence[str] = ()) -> DataFrame:
+                    tie_breakers: Sequence[str] = (),
+                    carry_cols: Sequence[str] | None = None) -> DataFrame:
     """Column-DSL twin of :func:`asof_merge` for column names the SQL
     DDL/identifier lexer cannot express (embedded newlines). Identical
     plan nodes, built object-side — only plan-BUILD cost differs, so
@@ -266,7 +283,9 @@ def _asof_merge_dsl(left: DataFrame, right: DataFrame, *,
         # newlines included
         return F.col("`" + c.replace("`", "``") + "`")
 
-    lcols, rcols = list(left.columns), list(right.columns)
+    lcols = list(left.columns)
+    rcols = list(carry_cols) if carry_cols is not None \
+        else list(right.columns)
     l_t = StructType([left.schema[c] for c in lcols])
     r_t = StructType([right.schema[c] for c in rcols])
     l = left.select(

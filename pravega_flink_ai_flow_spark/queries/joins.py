@@ -299,6 +299,11 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_on="user_id", right_on="o_custkey",
         left_time="ts", right_time="o_ts",
         tie_breakers=["o_orderkey"],
+        # carry only the two consumed columns: Catalyst cannot prune
+        # fields inside last(struct), so without this the union shuffle
+        # and the window buffer haul o_custkey + o_ts per order row too
+        # (r15, guide §2.3)
+        carry_cols=["o_orderkey", "o_totalprice"],
     )
     return (
         joined.select("event_id", "user_id",

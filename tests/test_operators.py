@@ -445,6 +445,39 @@ def test_asof_merge_equals_maxby_strategy(spark):
     assert rows_a == rows_b and len(rows_a) > 0
 
 
+def test_asof_merge_carry_cols_narrows_struct(spark):
+    """carry_cols (r15): the narrowed carry must return the identical
+    match per left row as the full-struct default, expose exactly
+    lcols + carry_cols, and actually shrink the carried struct in the
+    plan (the shuffle-bytes point of the change)."""
+    import random
+    rng = random.Random(11)
+    left = [(i, rng.randint(0, 4), ts(rng.randint(0, 100))) for i in range(40)]
+    right = [(j, rng.randint(0, 4), ts(rng.choice([0, 25, 50, 75])), j * 2.0)
+             for j in range(30)]
+    l = spark.createDataFrame(left, "event_id long, k long, t timestamp")
+    r = spark.createDataFrame(
+        right, "order_id long, k2 long, t2 timestamp, amt double")
+    full = relational.asof_merge(
+        l, r, left_on="k", right_on="k2", left_time="t", right_time="t2",
+        tie_breakers=["order_id"])
+    narrow = relational.asof_merge(
+        l, r, left_on="k", right_on="k2", left_time="t", right_time="t2",
+        tie_breakers=["order_id"], carry_cols=["amt"])
+    assert narrow.columns == ["event_id", "k", "t", "amt"]
+    want = {(x.event_id, x.amt) for x in full.collect()}
+    got = {(x.event_id, x.amt) for x in narrow.collect()}
+    assert got == want and len(got) > 0
+    # the carried struct must not pack the dropped key/time/id fields
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "struct(order_id" not in plan and "struct(k2" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        relational.asof_merge(
+            l, r, left_on="k", right_on="k2", left_time="t",
+            right_time="t2", carry_cols=["nope"])
+
+
 def test_salted_join_equals_plain_join(spark):
     import random
     rng = random.Random(3)
