@@ -267,6 +267,24 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return out
 
 
+def one_sql(spark: SparkSession, sf_dir: str, names: "tuple[str, ...]",
+            sql: str) -> DataFrame:
+    """Build a query as ONE ``spark.sql`` call over just-registered temp
+    views (r15 plan-build trim): a Column-DSL assembly of a multi-join
+    query costs hundreds of py4j round trips (~0.1-0.2 s per build,
+    bench `queries_plan_build`), while this path pays one
+    ``createOrReplaceTempView`` per table plus one ``sql`` call —
+    identical Catalyst plans, same session semantics (the SQL is parsed
+    by the SAME session that the DSL would use, ANSI and timezone
+    included). Views are (re-)registered on every build so a caller
+    switching ``sf_dir`` mid-session can never read stale data; the
+    returned DataFrame is analyzed eagerly, so later re-registration
+    does not rebind it."""
+    for n, df in zip(names, tables(spark, sf_dir, *names)):
+        df.createOrReplaceTempView(n)
+    return spark.sql(sql)
+
+
 def head_rows_fast(sf_dir: str, table: str, *, key_col: str, bound: int,
                    cols: "tuple[str, ...]") -> "list[tuple] | None":
     """Driver-side footer-pruned read of a broadcast-small key range —

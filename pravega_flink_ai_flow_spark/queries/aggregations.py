@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import declared, tables
+from . import declared, one_sql, tables
 from ..ops import relational
 
 
@@ -41,23 +41,25 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3 returnflags × 2 linestatuses) before the shuffle; the filter and the
     7-column projection push into the parquet scan.
     """
-    (li,) = tables(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        # no final sort: the gate compares order-insensitively, and a
-        # global ORDER BY costs a range-partition sampling job + shuffle
-    )
+    # ONE spark.sql build (r15 plan-build trim): the 8-aggregate DSL
+    # assembly cost ~0.08 s of py4j round trips per build; same plan.
+    # No final sort: the gate compares order-insensitively, and a
+    # global ORDER BY costs a range-partition sampling job + shuffle.
+    return one_sql(spark, sf_dir, ("lineitem",), """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity)      AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   AS sum_charge,
+               AVG(l_quantity)      AS avg_qty,
+               AVG(l_extendedprice) AS avg_price,
+               AVG(l_discount)      AS avg_disc,
+               COUNT(*)             AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= CAST('1998-09-02 00:00:00' AS TIMESTAMP)
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @declared(

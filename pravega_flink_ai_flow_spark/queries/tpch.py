@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import declared, tables
+from . import declared, one_sql, tables
 
 
 @declared(
@@ -42,22 +42,23 @@ from . import declared, tables
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority (TPC-H Q3 shape): filtered customer dim broadcast
     into orders⋈lineitem, grouped revenue, top-10."""
-    customer, orders, lineitem = tables(spark, sf_dir,
-                                        "customer", "orders", "lineitem")
-    cut = F.lit("1997-03-15 00:00:00").cast("timestamp")
-    return (
-        lineitem.filter(F.col("l_shipdate") > cut)
-        .join(orders.filter(F.col("o_orderdate") < cut),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-    )
+    # ONE spark.sql build (r15 plan-build trim): the DSL form of this
+    # 3-way join cost ~170 py4j round trips per build; same plan.
+    return one_sql(spark, sf_dir, ("customer", "orders", "lineitem"), """
+        SELECT /*+ BROADCAST(customer) */
+               l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate  > CAST('1997-03-15 00:00:00' AS TIMESTAMP)
+          AND o_orderdate < CAST('1997-03-15 00:00:00' AS TIMESTAMP)
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """)
 
 
 @declared(
@@ -80,26 +81,25 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume (TPC-H Q5 shape): six-way join where every
     dimension side is broadcast — lineitem is never shuffled until the
     5-row final aggregate."""
-    customer, orders, lineitem, supplier, nation, region = tables(
-        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
-        "nation", "region")
-    return (
-        lineitem
-        .join(orders.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")) &
-            (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))),
-            F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer),
-              (F.col("o_custkey") == F.col("c_custkey")) &
-              (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
-              F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"))
-    )
+    # ONE spark.sql build (r15 plan-build trim): the DSL form cost ~220
+    # py4j round trips per build; hints pin the same broadcast sides.
+    return one_sql(spark, sf_dir, ("customer", "orders", "lineitem",
+                                   "supplier", "nation", "region"), """
+        SELECT /*+ BROADCAST(supplier), BROADCAST(customer),
+                   BROADCAST(nation), BROADCAST(region) */
+               n_name,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+          AND o_orderdate <  CAST('1997-01-01 00:00:00' AS TIMESTAMP)
+        GROUP BY n_name
+    """)
 
 
 @declared(
@@ -197,20 +197,26 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — broadcast it to orders, and broadcast the orders⋈agg result
     to customer (customer is fact-scale at 100 TB; the HAVING-filtered
     side is the one that stays small)."""
-    customer, orders, lineitem = tables(spark, sf_dir,
-                                        "customer", "orders", "lineitem")
-    big = (lineitem.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("sum_qty"))
-           .filter(F.col("sum_qty") > 250))
-    hot = orders.join(F.broadcast(big),
-                      F.col("l_orderkey") == F.col("o_orderkey"))
-    return (
-        customer.join(F.broadcast(hot), F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                "o_totalprice", "sum_qty")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-    )
+    # ONE spark.sql build (r15 plan-build trim); hints keep both
+    # broadcast directions of the provably-small HAVING side.
+    return one_sql(spark, sf_dir, ("customer", "orders", "lineitem"), """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        ),
+        hot AS (
+            SELECT /*+ BROADCAST(big) */
+                   o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM orders JOIN big ON l_orderkey = o_orderkey
+        )
+        SELECT /*+ BROADCAST(hot) */
+               c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM customer JOIN hot ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
 
 
 @declared(
