@@ -211,25 +211,39 @@ def t11_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t12_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionized funnel (view → click-after-view →
     purchase-after-click) per user-day — the classic event-analytics
-    shape. Three staged aggregates, each a partial+final hash agg keyed
-    on (user, day); stage joins stay on the same key so AQE can keep
-    them co-partitioned — no per-user sort, no window state."""
+    shape. ONE (user, day) aggregate computes the whole chain (r15,
+    guide §1.2/§2.4): the staged formulation the oracle states —
+    aggregate per stage, join back, filter, re-aggregate — re-scans
+    and re-shuffles events once per stage (Catalyst shares no common
+    subtrees: the before-plan held SIX events scans), yet every stage
+    is a pure function of one user-day's events. So collect the click
+    and purchase timestamps per (user, day) alongside min(view ts) and
+    resolve t_click = min(click > t_view), t_purchase =
+    min(purchase > t_click) in-row (array_min over a filter HOF —
+    per-row × per-day-events work, far below the Arrow threshold).
+    Null chaining matches the oracle's inner joins: no view → row
+    filtered; no qualifying click → t_click null → the purchase filter
+    compares against null and t_purchase stays null."""
     (events,) = tables(spark, sf_dir, "events")
     e = events.select("user_id", F.to_date("ts").alias("day"),
                       "ts", "event_type")
-    v = (e.groupBy("user_id", "day")
+    g = (e.groupBy("user_id", "day")
          .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-              .alias("t_view"))
+              .alias("t_view"),
+              F.collect_list(
+                  F.when(F.col("event_type") == "click", F.col("ts")))
+              .alias("__clicks"),
+              F.collect_list(
+                  F.when(F.col("event_type") == "purchase", F.col("ts")))
+              .alias("__purchases"))
          .filter(F.col("t_view").isNotNull()))
-    c = (e.join(v, ["user_id", "day"])
-         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
-         .groupBy("user_id", "day").agg(F.min("ts").alias("t_click")))
-    p = (e.join(c, ["user_id", "day"])
-         .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
-         .groupBy("user_id", "day").agg(F.min("ts").alias("t_purchase")))
-    return (v.join(c, ["user_id", "day"], "left")
-            .join(p, ["user_id", "day"], "left")
-            .groupBy("day")
+    g = g.withColumn(
+        "t_click",
+        F.array_min(F.filter("__clicks", lambda x: x > F.col("t_view"))))
+    g = g.withColumn(
+        "t_purchase",
+        F.array_min(F.filter("__purchases", lambda x: x > F.col("t_click"))))
+    return (g.groupBy("day")
             .agg(F.count("*").alias("n_view"),
                  F.count("t_click").alias("n_click_after_view"),
                  F.count("t_purchase").alias("n_purchase_after_click"))
@@ -258,19 +272,25 @@ def t12_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohorts: users grouped by first-active day, distinct
-    actives counted per day offset (first week). The cohort anchor is a
-    per-user aggregate joined back on user_id — co-partitioned with the
-    activity table, so the whole matrix is two hash aggregates and one
-    same-key join."""
+    actives counted per day offset (first week). ONE user_id shuffle
+    (r15, guide §2.4): collect_set(day) dedups activity inside the
+    aggregate, the cohort anchor is the set's array_min (no second
+    aggregate, no join back), and each user contributes at most one
+    (cohort_day, day_offset) row by construction — so the final count
+    needs no DISTINCT (the old plan paid a distinct shuffle, a cohort
+    shuffle, a join re-shuffle AND a count-distinct expand)."""
     (events,) = tables(spark, sf_dir, "events")
-    activity = (events.select("user_id", F.to_date("ts").alias("day"))
-                .distinct())
-    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (activity.join(cohorts, "user_id")
+    per_user = (events.select("user_id", F.to_date("ts").alias("day"))
+                .groupBy("user_id")
+                .agg(F.collect_set("day").alias("__days")))
+    per_user = per_user.withColumn("cohort_day", F.array_min("__days"))
+    return (per_user.select(
+                "user_id", "cohort_day",
+                F.explode("__days").alias("day"))
             .withColumn("day_offset", F.datediff("day", "cohort_day"))
             .filter(F.col("day_offset") <= 7)
             .groupBy("cohort_day", "day_offset")
-            .agg(F.countDistinct("user_id").alias("n_active"))
+            .agg(F.count("*").alias("n_active"))
             .orderBy("cohort_day", "day_offset"))
 
 
