@@ -1405,36 +1405,54 @@ def l4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whose accumulation order Spark does not guarantee) but a
     conditional-MAX pivot to one column per query term added in fixed
     written order — so scores are bit-identical and need no rounding.
-    Plan: dl/tf/df are map-side-combined aggregates; df and corpus
-    stats are broadcast (vocab-bounded / single row); the top-20 is
+    Plan (r15, guide §2.4 — the m7 row-local-counts trick): dl and the
+    three per-term tfs are sizes of row-local token filters, so the
+    token stream is never exploded or shuffled at all — the old shape
+    paid a corpus-wide (doc_id, term) explode into TWO shuffle
+    aggregates plus a dl⋈tf join. n_docs/avgdl/df now come from ONE
+    single-row aggregate (broadcast), contributions are computed in-row
+    on the docs that contain a query term, the top-20 is
     TakeOrderedAndProject (distributed heap top-k, no global sort) and
-    the rank window runs on the 20 surviving rows only."""
+    the rank window runs on the 20 surviving rows only. Counts are the
+    same integers, the ln/quotient expression tree is unchanged, so
+    scores stay bit-identical."""
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
-    terms = docs.select("doc_id", F.explode(toks).alias("term"))
-    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
-    tf = (terms.filter(F.col("term").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    def tf_expr(term: str):
+        # single-arg lambda, bound via closure: a two-arg lambda (or a
+        # default-arg bind) would make F.filter pass (element, INDEX)
+        # — the CLAUDE.md HOF-arity trap
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
+
+    base = (docs.select("doc_id", toks.alias("__toks"))
+            .select("doc_id", F.size("__toks").alias("dl"),
+                    *[tf_expr(t).alias(f"tf{i}")
+                      for i, t in enumerate(_BM25_TERMS, start=1)]))
+    stats = base.agg(
+        F.count(F.when(F.col("dl") > 0, True)).alias("n_docs"),
+        (F.sum("dl").cast("double")
+         / F.count(F.when(F.col("dl") > 0, True))).alias("avgdl"),
+        *[F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
+          for i in range(1, len(_BM25_TERMS) + 1)])
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
-    idf = F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
-    contrib = idf * ((F.col("tf") * (k1 + F.lit(1.0)))
-                     / (F.col("tf") + k1
-                        * (F.lit(1.0) - b
-                           + b * (F.col("dl") / F.col("avgdl")))))
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats))
-              .withColumn("c", contrib))
-    pivoted = scored.groupBy("doc_id").agg(*[
-        F.coalesce(F.max(F.when(F.col("term") == t, F.col("c"))),
-                   F.lit(0.0)).alias(f"c{i}")
-        for i, t in enumerate(_BM25_TERMS, start=1)])
-    top = (pivoted
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}")
+        idf = F.log((F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                    / (F.col(f"df{i}") + F.lit(0.5)) + F.lit(1.0))
+        return F.when(tf > 0,
+                      idf * ((tf * (k1 + F.lit(1.0)))
+                             / (tf + k1
+                                * (F.lit(1.0) - b
+                                   + b * (F.col("dl") / F.col("avgdl"))))))\
+                .otherwise(F.lit(0.0))
+
+    hit = (base.filter(" or ".join(
+               f"tf{i} > 0" for i in range(1, len(_BM25_TERMS) + 1)))
+           .crossJoin(F.broadcast(stats)))
+    top = (hit.select("doc_id", *[contrib(i).alias(f"c{i}")
+                                  for i in range(1, len(_BM25_TERMS) + 1)])
            .withColumn("score",
                        F.col("c1") + F.col("c2") + F.col("c3"))
            .orderBy(F.col("score").desc(), F.col("doc_id"))
