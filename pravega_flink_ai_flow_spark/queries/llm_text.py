@@ -589,9 +589,16 @@ def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentences appearing in >25% of their source's documents are
     boilerplate; each document is reconstructed from its remaining
     sentences in original order, and the sha256 of the cleaned text is
-    hash-compared byte-for-byte. Plan shape: one (source, sentence)
-    frequency aggregate joined back to the exploded segments (the
-    frequency table is corpus-bounded and skinny), then one per-doc
+    hash-compared byte-for-byte. Plan shape (r15, guide §2.4): the old
+    (source, sentence) frequency aggregate joined back onto the
+    exploded segments re-ran the sentence split + posexplode a second
+    time under the join's build side (Catalyst shares no common
+    subtrees). The frequency is now stated as windows over ONE
+    exploded pass — min(pos) per (source, seg, doc) marks each doc's
+    first occurrence, and summing those marks per (source, seg) IS
+    countDistinct(doc_id) (which window functions cannot express
+    directly); both windows are full-frame aggregates over compatible
+    partitionings, so they share one exchange. Then one per-doc
     regroup — no driver involvement at any size."""
     (docs,) = tables(spark, sf_dir, "documents")
     segs = (docs.select(
@@ -599,9 +606,13 @@ def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(T.sentences(F.col("text"))).alias("pos", "seg")))
     src_sizes = (docs.groupBy("source")
                  .agg(F.countDistinct("doc_id").alias("n_docs")))
-    freq = (segs.groupBy("source", "seg")
-            .agg(F.countDistinct("doc_id").alias("n_with")))
-    tagged = (segs.join(freq, ["source", "seg"])
+    w_doc = Window.partitionBy("source", "seg", "doc_id")
+    w_seg = Window.partitionBy("source", "seg")
+    tagged = (segs
+              .withColumn("__minpos", F.min("pos").over(w_doc))
+              .withColumn("n_with",
+                          F.sum(F.when(F.col("pos") == F.col("__minpos"),
+                                       1).otherwise(0)).over(w_seg))
               .join(F.broadcast(src_sizes), "source")
               .withColumn("is_bp",
                           F.col("n_with") / F.col("n_docs") > _BP_RATIO))
@@ -880,24 +891,27 @@ def l6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf keywords — the classic corpus-statistic
     feature every training-data pipeline derives (topic tagging, quality
-    filtering, dedup blocking keys). Plan: tf is one (doc, term)
-    aggregate with map-side combine; document frequency aggregates the
-    tf table (vocab-bounded — rows = distinct terms, not corpus tokens)
-    and broadcasts back onto tf; the corpus size is a 1-row broadcast
-    (the tpch_q11 / heavy-hitters pattern, no driver count). If the
-    vocab ever outgrew broadcast the same plan degrades to a shuffle
-    join on term; nothing else changes."""
+    filtering, dedup blocking keys). Plan (r15, guide §2.4): tf is one
+    (doc, term) aggregate with map-side combine; document frequency is
+    a count window OVER that same tf frame partitioned by term — the
+    old aggregate-and-broadcast-back formulation re-ran the whole
+    corpus explode + tf aggregate under the broadcast side (Catalyst
+    shares no common subtrees: two corpus scans for one tf table). The
+    corpus size stays a 1-row broadcast (the tpch_q11 / heavy-hitters
+    pattern, no driver count). Big-shuffle count is unchanged (the
+    removed dfreq join is replaced by the term window's exchange); the
+    win is the removed second tokenize + explode pass over the
+    corpus."""
     (docs,) = tables(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     terms = docs.select("doc_id", F.explode(toks).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     tfidf = (F.col("tf")
              * F.log(F.col("n_docs").cast("double") / F.col("df")))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term"))
-    return (tf.join(F.broadcast(dfreq), "term")
+    return (tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
             .crossJoin(F.broadcast(n_docs))
             .withColumn("tfidf", tfidf)
             .withColumn("rank", F.row_number().over(w))

@@ -899,25 +899,34 @@ def t23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     week (integer division of epoch micros, the repo's TZ-proof
     bucketing idiom), and for each later week the fraction of the
     cohort still active. ``retention`` is a single exact-int division
-    (bit-identical, never rounded). Plan: one (user, week) distinct,
-    the cohort week as a per-user window MIN on the already-distinct
-    frame (the oracle's groupBy+join-back stated as one window — no
-    second scan, no join), a tiny (cohort, offset) aggregate, and the
-    offset-0 baseline joined back broadcast (cohort-count-sized).
-    Every frame past the distinct is user- or cohort-bounded."""
+    (bit-identical, never rounded). Plan (r15, guide §2.4): ONE
+    user_id shuffle — collect_set(week) dedups activity inside the
+    aggregate and the cohort week is the set's array_min (the old
+    distinct + per-user window paid two corpus shuffles) — then a tiny
+    (cohort, offset) aggregate, and the offset-0 baseline as a window
+    MAX over that same aggregate. The old baseline was a broadcast
+    join of ``act.filter(offset == 0)`` back onto ``act`` — Catalyst
+    shares no common subtrees, so the whole corpus chain ran TWICE;
+    the window states it on the cohort-bounded frame with no second
+    chain and no join (offset 0 always exists: the user defining the
+    cohort min contributes it)."""
     from pyspark.sql import Window
 
     (events,) = tables(spark, sf_dir, "events")
     w = F.expr("unix_micros(ts) div 604800000000")
-    wk = events.select("user_id", w.alias("w")).distinct()
-    cw = F.min("w").over(Window.partitionBy("user_id"))
-    act = (wk.withColumn("cw", cw)
+    per_user = (events.select("user_id", w.alias("w"))
+                .groupBy("user_id").agg(F.collect_set("w").alias("__ws")))
+    act = (per_user
+           .select(F.array_min("__ws").alias("cw"),
+                   F.explode("__ws").alias("w"))
            .groupBy(F.col("cw").alias("cohort_week"),
                     (F.col("w") - F.col("cw")).alias("week_offset"))
            .agg(F.count("*").alias("n_active")))
-    base = (act.filter(F.col("week_offset") == 0)
-            .select("cohort_week", F.col("n_active").alias("cohort_size")))
-    return (act.join(F.broadcast(base), "cohort_week")
+    size_w = Window.partitionBy("cohort_week")
+    return (act.withColumn(
+                "cohort_size",
+                F.max(F.when(F.col("week_offset") == 0, F.col("n_active")))
+                .over(size_w))
             .select("cohort_week", "week_offset", "n_active",
                     "cohort_size",
                     (F.col("n_active") / F.col("cohort_size"))
