@@ -1069,6 +1069,16 @@ def l4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("df") * 20 >= F.col("nd"))
             .select("term", "df"))
     ft = term.join(F.broadcast(freq), "term")
+    # r15: two restructurings were implemented and REJECTED on
+    # interleaved A/B at sf0.1 (guide §1.1 "switch back to the
+    # empirical loop"): (a) df as a count window over one term stream —
+    # 3.6 -> 4.1 s, because the window ships every (doc, term) row
+    # where this aggregate partial-combines to (term, count) before its
+    # shuffle; (b) the pair expansion in-row via collect_list + inline
+    # (the lsh_candidate_pairs shape) — 3.8 -> 5.2 s, because HOF
+    # lambdas evaluate INTERPRETED per element and this expansion emits
+    # millions of pairs (LSH buckets are small and rare; frequent-term
+    # hit lists are neither). The codegen'd self-join below stays.
     a = ft.select("doc_id", F.col("term").alias("term_a"),
                   F.col("df").alias("df_a"))
     b = ft.select("doc_id", F.col("term").alias("term_b"),

@@ -58,27 +58,36 @@ def _ts(s: str):
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier (TPC-H Q2 shape): correlated MIN subquery
-    per part, decorrelated into a per-part aggregate joined back on
-    (partkey, acctbal). partsupp is derived (distinct l_partkey,
-    l_suppkey); the supplier×nation×region dim tree broadcasts."""
+    per part, decorrelated. r15 (guide §2.4): the old aggregate-and-
+    join-back formulation ran the corpus-sized partsupp distinct TWICE
+    (Catalyst shares no common subtrees) and paid a separate min
+    aggregate. partsupp dedup now happens inside ONE l_partkey
+    aggregate (collect_set + explode — the t13 pattern), the per-part
+    MIN is a window over that same partitioning (no new exchange), and
+    rows at the min survive a filter before the small filtered-part
+    side broadcasts in. One lineitem scan, one corpus shuffle."""
+    from pyspark.sql import Window
+
     part, supplier, nation, region, lineitem = tables(
         spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
-    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    ps = (lineitem.groupBy("l_partkey")
+          .agg(F.collect_set("l_suppkey").alias("__sks"))
+          .select("l_partkey", F.explode("__sks").alias("l_suppkey")))
     eur = (supplier
            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
            .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
                  F.col("n_regionkey") == F.col("r_regionkey"))
            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-    cand = (part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
-            .join(ps, F.col("p_partkey") == F.col("l_partkey"))
-            .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey")))
-    min_bal = (ps.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
-               .groupBy("l_partkey")
-               .agg(F.min("s_acctbal").alias("min_bal"))
-               .withColumnRenamed("l_partkey", "mb_partkey"))
-    return (cand.join(F.broadcast(min_bal),
-                      (F.col("p_partkey") == F.col("mb_partkey")) &
-                      (F.col("s_acctbal") == F.col("min_bal")))
+    flagged = (ps.join(F.broadcast(eur),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+               .withColumn("min_bal",
+                           F.min("s_acctbal")
+                           .over(Window.partitionBy("l_partkey")))
+               .filter(F.col("s_acctbal") == F.col("min_bal")))
+    cand = part.filter((F.col("p_size") == 15)
+                       & (F.col("p_type") == "STANDARD"))
+    return (flagged.join(F.broadcast(cand),
+                         F.col("p_partkey") == F.col("l_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
             .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
             .limit(100))
