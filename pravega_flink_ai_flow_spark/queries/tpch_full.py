@@ -336,9 +336,18 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock identification (TPC-H Q11 shape; shipped value by
     one nation's suppliers stands in for partsupp inventory value).
-    The fraction-of-total threshold is a 1-row scalar aggregate
-    broadcast-cross-joined — the per-part aggregate is computed once
-    and reused for both sides via cache."""
+    The fraction-of-total threshold is a global window SUM over the
+    per-part aggregate itself (r15, guide §2.4): the old 1-row scalar
+    aggregate broadcast-cross-join re-ran the whole lineitem scan +
+    aggregate under the broadcast side (the prior docstring's "reused
+    via cache" claim was stale — no cache existed). The window's
+    single-partition exchange carries only the part-bounded aggregate;
+    its sequential accumulation is a different (equally unguaranteed)
+    float order than the old second aggregate's merge tree — both
+    engines' thresholds sit far from every part_value, which the
+    oracle hash proves."""
+    from pyspark.sql import Window
+
     supplier, nation, lineitem = tables(
         spark, sf_dir, "supplier", "nation", "lineitem")
     natsupp = (supplier
@@ -350,8 +359,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("l_partkey")
          .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
               .alias("part_value")))
-    threshold = v.agg((F.sum("part_value") * 0.001).alias("threshold"))
-    return (v.join(F.broadcast(threshold))
+    return (v.withColumn(
+                "threshold",
+                (F.sum("part_value").over(Window.partitionBy()) * 0.001))
             .filter(F.col("part_value") > F.col("threshold"))
             .select("l_partkey", "part_value")
             .orderBy(F.col("part_value").desc(), "l_partkey"))
@@ -405,8 +415,18 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier (TPC-H Q15 shape): quarterly revenue per supplier,
-    filtered to the max via a 1-row scalar-aggregate broadcast join
-    (the revenue aggregate is computed once, not re-derived)."""
+    filtered to the max via a global window MAX over the revenue
+    aggregate itself (r15, guide §2.4): the old 1-row scalar-aggregate
+    broadcast join re-ran the whole lineitem scan + aggregate under the
+    broadcast side — Catalyst shares no common subtrees, so "computed
+    once" required a cache it never had. The window's single-partition
+    exchange carries only the supplier-bounded aggregate; max is
+    order-insensitive on doubles, and comparing within ONE computation
+    removes the (theoretical) cross-subtree float mismatch the old
+    shape tolerated. The max rows are then few → broadcast into
+    supplier."""
+    from pyspark.sql import Window
+
     supplier, lineitem = tables(spark, sf_dir, "supplier", "lineitem")
     revenue = (lineitem.filter(
                    (F.col("l_shipdate") >= _ts("1997-01-01")) &
@@ -414,11 +434,12 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy(F.col("l_suppkey").alias("supplier_no"))
                .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                     .alias("total_revenue")))
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = (revenue.withColumn(
+                "max_rev",
+                F.max("total_revenue").over(Window.partitionBy()))
+            .filter(F.col("total_revenue") == F.col("max_rev")))
     return (supplier
-            .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-            .join(F.broadcast(max_rev))
-            .filter(F.col("total_revenue") == F.col("max_rev"))
+            .join(F.broadcast(best), F.col("s_suppkey") == F.col("supplier_no"))
             .select("s_suppkey", "s_name", "total_revenue")
             .orderBy("s_suppkey"))
 
