@@ -354,17 +354,18 @@ def test_t22_funnel_single_user_partitioning(spark):
     assert n <= 3, f"{n} exchanges > 3"
 
 
-def test_t23_retention_baseline_joins_broadcast(spark):
-    """t23's offset-0 baseline (cohort-count-sized) must broadcast, and
-    nothing may plan a sort-merge join; the distinct (user, week)
-    exchange is reused at runtime (ReusedExchange) by the baseline
-    branch rather than re-scanned."""
+def test_t23_retention_single_pass_no_join(spark):
+    """t23 (r15 change 23): activity dedups inside ONE user_id
+    aggregate and the offset-0 baseline is a window MAX over the tiny
+    (cohort, offset) aggregate — no join of any kind (the old
+    broadcast-join baseline re-ran the whole corpus chain under its
+    build side), one events scan, ≤4 exchanges."""
     import re
     plan = _plan(spark, "t23_retention_cohorts")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # tree node + detail section
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n <= 7, f"{n} exchanges > 7"
+    assert n <= 4, f"{n} exchanges > 4"
 
 
 def test_t24_attribution_single_window_pass(spark):
