@@ -181,10 +181,10 @@ def minhash_signatures_arrow(arrs: DataFrame,
     a_np = np.asarray(_A[:num_hashes], dtype=np.int64)
     b_np = np.asarray(_B[:num_hashes], dtype=np.int64)
 
-    hashed = arrs.select(
-        "id",
-        F.transform("shingles",
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("__h"))
+    # ONE selectExpr round trip (r16 plan-build trim): the DSL form of
+    # this transform lambda is ~6 py4j calls for identical Catalyst nodes
+    hashed = arrs.selectExpr(
+        "id", f"transform(shingles, s -> pmod(xxhash64(s), {_P})) AS __h")
 
     def sign(batches):
         for rb in batches:
@@ -248,8 +248,11 @@ def lsh_candidate_pairs_from_bands(banded: DataFrame,
     fixed cost is the measured small-batch throughput bound (r11
     verdict #3)."""
     buckets = (banded.groupBy("band_id", "band_sig")
-               .agg(F.collect_list(id_col).alias("ids"))
-               .filter(F.size("ids") > 1))
+               .agg(F.collect_list(id_col).alias("ids")))
+    # no size(ids) > 1 pre-filter (r16 plan-build trim): the pair
+    # expansion below emits ZERO rows for single-id buckets anyway
+    # (slice past the array end is empty), so the filter only added a
+    # plan node + a py4j round trip for identical output.
     # let-bind the sorted id array (the repo-wide HOF rule: referencing
     # array_sort(ids) inside the pair lambda would re-sort per element);
     # one F.expr round trip instead of the DSL's dozens, and inline()
@@ -282,15 +285,16 @@ def lsh_band_table(sig: DataFrame, num_hashes: int = 64, bands: int = 16,
     table (:func:`lsh_probe_banded`) — the corpus documents, shingles
     and signatures are never touched again."""
     rpb = num_hashes // bands
-    # one F.expr round trip instead of the DSL's per-lambda JVM calls
-    # (r14, bench plan-build)
-    b = F.expr(f"""
-        transform(sequence(0, {bands - 1}), i -> named_struct(
+    # ONE selectExpr round trip (r14 made the band tree one F.expr; r16
+    # fuses the explode + field projection via inline() too — the two
+    # chained selects were ~2× the py4j latency for identical nodes)
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+    return sig.selectExpr(
+        f"id AS {q(out_id)}", *[q(c) for c in carry],
+        f"""inline(transform(sequence(0, {bands - 1}), i -> named_struct(
             'band_id', i,
-            'band_sig', xxhash64(slice(sig, i * {rpb} + 1, {rpb}))))""")
-    return (sig.select(F.col("id").alias(out_id), *carry,
-                       F.explode(b).alias("bb"))
-            .select(out_id, *carry, "bb.band_id", "bb.band_sig"))
+            'band_sig', xxhash64(slice(sig, i * {rpb} + 1, {rpb})))))""")
 
 
 def lsh_probe_banded(sig_new: DataFrame, corpus_banded: DataFrame,
@@ -1258,7 +1262,18 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     signature table (64 longs/doc — far smaller than the shingles) is
     persisted too, so a long-lived session re-running the pipeline skips
     re-hashing — at cluster scale both persists spill per executor and
-    amortize exactly like any incremental materialization."""
+    amortize exactly like any incremental materialization.
+
+    Plan-build note (r16): the change-20/one_sql treatment — shipping
+    everything downstream of the two persists as ONE ``spark.sql`` over
+    temp views — was implemented and REJECTED on measurement: the
+    single ``sql()`` call costs ~0.2 s/build in the JVM (parse + one
+    monolithic analyzer pass over the view-resolved tree), 4-5× the
+    ~130 cheap incremental Dataset-op round trips it replaces (bench
+    session builds measured 0.3 -> 1.3-2.4 s). The shipped trims keep
+    the Dataset form and cut its op count instead (the inline-fused
+    band table, the dropped redundant bucket filter, the selectExpr
+    signature hash — ~340 -> ~210 py4j calls per build)."""
     arrs = shingle_arrays(spread(df), id_col, text_col, k).persist()
     sigs = minhash_signatures_arrow(arrs, num_hashes).persist()
     # spread the skinny (id_a, id_b) candidates before the verify joins:
@@ -1269,6 +1284,15 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     cands = spread_coalesced(lsh_candidate_pairs(sigs, num_hashes, bands))
     sa = arrs.selectExpr("id AS id_a", "shingles AS __sa")
     sb = arrs.selectExpr("id AS id_b", "shingles AS __sb")
+    # TWO broadcast probes of the persisted frame, kept deliberately
+    # (r16): the struct-packed single-join alternative (melt pairs to
+    # (pair, id), one hash join, regroup per pair) was implemented and
+    # measured 23% SLOWER at sf0.1 (interleaved medians 0.783 vs
+    # 0.966 s) — the pair-regroup shuffles the matched shingle ARRAYS,
+    # which costs more than the second probe it removes while the
+    # candidate side stays broadcast-small. The trade flips only where
+    # a corpus-sized arrs frame must be re-SCANNED per probe AND the
+    # duplicate rate is low; revisit there, not here.
     # one fused projection (the duplicated intersect subtree collapses
     # in codegen's subexpression elimination, same as the DSL form did)
     return (cands.join(sa, "id_a").join(sb, "id_b")

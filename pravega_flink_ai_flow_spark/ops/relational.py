@@ -205,6 +205,10 @@ def asof_merge(left: DataFrame, right: DataFrame, *,
     missing = [c for c in rcols if c not in right.columns]
     if missing:
         raise ValueError(f"carry_cols not in right frame: {missing}")
+    if not rcols:
+        # struct() of nothing produces `struct<>` DDL that fails at
+        # parse with an opaque error (r15 advice) — reject it here
+        raise ValueError("carry_cols must name at least one right column")
     # Plan assembly is selectExpr-based (r14): the Column-DSL form of
     # these wide projections cost ~900 py4j round trips per call —
     # j9's whole 0.19 s plan-build in BENCH_r13 — while selectExpr

@@ -279,7 +279,12 @@ def one_sql(spark: SparkSession, sf_dir: str, names: "tuple[str, ...]",
     included). Views are (re-)registered on every build so a caller
     switching ``sf_dir`` mid-session can never read stale data; the
     returned DataFrame is analyzed eagerly, so later re-registration
-    does not rebind it."""
+    does not rebind it. SINGLE-THREADED-BUILD assumption (r15 advice):
+    the views carry bare table names in the session catalog, so this
+    clobbers any same-named user temp view, and two concurrent builds
+    in one session with different ``sf_dir`` could race between the
+    registration loop and ``spark.sql`` — eager analysis only protects
+    sequential callers (every in-repo caller builds sequentially)."""
     for n, df in zip(names, tables(spark, sf_dir, *names)):
         df.createOrReplaceTempView(n)
     return spark.sql(sql)

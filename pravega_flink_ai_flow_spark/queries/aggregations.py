@@ -474,10 +474,19 @@ def a14_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_sketch_estimate). No oracle CAN exist: the DataSketches binary
     sketch format and its estimator are Spark-side artifacts with no
     DuckDB equivalent — rows-only by design; pytest checks the
-    merged estimate against exact counts."""
+    merged estimate against exact counts.
+
+    The sketch frame is persisted (r16, found by the census re-run):
+    the union's global branch re-aggregated ``sketches``, and Catalyst
+    shares no common subtrees, so the raw events scan + HLL aggregate
+    ran TWICE — betraying exactly the "without touching the raw data
+    again" property this query demonstrates. The persisted frame is one
+    row per event_type (a few KB); both union branches now read the
+    materialized partials, estimates byte-identical."""
     (events,) = tables(spark, sf_dir, "events")
     sketches = (events.groupBy("event_type")
-                .agg(F.hll_sketch_agg("user_id").alias("__sk")))
+                .agg(F.hll_sketch_agg("user_id").alias("__sk"))
+                .persist())
     per_type = sketches.select(
         "event_type",
         F.hll_sketch_estimate("__sk").alias("est_distinct_users"))

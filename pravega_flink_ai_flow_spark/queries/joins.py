@@ -25,6 +25,12 @@ from ..ops.relational import asof_join, asof_merge
 # (tests/test_operators.py) can monkeypatch it down and drive a wide
 # level through the non-broadcast path.
 _BFS_BROADCAST_MAX_ROWS = 1_000_000
+# Max BFS levels fused into one driver round (r16). Each fused level
+# past the first re-probes the edge table once more inside the block
+# (~2k−1 probes for k levels — see the j15 docstring), so the window
+# stays small: 3 halves-to-thirds the driver barriers while the extra
+# map-only probes stay bounded.
+_BFS_MAX_FUSED_LEVELS = 3
 
 
 @declared(
@@ -567,12 +573,46 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier is counted anyway for the emptiness test — and falls back
     to a plain shuffled equi-join on the parent key when a level
     outgrows the broadcast budget (same guarded-broadcast pattern as
-    l4_bigram_lm_score)."""
+    l4_bigram_lm_score).
+
+    Multi-level fusion (r16, guide §5 "the driver should do almost no
+    data work"): when the entering frontier is broadcast-small, up to
+    ``_BFS_MAX_FUSED_LEVELS`` levels expand in ONE driver round — the
+    union of k chained broadcast joins, materialized by a single
+    per-depth count job — cutting driver-blocking barriers from L to
+    ≈L/k. The fusion bound is rigorous, not hoped-for: one aggregate
+    over the edge table yields the maximum fan-out f, and level i of a
+    block is ≤ entering_rows·fⁱ rows, so every intra-block broadcast
+    is proven under the budget BEFORE the block is planned. The trade
+    is explicit: branch j of the block re-derives level j-1 inside its
+    broadcast build side (Catalyst shares no common subtrees, though
+    the identical inner BroadcastExchanges dedup via ReusedExchange),
+    so a fused block probes edges ~2k−1 times instead of k — paid only
+    when the frontier is broadcast-small and each probe is a map-only
+    pass; an over-budget level takes the UNFUSED shuffled-join round
+    exactly as before. Rows are identical either way: fusion only
+    regroups which driver round computes each level."""
     (customer,) = tables(spark, sf_dir, "customer")
     edges = (customer
              .select(F.col("c_custkey").alias("custkey"),
                      F.expr("c_custkey div 10").alias("parent"))
              .filter(F.col("custkey") >= 10))
+
+    def expand(parents, depth: int):
+        return (edges.join(parents, edges.parent == F.col("pk"))
+                .select("custkey", F.lit(depth).alias("depth"), "root",
+                        F.concat_ws("/", "path",
+                                    F.col("custkey").cast("string"))
+                        .alias("path")))
+
+    def as_parents(df):
+        return df.select(F.col("custkey").alias("pk"), "root", "path")
+
+    # max children per parent — the per-level growth bound the fusion
+    # window is proven against (one small aggregate job, once per call)
+    fanout = (edges.groupBy("parent").count()
+              .agg(F.max("count").alias("f")).first().f) or 1
+    fanout = max(int(fanout), 1)
     # persist + count, not localCheckpoint(eager) + count: the count
     # (needed anyway for the emptiness test and broadcast gate) is the
     # job that materializes the level, so each BFS round runs ONE job
@@ -587,23 +627,47 @@ def j15_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .persist())
     frontier_rows = frontier.count()
     levels = [frontier]
-    for depth in range(1, 12):   # cycle guard: digits-tree depth << 12
-        parents = frontier.select(F.col("custkey").alias("pk"),
-                                  "root", "path")
-        if frontier_rows <= _BFS_BROADCAST_MAX_ROWS:
-            parents = F.broadcast(parents)
-        frontier = (edges.join(parents, edges.parent == F.col("pk"))
-                    .select("custkey", F.lit(depth).alias("depth"), "root",
-                            F.concat_ws("/", "path",
-                                        F.col("custkey").cast("string"))
-                            .alias("path"))
-                    .persist())
-        frontier_rows = frontier.count()
-        if frontier_rows == 0:
-            break
-        levels.append(frontier)
-    else:
-        raise ValueError("hierarchy deeper than guard — cycle?")
+    depth = 1
+    while frontier_rows > 0:
+        if depth > 11:   # cycle guard: digits-tree depth << 12
+            raise ValueError("hierarchy deeper than guard — cycle?")
+        # fusion window: largest k with rows·f^i ≤ budget for all i ≤ k
+        k, bound = 0, frontier_rows
+        while (k < _BFS_MAX_FUSED_LEVELS and depth + k <= 11
+               and bound * fanout <= _BFS_BROADCAST_MAX_ROWS):
+            bound *= fanout
+            k += 1
+        if k == 0:
+            # fusion off (this frontier × fanout could overflow the
+            # budget): one unfused level under the original per-level
+            # broadcast gate — the frontier itself may still fit
+            parents = as_parents(frontier)
+            if frontier_rows <= _BFS_BROADCAST_MAX_ROWS:
+                parents = F.broadcast(parents)
+            frontier = expand(parents, depth).persist()
+            frontier_rows = frontier.count()
+            depth += 1
+            if frontier_rows:
+                levels.append(frontier)
+            continue
+        block_levels = []
+        cur = frontier
+        for j in range(k):
+            cur = expand(F.broadcast(as_parents(cur)), depth + j)
+            block_levels.append(cur)
+        blk = block_levels[0]
+        for b in block_levels[1:]:
+            blk = blk.unionByName(b)
+        blk = blk.persist()
+        counts = {r["depth"]: r["n"]
+                  for r in (blk.groupBy("depth")
+                            .agg(F.count(F.lit(1)).alias("n")).collect())}
+        deepest = depth + k - 1
+        if counts:
+            levels.append(blk)
+        frontier = blk.filter(F.col("depth") == deepest)
+        frontier_rows = counts.get(deepest, 0)
+        depth = deepest + 1
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -457,22 +457,26 @@ def l6_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("L4", "A2", "A8"),
 )
 def l6_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters: terms above 1% of total corpus tokens — the exact
-    two-aggregation formulation (map-side partial counts; the 1-row
-    total broadcasts into the HAVING). This is the oracle twin of the
-    count-min sketch path (ops.sketch — bounded state when the term
-    universe itself can't be shuffled); pytest bounds the sketch's
+    """Heavy hitters: terms above 1% of total corpus tokens — ONE
+    exact aggregation (map-side partial counts). The corpus total is a
+    global window SUM over the per-term aggregate itself (r16, found by
+    the census re-run): the old 1-row broadcast total re-ran the whole
+    corpus explode under the join's build side — the same
+    no-common-subtree disease the r15 q11/q15 rewrite cured, and
+    Σ per-term counts IS the token total. The single-partition window
+    moves only the ndv-sized term histogram (the q11 caveat applies if
+    the term universe ever outgrows one task). This is the oracle twin
+    of the count-min sketch path (ops.sketch — bounded state when the
+    term universe itself can't be shuffled); pytest bounds the sketch's
     estimates against these exact counts."""
     (docs,) = tables(spark, sf_dir, "documents")
     toks = docs.select(F.explode(
         F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     ).alias("term"))
-    # fraction-of-total as a 1-row broadcast (the tpch_q11 pattern), not
-    # a driver-side count
-    tot = toks.agg(F.count("*").alias("__total"))
     return (toks.groupBy("term")
             .agg(F.count("*").alias("n_occurrences"))
-            .join(F.broadcast(tot))
+            .withColumn("__total",
+                        F.sum("n_occurrences").over(Window.partitionBy()))
             .filter(F.col("n_occurrences") > F.col("__total") * 0.01)
             .select("term", "n_occurrences",
                     (F.col("n_occurrences") / F.col("__total")).alias("share")))
@@ -597,9 +601,11 @@ def l6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded pass — min(pos) per (source, seg, doc) marks each doc's
     first occurrence, and summing those marks per (source, seg) IS
     countDistinct(doc_id) (which window functions cannot express
-    directly); both windows are full-frame aggregates over compatible
-    partitionings, so they share one exchange. Then one per-doc
-    regroup — no driver involvement at any size."""
+    directly). The two windows stack as two exchanges — the
+    (source, seg, doc_id) clustering cannot satisfy the (source, seg)
+    window (r15 advice corrected the earlier shared-exchange claim);
+    the shipped win is the removed duplicated split+posexplode subtree.
+    Then one per-doc regroup — no driver involvement at any size."""
     (docs,) = tables(spark, sf_dir, "documents")
     segs = (docs.select(
         "doc_id", "source",
@@ -1441,7 +1447,14 @@ def l4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integers, the ln/quotient expression tree is unchanged, so
     scores stay bit-identical."""
     (docs,) = tables(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    # coalesce(text, ''): a NULL text would make size(NULL toks) read -1
+    # in the non-ANSI engine session (legacy sizeOfNull) but NULL under
+    # the ANSI VANILLA session, silently skewing sum(dl)/avgdl in one
+    # session only (r15 advice — latent; current data has no NULL text,
+    # and an empty string tokenizes to dl = 0 in BOTH sessions)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: t != "")
 
     def tf_expr(term: str):
         # single-arg lambda, bound via closure: a two-arg lambda (or a

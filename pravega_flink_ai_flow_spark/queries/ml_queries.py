@@ -502,18 +502,23 @@ def m8_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     processor.py:188) actually decides on. All counts are exact
     integers; precision/recall are single exact-int divisions (never
     rounded — CLAUDE.md rule), NULL off the diagonal so every emitted
-    double is a pure ratio. Plan: one (true, pred) aggregate over the
-    prediction frame, two class-marginal re-aggregates of that tiny
-    matrix (≤ classes² rows) joined back broadcast."""
+    double is a pure ratio. Plan (r16, the r15 change-23/25 pattern —
+    found by the census re-run): the class marginals used to be two
+    re-aggregates of ``cm`` joined back broadcast, and Catalyst shares
+    no common subtrees, so the ENTIRE KNN pipeline (the blocked-GEMM
+    train pass) executed once per join build side — 3 embeddings scans
+    in the before-plan. The marginals are now window SUMs over the same
+    (true, pred) aggregate: one KNN pass, no joins; the two window
+    exchanges move the ≤ classes² matrix, not data."""
     pred = _spark_knn_blocked(spark, sf_dir)
     cm = (pred.groupBy("true_label", "pred_label")
           .agg(F.count("*").alias("n")))
-    actual = cm.groupBy("true_label").agg(F.sum("n").alias("n_actual"))
-    predicted = (cm.groupBy("pred_label")
-                 .agg(F.sum("n").alias("n_predicted")))
+    w_actual = Window.partitionBy("true_label")
+    w_pred = Window.partitionBy("pred_label")
     diag = F.col("true_label") == F.col("pred_label")
-    return (cm.join(F.broadcast(actual), "true_label")
-            .join(F.broadcast(predicted), "pred_label")
+    return (cm.select("true_label", "pred_label", "n",
+                      F.sum("n").over(w_actual).alias("n_actual"),
+                      F.sum("n").over(w_pred).alias("n_predicted"))
             .select("true_label", "pred_label", "n", "n_actual",
                     "n_predicted",
                     F.when(diag, F.col("n") / F.col("n_predicted"))
@@ -733,12 +738,13 @@ def m9_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int divisions (bit-identical, never rounded), ln matches
     bit-exact (the l4_tfidf precedent), and the report emits PER-BIN
     terms — there is no cross-bin float SUM to carry an accumulation
-    -order hazard; the caller sums ≤10 doubles. Plan: one map-side
-    -combined (bin, cohort) aggregate; the cohort totals re-aggregate
-    the ≤10-row bin frame and join back as a 1-row broadcast (the
-    tpch_q11 / heavy-hitters pattern — no single-partition WindowExec,
-    no all-to-one warning in the logs); everything else a row
-    expression."""
+    -order hazard; the caller sums ≤10 doubles. Plan (r16, found by the
+    census re-run): one map-side-combined (bin, cohort) aggregate; the
+    cohort totals are global window SUMs over that same ≤10-row frame —
+    the old 1-row broadcast re-AGGREGATED the bin frame, and Catalyst
+    shares no common subtrees, so the full events scan + aggregate ran
+    twice (the disease the r15 q11/q15 rewrite cured). The
+    single-partition window moves ten rows; integer sums identical."""
     (events,) = tables(spark, sf_dir, "events")
     bin_col = (F.least(F.lit(9), F.floor(F.col("value") / 50.0))
                .cast("int"))
@@ -749,9 +755,10 @@ def m9_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                .alias("n_base"),
                F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
                .alias("n_cur")))
-    totals = cm.agg(F.sum("n_base").alias("tot_base"),
-                    F.sum("n_cur").alias("tot_cur"))
-    tot = cm.join(F.broadcast(totals))
+    w_all = Window.partitionBy()
+    tot = cm.select("bin", "n_base", "n_cur",
+                    F.sum("n_base").over(w_all).alias("tot_base"),
+                    F.sum("n_cur").over(w_all).alias("tot_cur"))
     p = (F.col("n_base") + 1) / (F.col("tot_base") + 10)
     q = (F.col("n_cur") + 1) / (F.col("tot_cur") + 10)
     return (tot.select("bin", "n_base", "n_cur",

@@ -345,7 +345,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     its sequential accumulation is a different (equally unguaranteed)
     float order than the old second aggregate's merge tree — both
     engines' thresholds sit far from every part_value, which the
-    oracle hash proves."""
+    oracle hash proves. Single-task bound (r15 advice): the empty
+    partitionBy funnels the whole per-part aggregate through ONE task —
+    fine while parts-per-nation stays ~memory-sized; if part
+    cardinality grows to where that window spills, cache() the
+    aggregate and revert to the 1-row broadcast scalar."""
     from pyspark.sql import Window
 
     supplier, nation, lineitem = tables(
@@ -424,7 +428,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive on doubles, and comparing within ONE computation
     removes the (theoretical) cross-subtree float mismatch the old
     shape tolerated. The max rows are then few → broadcast into
-    supplier."""
+    supplier. Single-task bound (r15 advice): the empty partitionBy
+    funnels the per-supplier aggregate through ONE task — fine while
+    supplier cardinality is dimension-sized; if it ever outgrows a
+    task, cache() the aggregate and revert to the 1-row broadcast
+    scalar."""
     from pyspark.sql import Window
 
     supplier, lineitem = tables(spark, sf_dir, "supplier", "lineitem")

@@ -1797,6 +1797,34 @@ def test_j15_frontier_fallback_matches_broadcast_path(spark, monkeypatch):
     assert got == want and len(want) > 100
 
 
+def test_j15_multilevel_fusion_matches_and_cuts_jobs(spark, monkeypatch):
+    """j15's r16 multi-level fusion: k fused levels per driver round
+    must (a) produce the identical hierarchy to the unfused per-level
+    path and (b) actually run FEWER driver-blocking jobs — the whole
+    point of the fusion (guide §5)."""
+    from pravega_flink_ai_flow_spark.queries import joins as J
+    from pravega_flink_ai_flow_spark.queries import load_all
+
+    q = load_all()["j15_recursive_hierarchy"].fn
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run(tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            rows = sorted(map(tuple,
+                              q(spark, "/root/testdata/sf0.001").collect()))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return rows, len(tracker.getJobIdsForGroup(tag))
+
+    fused, fused_jobs = run("j15_fused")
+    monkeypatch.setattr(J, "_BFS_MAX_FUSED_LEVELS", 1)
+    unfused, unfused_jobs = run("j15_unfused")
+    assert fused == unfused and len(fused) > 100
+    assert fused_jobs < unfused_jobs, (fused_jobs, unfused_jobs)
+
+
 def test_containment_pairs_subset_detection(spark):
     # doc 1 is a verbatim excerpt of doc 0: every 3-shingle of doc 1
     # appears in doc 0, so containment(1 in 0) is exactly 1.0 while

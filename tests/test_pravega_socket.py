@@ -112,7 +112,18 @@ def test_stream_exactly_once_resume(spark, server, tmp_workdir):
 
 def test_stream_admission_control(spark, server, tmp_workdir):
     """With maxRecordsPerBatch set, a backlog drains as several bounded
-    micro-batches under a processing-time trigger."""
+    micro-batches under a processing-time trigger.
+
+    Load-tolerant poll (r15 driver flake): the old loop imposed a hard
+    90 s wall deadline — a contended box that spends seconds per
+    200 ms-trigger batch can still be mid-drain at 90 s, failing the
+    count assert with nothing wrong (the driver's r15 run measured
+    830 ms/batch under load and went red here). The deadline now binds
+    only on STALL: as long as the sink's row count keeps advancing the
+    drain is healthy and the poll keeps waiting; 60 s with zero
+    progress is the genuine-hang bar. The batch-shape asserts are
+    unchanged — they follow from the 100-row admission cap, not from
+    trigger cadence."""
     server.append("scope", "s2", _events(0, 250))
     pravega_source.register(spark)
     sdf = (spark.readStream.format("pravega_socket")
@@ -127,10 +138,13 @@ def test_stream_admission_control(spark, server, tmp_workdir):
          .trigger(processingTime="200 milliseconds").start())
     try:
         import time
-        deadline = time.time() + 90
-        while time.time() < deadline:
-            if spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c == 250:
+        seen, last_advance = -1, time.time()
+        while time.time() - last_advance < 60:
+            c = spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c
+            if c == 250:
                 break
+            if c > seen:
+                seen, last_advance = c, time.time()
             time.sleep(0.5)
         progress = q.recentProgress
     finally:
